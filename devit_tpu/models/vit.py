@@ -1,0 +1,378 @@
+"""TPU-native decomposable Vision Transformer.
+
+Re-expresses the capabilities of the reference's `models/de_vit.py` (decomposable
+student, gates at de_vit.py:33,63) and `models/deit_vit.py` (multi-output
+teachers) as one functional flax model:
+
+- Blocks are stacked with `nn.scan`, so every parameter carries a leading depth
+  axis. Per-layer attention-head gates `(depth, heads)` and MLP-neuron gates
+  `(depth, hidden)` are plain input arrays threaded into the scan — the
+  functional equivalent of the reference's in-place `x.mul_(gate)` hooks
+  (de_vit.py:43,79) — and division-stacking for the ensemble is a single
+  `jax.vmap` over the parameter pytree.
+- QKV capture for DEKD (engine.py:91-92 uses only the middle layer) is done
+  with an O(1)-memory select inside the scan carry instead of stacking all
+  layers' Q/K/V in HBM; `capture_qkv='all'` still stacks everything for API
+  parity with `output_qkv=True` (de_vit.py:86).
+- Compute dtype is bf16 by default with fp32 LayerNorm/softmax; params stay
+  fp32. This replaces the reference's CUDA AMP + NativeScaler (bf16 needs no
+  loss scaling — documented deviation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from devit_tpu.configs import ViTConfig, get_vit_config
+
+Array = jax.Array
+
+trunc_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class Gates(NamedTuple):
+    """Structural-shrink masks. 1.0 = keep, 0.0 = pruned.
+
+    `head`:   (depth, num_heads)  — attention-head gate (de_vit.py:63,79)
+    `neuron`: (depth, hidden_dim) — MLP-neuron gate     (de_vit.py:33,43)
+    """
+
+    head: Array
+    neuron: Array
+
+
+def full_gates(cfg: ViTConfig, dtype=jnp.float32) -> Gates:
+    return Gates(
+        head=jnp.ones((cfg.depth, cfg.num_heads), dtype),
+        neuron=jnp.ones((cfg.depth, cfg.hidden_dim), dtype),
+    )
+
+
+class ViTOutput(NamedTuple):
+    """Everything a forward can emit. Unused fields are None; under jit XLA
+    dead-code-eliminates whatever the caller does not consume."""
+
+    logits: Array  # eval-style logits: (cls+dist)/2 for distilled models
+    cls_logits: Optional[Array] = None
+    dist_logits: Optional[Array] = None
+    cls_feat: Optional[Array] = None  # post-norm CLS token (B, C)
+    dist_feat: Optional[Array] = None  # post-norm dist token (B, C) (distilled only)
+    last_tokens: Optional[Any] = None  # resize_mlp-projected features for token distill
+    qkv: Optional[Array] = None  # (L,3,B,H,N,dh) if capture_qkv='all', (3,B,H,N,dh) if 'middle'
+    attn: Optional[Array] = None  # (L,B,N,C or resize_dim) per-block attention outputs
+    encoders: Optional[Array] = None  # (L,B,N,C or resize_dim) per-block encoder outputs
+    embedding: Optional[Array] = None  # (B,N,C or resize_dim) post-pos-embed tokens
+    neuron_act: Optional[Array] = None  # (L,B,N,hidden) post-GELU pre-gate (imp_rank.py:31)
+    head_out: Optional[Array] = None  # (L,B,N,H,dh) pre-gate head outputs (imp_rank.py:108)
+
+
+def _layer_norm(x: Array, scale: Array, bias: Array, eps: float) -> Array:
+    """LayerNorm with fp32 statistics regardless of compute dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        return _layer_norm(x, scale, bias, self.eps)
+
+
+class PatchEmbed(nn.Module):
+    """Patchify as reshape + one matmul (MXU-friendly; equivalent to the
+    stride-p conv the reference inherits from timm PatchEmbed)."""
+
+    cfg: ViTConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cfg = self.cfg
+        p, g = cfg.patch_size, cfg.grid_size
+        B = x.shape[0]
+        kernel = self.param(
+            "kernel", trunc_init, (p * p * cfg.in_chans, cfg.embed_dim), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (cfg.embed_dim,), jnp.float32)
+        # (B, H, W, C) -> (B, gh, p, gw, p, C) -> (B, gh, gw, p, p, C) -> (B, N, p*p*C)
+        x = x.reshape(B, g, p, g, p, cfg.in_chans)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, g * g, p * p * cfg.in_chans)
+        x = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        return x + bias.astype(self.dtype)
+
+
+class Block(nn.Module):
+    """One pre-norm transformer block with head/neuron gates.
+
+    Used under nn.scan: __call__ receives the carry and a tuple of per-layer
+    inputs, and returns (carry, per-layer outputs).
+    """
+
+    cfg: ViTConfig
+    deterministic: bool = True
+    capture_qkv: str = "none"  # 'none' | 'all' | 'middle'
+    capture_layer: int = -1  # layer index captured when capture_qkv == 'middle'
+    capture_block_outputs: bool = False  # att/encoder outputs (de_vit.py:268-284)
+    capture_rank_stats: bool = False  # neuron_act/head_out for HSIC ranking
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, carry, per_layer):
+        cfg = self.cfg
+        x, qkv_slot = carry
+        head_gate, neuron_gate, dp_rate, layer_idx = per_layer
+        B, N, C = x.shape
+        H, dh = cfg.num_heads, cfg.head_dim
+
+        # ---- attention ----
+        h = LayerNorm(eps=cfg.layer_norm_eps, name="norm1")(x)
+        qkv = nn.Dense(
+            3 * C, use_bias=cfg.qkv_bias, dtype=self.dtype,
+            kernel_init=trunc_init, name="qkv",
+        )(h)
+        qkv = qkv.reshape(B, N, 3, H, dh).transpose(2, 0, 3, 1, 4)  # (3,B,H,N,dh)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        logits = jnp.einsum(
+            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) * (dh ** -0.5)
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        if cfg.attn_drop_rate > 0 and not self.deterministic:
+            probs = nn.Dropout(cfg.attn_drop_rate, deterministic=False)(probs)
+        attn_out = jnp.einsum("bhnm,bhmd->bhnd", probs, v)  # (B,H,N,dh)
+
+        head_out = attn_out.transpose(0, 2, 1, 3) if self.capture_rank_stats else None
+
+        # Head gate before the output projection (de_vit.py:77-79).
+        attn_out = attn_out * head_gate.astype(self.dtype)[None, :, None, None]
+        attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        attn_out = nn.Dense(C, dtype=self.dtype, kernel_init=trunc_init, name="proj")(attn_out)
+        if cfg.drop_rate > 0 and not self.deterministic:
+            attn_out = nn.Dropout(cfg.drop_rate, deterministic=False)(attn_out)
+
+        x = x + self._drop_path(attn_out, dp_rate)
+        att_residual = x  # reference captures the post-attention output? see below
+
+        # ---- MLP ----
+        h = LayerNorm(eps=cfg.layer_norm_eps, name="norm2")(x)
+        h = nn.Dense(cfg.hidden_dim, dtype=self.dtype, kernel_init=trunc_init, name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        if cfg.drop_rate > 0 and not self.deterministic:
+            h = nn.Dropout(cfg.drop_rate, deterministic=False)(h)
+        neuron_act = h if self.capture_rank_stats else None
+        # Neuron gate between activation and fc2 (de_vit.py:41-43).
+        h = h * neuron_gate.astype(self.dtype)[None, None, :]
+        h = nn.Dense(C, dtype=self.dtype, kernel_init=trunc_init, name="fc2")(h)
+        if cfg.drop_rate > 0 and not self.deterministic:
+            h = nn.Dropout(cfg.drop_rate, deterministic=False)(h)
+
+        x = x + self._drop_path(h, dp_rate)
+
+        # ---- captures ----
+        outs = {}
+        if self.capture_qkv == "all":
+            outs["qkv"] = jnp.stack([q, k, v])
+        elif self.capture_qkv == "middle":
+            hit = (layer_idx == self.capture_layer)
+            qkv_slot = jnp.where(hit, jnp.stack([q, k, v]).astype(qkv_slot.dtype), qkv_slot)
+        if self.capture_block_outputs:
+            # Reference Block returns the attention branch output as 'attention'
+            # (de_vit.py:119 — att_outputs['output'], i.e. post-proj, pre-residual).
+            outs["attn"] = attn_out
+            outs["encoder"] = x
+        if self.capture_rank_stats:
+            outs["neuron_act"] = neuron_act
+            outs["head_out"] = head_out
+        del att_residual
+        return (x, qkv_slot), outs
+
+    def _drop_path(self, x: Array, rate: Array) -> Array:
+        """Stochastic depth on the residual branch (timm DropPath semantics,
+        reference models/utils/stochastic_depth.py:8-39). `rate` is a traced
+        per-layer scalar (linspace over depth)."""
+        if self.deterministic:
+            return x
+        B = x.shape[0]
+        rng = self.make_rng("dropout")
+        keep = 1.0 - rate
+        mask = jax.random.bernoulli(rng, keep, (B, 1, 1)).astype(x.dtype)
+        return x * mask / jnp.maximum(keep, 1e-8).astype(x.dtype)
+
+
+class VisionTransformer(nn.Module):
+    """Functional (De)ViT/DeiT with multi-output forward.
+
+    Parity surface (reference de_vit.py:124-334, deit_vit.py):
+    - distilled dual heads: train -> (cls_logits, dist_logits), eval -> mean
+    - optional resize heads to a wider teacher width (resize_dim)
+    - capture of qkv / attention / encoder outputs / embedding
+    - head & neuron gates threaded through every block
+    """
+
+    cfg: ViTConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        gates: Optional[Gates] = None,
+        *,
+        train: bool = False,
+        capture_qkv: str = "none",  # 'none' | 'all' | 'middle'
+        capture_layer: Optional[int] = None,
+        capture_block_outputs: bool = False,
+        capture_embedding: bool = False,
+        capture_rank_stats: bool = False,
+        distill_token: bool = False,
+        features_only: bool = False,
+    ) -> ViTOutput:
+        cfg = self.cfg
+        B = x.shape[0]
+        C = cfg.embed_dim
+
+        if gates is None:
+            gates = full_gates(cfg)
+        if capture_layer is None:
+            # DEKD uses the middle layer: qkvs[depth//2 - 1] (engine.py:91-92).
+            capture_layer = cfg.depth // 2 - 1
+
+        x = PatchEmbed(cfg, dtype=self.dtype, name="patch_embed")(x)
+
+        cls_token = self.param("cls_token", trunc_init, (1, 1, C), jnp.float32)
+        tokens = [jnp.broadcast_to(cls_token.astype(self.dtype), (B, 1, C))]
+        if cfg.distilled:
+            dist_token = self.param("dist_token", trunc_init, (1, 1, C), jnp.float32)
+            tokens.append(jnp.broadcast_to(dist_token.astype(self.dtype), (B, 1, C)))
+        x = jnp.concatenate(tokens + [x], axis=1)
+
+        pos_embed = self.param("pos_embed", trunc_init, (1, cfg.seq_len, C), jnp.float32)
+        x = x + pos_embed.astype(self.dtype)
+        if cfg.drop_rate > 0 and train:
+            x = nn.Dropout(cfg.drop_rate, deterministic=False)(x)
+
+        # Shared projections to teacher width (de_vit.py:198-201).
+        resize_att = resize_enc = resize_tok = None
+        if cfg.resize_dim is not None:
+            resize_tok = nn.Dense(cfg.resize_dim, dtype=self.dtype,
+                                  kernel_init=trunc_init, name="resize_mlp")
+            resize_att = nn.Dense(cfg.resize_dim, dtype=self.dtype,
+                                  kernel_init=trunc_init, name="resize_att_mlp")
+            resize_enc = nn.Dense(cfg.resize_dim, dtype=self.dtype,
+                                  kernel_init=trunc_init, name="resize_encoder_mlp")
+            if self.is_initializing():
+                # Materialise resize params regardless of which capture flags
+                # the init call used, so any apply-time flag combination works.
+                dummy = jnp.zeros((1, C), self.dtype)
+                resize_tok(dummy), resize_att(dummy), resize_enc(dummy)
+
+        embedding = None
+        if capture_embedding:
+            embedding = resize_enc(x) if resize_enc is not None else x
+
+        dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+        layer_ids = jnp.arange(cfg.depth)
+        qkv_slot = jnp.zeros((3, B, cfg.num_heads, cfg.seq_len, cfg.head_dim), self.dtype)
+
+        ScanBlocks = nn.scan(
+            Block,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=0,
+            out_axes=0,
+            length=cfg.depth,
+        )
+        (x, qkv_slot), layer_outs = ScanBlocks(
+            cfg=cfg,
+            deterministic=not train,
+            capture_qkv=capture_qkv,
+            capture_layer=capture_layer,
+            capture_block_outputs=capture_block_outputs,
+            capture_rank_stats=capture_rank_stats,
+            dtype=self.dtype,
+            name="blocks",
+        )((x, qkv_slot), (gates.head, gates.neuron, dp_rates, layer_ids))
+
+        x = LayerNorm(eps=cfg.layer_norm_eps, name="norm")(x)
+
+        cls_feat = x[:, 0]
+        dist_feat = x[:, 1] if cfg.distilled else None
+
+        if cfg.representation_size is not None and not cfg.distilled:
+            cls_feat = nn.Dense(cfg.representation_size, dtype=self.dtype,
+                                kernel_init=nn.initializers.lecun_normal(),
+                                name="pre_logits")(cls_feat)
+            cls_feat = jnp.tanh(cls_feat)
+
+        qkv = None
+        if capture_qkv == "all":
+            qkv = layer_outs.get("qkv")
+        elif capture_qkv == "middle":
+            qkv = qkv_slot
+
+        attn = encoders = None
+        if capture_block_outputs:
+            attn = layer_outs["attn"]
+            encoders = layer_outs["encoder"]
+            if resize_att is not None:
+                attn = resize_att(attn)
+                encoders = resize_enc(encoders)
+
+        last_tokens = None
+        if distill_token:
+            if cfg.distilled:
+                lt_cls, lt_dist = cls_feat, dist_feat
+                if resize_tok is not None:
+                    lt_cls, lt_dist = resize_tok(lt_cls), resize_tok(lt_dist)
+                last_tokens = (lt_cls, lt_dist)
+            else:
+                last_tokens = resize_tok(cls_feat) if resize_tok is not None else cls_feat
+
+        if features_only:
+            return ViTOutput(
+                logits=cls_feat, cls_feat=cls_feat, dist_feat=dist_feat,
+                last_tokens=last_tokens, qkv=qkv, attn=attn, encoders=encoders,
+                embedding=embedding,
+                neuron_act=layer_outs.get("neuron_act"),
+                head_out=layer_outs.get("head_out"),
+            )
+
+        num_classes = cfg.num_classes
+        head = nn.Dense(num_classes, dtype=self.dtype, kernel_init=trunc_init, name="head")
+        cls_logits = head(cls_feat).astype(jnp.float32)
+        dist_logits = None
+        if cfg.distilled:
+            head_dist = nn.Dense(num_classes, dtype=self.dtype,
+                                 kernel_init=trunc_init, name="head_dist")
+            dist_logits = head_dist(dist_feat).astype(jnp.float32)
+            logits = (cls_logits + dist_logits) / 2.0  # eval fusion (de_vit.py:318)
+        else:
+            logits = cls_logits
+
+        return ViTOutput(
+            logits=logits, cls_logits=cls_logits, dist_logits=dist_logits,
+            cls_feat=cls_feat, dist_feat=dist_feat, last_tokens=last_tokens,
+            qkv=qkv, attn=attn, encoders=encoders, embedding=embedding,
+            neuron_act=layer_outs.get("neuron_act"),
+            head_out=layer_outs.get("head_out"),
+        )
+
+
+def create_vit(name: str, **overrides) -> VisionTransformer:
+    dtype = overrides.pop("dtype", jnp.bfloat16)
+    return VisionTransformer(get_vit_config(name, **overrides), dtype=dtype)

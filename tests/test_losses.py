@@ -1,0 +1,149 @@
+"""Numeric parity tests for losses against torch-semantics fixtures.
+
+Each fixture re-derives the torch formula (KLDivLoss batchmean/log_target,
+legacy-numel-scaled soft distillation, etc.) with torch functional ops so the
+JAX implementations in devit_tpu.train.losses are checked against the exact
+semantics the reference relies on (reference utils/losses.py)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from devit_tpu.train import losses as L
+
+RNG = np.random.default_rng(0)
+
+
+def rnd(*shape):
+    return RNG.normal(size=shape).astype(np.float32)
+
+
+def test_cross_entropy_matches_torch():
+    logits, labels = rnd(8, 13), RNG.integers(0, 13, 8)
+    ours = L.cross_entropy(jnp.asarray(logits), jnp.asarray(labels))
+    ref = F.cross_entropy(torch.tensor(logits), torch.tensor(labels))
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5)
+
+
+def test_label_smoothing_ce_matches_torch():
+    logits, labels = rnd(8, 13), RNG.integers(0, 13, 8)
+    ours = L.label_smoothing_cross_entropy(jnp.asarray(logits), jnp.asarray(labels), 0.1)
+    # reference losses.py:25-31 formula
+    logp = F.log_softmax(torch.tensor(logits), dim=-1)
+    nll = -logp.gather(-1, torch.tensor(labels)[:, None]).squeeze(1)
+    ref = (0.9 * nll + 0.1 * -logp.mean(dim=-1)).mean()
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5)
+
+
+def test_soft_cross_entropy_matches_torch():
+    s, t = rnd(6, 11), rnd(6, 11)
+    ours = L.soft_cross_entropy(jnp.asarray(s), jnp.asarray(t))
+    ref = (
+        (-F.softmax(torch.tensor(t), -1) * F.log_softmax(torch.tensor(s), -1)).sum(-1).mean()
+    )
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5)
+
+
+def test_soft_distill_matches_torch_legacy_numel():
+    s, t = rnd(6, 11), rnd(6, 11)
+    tau = 3.0
+    ours = L.soft_distill_loss(jnp.asarray(s), jnp.asarray(t), tau)
+    # reference losses.py:69-77: kl_div(log_softmax(s/T), log_softmax(t/T),
+    # reduction='sum', log_target=True) * T*T / numel
+    ref = F.kl_div(
+        F.log_softmax(torch.tensor(s) / tau, dim=1),
+        F.log_softmax(torch.tensor(t) / tau, dim=1),
+        reduction="sum",
+        log_target=True,
+    ) * (tau * tau) / (6 * 11)
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-3, atol=1e-5)
+
+
+def test_hard_distill_matches_torch():
+    s, t = rnd(6, 11), rnd(6, 11)
+    ours = L.hard_distill_loss(jnp.asarray(s), jnp.asarray(t))
+    ref = F.cross_entropy(torch.tensor(s), torch.tensor(t).argmax(dim=1))
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5)
+
+
+def test_feature_relation_loss_matches_torch():
+    # teacher (B,Ht,N,dt) wider than student (B,Hs,N,ds) — width independence
+    tea, stu = rnd(2, 8, 10, 16), rnd(2, 4, 10, 8)
+    ours = L.feature_relation_loss(jnp.asarray(tea), jnp.asarray(stu))
+
+    def relation_log(f):
+        ft = torch.tensor(f)
+        B, H, N, d = ft.shape
+        ft = torch.stack(ft.unbind(dim=1), dim=2).reshape(B, N, -1)
+        rel = ft @ ft.transpose(-1, -2) / math.sqrt(d)
+        return F.log_softmax(rel, dim=-1)
+
+    ref = F.kl_div(relation_log(stu), relation_log(tea), reduction="batchmean", log_target=True)
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-4)
+
+
+def test_kldiv_batchmean_log_target():
+    s, t = rnd(5, 7), rnd(5, 7)
+    sl = F.log_softmax(torch.tensor(s), -1)
+    tl = F.log_softmax(torch.tensor(t), -1)
+    ours = L.kldiv_batchmean_log_target(jnp.asarray(sl.numpy()), jnp.asarray(tl.numpy()))
+    ref = F.kl_div(sl, tl, reduction="batchmean", log_target=True)
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5)
+
+
+def test_dekd_loss_combination():
+    """cls + g0*q/L + g1*k/L + g2*v/L combination (engine.py:102-106)."""
+    depth = 12
+    s_qkv, t_qkv = rnd(3, 2, 4, 10, 8), rnd(3, 2, 8, 10, 16)
+    s_cls, s_kd, t_log = rnd(4, 9), rnd(4, 9), rnd(4, 9)
+    labels = RNG.integers(0, 9, 4)
+    total, aux = L.dekd_loss(
+        (jnp.asarray(s_cls), jnp.asarray(s_kd)), jnp.asarray(s_qkv),
+        jnp.asarray(t_log), jnp.asarray(t_qkv), jnp.asarray(labels),
+        L.cross_entropy, depth=depth, gamma=(0.2, 0.1, 0.3),
+        distillation_type="hard", alpha=0.5, tau=1.0,
+    )
+    q = L.feature_relation_loss(jnp.asarray(t_qkv[0]), jnp.asarray(s_qkv[0])) / depth
+    k = L.feature_relation_loss(jnp.asarray(t_qkv[1]), jnp.asarray(s_qkv[1])) / depth
+    v = L.feature_relation_loss(jnp.asarray(t_qkv[2]), jnp.asarray(s_qkv[2])) / depth
+    cls = 0.5 * L.cross_entropy(jnp.asarray(s_cls), jnp.asarray(labels)) + 0.5 * L.hard_distill_loss(
+        jnp.asarray(s_kd), jnp.asarray(t_log)
+    )
+    np.testing.assert_allclose(total, cls + 0.2 * q + 0.1 * k + 0.3 * v, rtol=1e-5)
+    np.testing.assert_allclose(aux["cls_loss"], cls, rtol=1e-5)
+
+
+def test_ens_loss_deit_family():
+    s_cls, s_dist = rnd(4, 32), rnd(4, 32)
+    t_cls, t_dist = rnd(4, 32), rnd(4, 32)
+    s_log, t_log = rnd(4, 10), rnd(4, 10)
+    labels = RNG.integers(0, 10, 4)
+    token_loss, cls_loss = L.ens_loss(
+        (jnp.asarray(s_cls), jnp.asarray(s_dist)), jnp.asarray(s_log),
+        (jnp.asarray(t_cls), jnp.asarray(t_dist)), jnp.asarray(t_log),
+        jnp.asarray(labels), L.cross_entropy,
+        model_family="deit", distillation_type="hard", alpha=0.5,
+    )
+    ref_token = F.mse_loss(torch.tensor(s_cls), torch.tensor(t_cls)) + F.mse_loss(
+        torch.tensor(s_dist), torch.tensor(t_dist)
+    )
+    np.testing.assert_allclose(token_loss, ref_token.numpy(), rtol=1e-5)
+    assert np.isfinite(float(cls_loss))
+
+
+def test_accuracy_topk():
+    logits = np.zeros((4, 10), np.float32)
+    labels = np.array([0, 1, 2, 3])
+    logits[0, 0] = 1  # top-1 hit
+    logits[1, 0] = 2
+    logits[1, 1] = 1  # top-5 hit (rank 2)
+    logits[2, 9] = 1  # miss in top-1, label 2 has score 0 -> inside top-5 ties
+    logits[3, 3] = 3  # top-1 hit
+    a1, a5 = L.accuracy_topk(jnp.asarray(logits), jnp.asarray(labels))
+    assert float(a1) == 50.0
+    assert float(a5) >= 75.0

@@ -1,0 +1,168 @@
+"""Unit tests for the decomposable ViT (parity surface of reference de_vit.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from devit_tpu.configs import get_vit_config
+from devit_tpu.models import create_vit, Gates, full_gates
+from devit_tpu.models.vit import VisionTransformer
+
+TINY = dict(
+    img_size=32, patch_size=8, embed_dim=64, depth=4, num_heads=4,
+    num_classes=10, drop_rate=0.0, drop_path_rate=0.0,
+)
+
+
+def tiny_model(name="dedeit", dtype=jnp.float32, **kw):
+    cfg = get_vit_config(name, **{**TINY, **kw})
+    return VisionTransformer(cfg, dtype=dtype)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = tiny_model()
+    x = jnp.zeros((2, 32, 32, 3))
+    params = model.init(jax.random.key(0), x)
+    return model, params
+
+
+def test_forward_shapes(model_and_params):
+    model, params = model_and_params
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+    out = model.apply(params, x)
+    assert out.logits.shape == (2, 10)
+    assert out.cls_logits.shape == (2, 10)
+    assert out.dist_logits.shape == (2, 10)
+    # eval logits = mean of dual heads (de_vit.py:318-323)
+    np.testing.assert_allclose(
+        out.logits, (out.cls_logits + out.dist_logits) / 2, rtol=1e-6
+    )
+
+
+def test_undistilled_has_single_head():
+    model = tiny_model("devit")
+    x = jnp.zeros((2, 32, 32, 3))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.dist_logits is None
+    assert out.logits.shape == (2, 10)
+
+
+def test_qkv_capture_all_and_middle(model_and_params):
+    model, params = model_and_params
+    cfg = model.cfg
+    x = jax.random.normal(jax.random.key(2), (2, 32, 32, 3))
+    out_all = model.apply(params, x, capture_qkv="all")
+    L, H, N, dh = cfg.depth, cfg.num_heads, cfg.seq_len, cfg.head_dim
+    assert out_all.qkv.shape == (L, 3, 2, H, N, dh)
+    # middle capture must equal layer depth//2 - 1 of the full stack (engine.py:91)
+    out_mid = model.apply(params, x, capture_qkv="middle")
+    mid = cfg.depth // 2 - 1
+    np.testing.assert_allclose(out_mid.qkv, out_all.qkv[mid], rtol=2e-5, atol=2e-5)
+    # custom capture layer
+    out_l0 = model.apply(params, x, capture_qkv="middle", capture_layer=0)
+    np.testing.assert_allclose(out_l0.qkv, out_all.qkv[0], rtol=2e-5, atol=2e-5)
+
+
+def test_head_gate_masks_heads(model_and_params):
+    """Zeroing every head in every layer must zero the attention branch:
+    the output should equal the pure-MLP propagation path."""
+    model, params = model_and_params
+    cfg = model.cfg
+    x = jax.random.normal(jax.random.key(3), (2, 32, 32, 3))
+    gates = Gates(
+        head=jnp.zeros((cfg.depth, cfg.num_heads)),
+        neuron=jnp.ones((cfg.depth, cfg.hidden_dim)),
+    )
+    out = model.apply(params, x, gates=gates)
+    # Not equal to ungated output
+    out_full = model.apply(params, x)
+    assert not np.allclose(out.logits, out_full.logits, atol=1e-4)
+    # Gating one head only changes things mildly; gated head's contribution removed.
+    g1 = Gates(
+        head=jnp.ones((cfg.depth, cfg.num_heads)).at[0, 0].set(0.0),
+        neuron=jnp.ones((cfg.depth, cfg.hidden_dim)),
+    )
+    out1 = model.apply(params, x, gates=g1)
+    assert not np.allclose(out1.logits, out_full.logits, atol=1e-6)
+
+
+def test_neuron_gate_equivalent_to_weight_zeroing(model_and_params):
+    """A zeroed neuron gate must equal zeroing the matching fc2 input rows —
+    the gate semantics of de_vit.py:41-43."""
+    model, params = model_and_params
+    cfg = model.cfg
+    x = jax.random.normal(jax.random.key(4), (2, 32, 32, 3))
+    neuron = jnp.ones((cfg.depth, cfg.hidden_dim)).at[1, : cfg.hidden_dim // 2].set(0.0)
+    gates = Gates(head=jnp.ones((cfg.depth, cfg.num_heads)), neuron=neuron)
+    out_gate = model.apply(params, x, gates=gates)
+
+    import flax
+
+    p = flax.core.unfreeze(params)["params"]
+    fc2 = p["blocks"]["fc2"]["kernel"]  # (depth, hidden, emb)
+    fc2 = fc2.at[1, : cfg.hidden_dim // 2, :].set(0.0)
+    p["blocks"]["fc2"]["kernel"] = fc2
+    out_zero = model.apply({"params": p}, x)
+    np.testing.assert_allclose(out_gate.logits, out_zero.logits, rtol=1e-4, atol=1e-5)
+
+
+def test_head_gate_equivalent_to_proj_zeroing(model_and_params):
+    """A zeroed head gate must equal zeroing the matching proj input rows
+    (de_vit.py:77-79: mask applied before the output projection)."""
+    model, params = model_and_params
+    cfg = model.cfg
+    x = jax.random.normal(jax.random.key(5), (2, 32, 32, 3))
+    head = jnp.ones((cfg.depth, cfg.num_heads)).at[2, 1].set(0.0)
+    gates = Gates(head=head, neuron=jnp.ones((cfg.depth, cfg.hidden_dim)))
+    out_gate = model.apply(params, x, gates=gates)
+
+    import flax
+
+    p = flax.core.unfreeze(params)["params"]
+    proj = p["blocks"]["proj"]["kernel"]  # (depth, emb, emb); input rows are head-major
+    dh = cfg.head_dim
+    proj = proj.at[2, 1 * dh : 2 * dh, :].set(0.0)
+    p["blocks"]["proj"]["kernel"] = proj
+    out_zero = model.apply({"params": p}, x)
+    np.testing.assert_allclose(out_gate.logits, out_zero.logits, rtol=1e-4, atol=1e-5)
+
+
+def test_resize_heads_and_last_tokens():
+    model = tiny_model("dedeit", resize_dim=96)
+    x = jnp.zeros((2, 32, 32, 3))
+    params = model.init(jax.random.key(0), x, distill_token=True)
+    out = model.apply(params, x, distill_token=True, capture_block_outputs=True)
+    lt_cls, lt_dist = out.last_tokens
+    assert lt_cls.shape == (2, 96) and lt_dist.shape == (2, 96)
+    cfg = model.cfg
+    assert out.attn.shape == (cfg.depth, 2, cfg.seq_len, 96)
+    assert out.encoders.shape == (cfg.depth, 2, cfg.seq_len, 96)
+
+
+def test_rank_stats_capture(model_and_params):
+    model, params = model_and_params
+    cfg = model.cfg
+    x = jax.random.normal(jax.random.key(6), (2, 32, 32, 3))
+    out = model.apply(params, x, capture_rank_stats=True)
+    assert out.neuron_act.shape == (cfg.depth, 2, cfg.seq_len, cfg.hidden_dim)
+    assert out.head_out.shape == (cfg.depth, 2, cfg.seq_len, cfg.num_heads, cfg.head_dim)
+
+
+def test_train_mode_dual_logits_and_dropout_rng():
+    model = tiny_model("dedeit", drop_rate=0.1, drop_path_rate=0.1)
+    x = jnp.ones((2, 32, 32, 3))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x, train=True, rngs={"dropout": jax.random.key(1)})
+    assert out.cls_logits.shape == (2, 10)
+    out2 = model.apply(params, x, train=True, rngs={"dropout": jax.random.key(2)})
+    assert not np.allclose(out.cls_logits, out2.cls_logits)
+
+
+def test_jit_forward(model_and_params):
+    model, params = model_and_params
+    fwd = jax.jit(lambda p, x: model.apply(p, x).logits)
+    x = jax.random.normal(jax.random.key(7), (2, 32, 32, 3))
+    np.testing.assert_allclose(fwd(params, x), model.apply(params, x).logits, rtol=2e-5, atol=1e-5)
