@@ -1,0 +1,162 @@
+"""Collaborative-inference ensemble: division-stacked backbones + token fusion.
+
+Parity surface: reference `models/ensemble_models.py` — `MultiViT` (:13-40) runs
+N sub-models on the same batch and returns their CLS/dist tokens; `EnsMLP`
+(:43-90) concatenates the tokens, optionally projects to the teacher width, and
+classifies over the full label set; `MultiCCT`/`EnsembleCCT` (:93-151) are the
+CCT analogues.
+
+TPU-native restructuring: the reference loops over an nn.ModuleList
+sequentially on one device (ensemble_models.py:33). Here the N divisions live
+as ONE parameter pytree with a leading division axis and the forward is a
+single `jax.vmap` — one batched XLA program. On a mesh with a 'div' axis the
+stacked params shard across sub-meshes and the token concat in EnsMLP becomes
+an ICI all-gather inserted by XLA SPMD (SURVEY.md §2.7).
+
+Per-division class counts may differ (`--sub_classes`, ensemble.py:160); heads
+are deleted in the reference (ensemble.py:28-30) and never materialised here —
+MultiViT calls the backbone with `features_only=True`, so unequal head widths
+never enter the stacked pytree.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from devit_tpu.models.vit import Gates, VisionTransformer, full_gates, trunc_init
+
+Array = jax.Array
+
+
+def stack_division_params(variables_list: Sequence[Any]):
+    """Stack per-division variable pytrees into one pytree with leading D axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *variables_list)
+
+
+def stack_division_gates(gates_list: Sequence[Gates]) -> Gates:
+    return Gates(
+        head=jnp.stack([g.head for g in gates_list]),
+        neuron=jnp.stack([g.neuron for g in gates_list]),
+    )
+
+
+def init_multivit(model: VisionTransformer, rng, sample: Array, num_divisions: int):
+    """Initialise N divisions with independent RNG streams -> stacked variables."""
+    keys = jax.random.split(rng, num_divisions)
+    return jax.vmap(lambda k: model.init(k, sample, features_only=True))(keys)
+
+
+def multivit_features(
+    model: VisionTransformer,
+    stacked_variables,
+    x: Array,
+    stacked_gates: Optional[Gates] = None,
+) -> Tuple[Array, Optional[Array]]:
+    """All-division forward on the same batch (ensemble_models.py:32-40).
+
+    Returns (cls_tokens (D,B,C), dist_tokens (D,B,C) or None).
+    """
+    if stacked_gates is None:
+        D = jax.tree_util.tree_leaves(stacked_variables)[0].shape[0]
+        g = full_gates(model.cfg)
+        stacked_gates = Gates(
+            head=jnp.broadcast_to(g.head, (D, *g.head.shape)),
+            neuron=jnp.broadcast_to(g.neuron, (D, *g.neuron.shape)),
+        )
+
+    def one(variables, gates):
+        out = model.apply(variables, x, gates=gates, features_only=True)
+        return out.cls_feat, out.dist_feat
+
+    cls_t, dist_t = jax.vmap(one)(stacked_variables, stacked_gates)
+    return cls_t, dist_t
+
+
+class EnsOutput(NamedTuple):
+    logits: Array
+    cls_logits: Optional[Array] = None
+    dist_logits: Optional[Array] = None
+    ens_tokens: Optional[Any] = None  # fused token(s) for EnsLoss token matching
+
+
+class EnsMLP(nn.Module):
+    """Token-fusion head over division tokens (ensemble_models.py:43-90).
+
+    Division tokens (D, B, C) are concatenated division-major per batch element,
+    optionally projected to `teacher_size`, then classified over the full label
+    set; the deit family averages separate cls/dist classifiers.
+    """
+
+    num_classes: int = 100
+    sub_size: int = 384
+    num_divisions: int = 4
+    teacher_size: Optional[int] = None
+    family: str = "deit"  # 'deit' (dual tokens) | 'vit' (cls only)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        cls_tokens: Array,
+        dist_tokens: Optional[Array] = None,
+        *,
+        distill: bool = False,
+        train: bool = False,
+    ) -> EnsOutput:
+        def fuse(tokens: Array) -> Array:
+            # (D, B, C) -> (B, D*C), division-major (torch.stack(x,1).view(B,-1))
+            D, B, C = tokens.shape
+            return tokens.transpose(1, 0, 2).reshape(B, D * C).astype(self.dtype)
+
+        ens_cls = fuse(cls_tokens)
+        if self.teacher_size is not None:
+            ens_cls = nn.Dense(self.teacher_size, dtype=self.dtype,
+                               kernel_init=trunc_init, name="cls_mlp")(ens_cls)
+        cls_logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                              kernel_init=trunc_init, name="cls_classifier")(ens_cls)
+        cls_logits = cls_logits.astype(jnp.float32)
+
+        if "deit" in self.family:
+            assert dist_tokens is not None, "deit family needs dist tokens"
+            ens_dist = fuse(dist_tokens)
+            if self.teacher_size is not None:
+                ens_dist = nn.Dense(self.teacher_size, dtype=self.dtype,
+                                    kernel_init=trunc_init, name="dist_mlp")(ens_dist)
+            dist_logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                                   kernel_init=trunc_init, name="dist_classifier")(ens_dist)
+            dist_logits = dist_logits.astype(jnp.float32)
+            logits = (cls_logits + dist_logits) / 2.0
+            ens_tokens = (ens_cls, ens_dist)
+        else:
+            logits = cls_logits
+            dist_logits = None
+            ens_tokens = ens_cls
+
+        want_tokens = distill and train and self.teacher_size is not None
+        return EnsOutput(
+            logits=logits,
+            cls_logits=cls_logits,
+            dist_logits=dist_logits,
+            ens_tokens=ens_tokens if want_tokens else None,
+        )
+
+
+def ensemble_forward(
+    model: VisionTransformer,
+    ens_model: EnsMLP,
+    stacked_variables,
+    ens_variables,
+    x: Array,
+    stacked_gates: Optional[Gates] = None,
+    *,
+    distill: bool = False,
+    train: bool = False,
+) -> EnsOutput:
+    """The full collaborative-inference path: MultiViT -> EnsMLP
+    (engine.py:213-242 / the north-star benchmark path)."""
+    cls_t, dist_t = multivit_features(model, stacked_variables, x, stacked_gates)
+    return ens_model.apply(ens_variables, cls_t, dist_t, distill=distill, train=train)

@@ -1,0 +1,280 @@
+"""Jitted train/eval steps for the five pipeline stages.
+
+Parity surface:
+- stage 2 (sub-model finetune): train_subdata.train_one_epoch
+  (train_subdata.py:233-287) with optional DeiT-style distillation
+  (DistillationLoss, losses.py:44-119)
+- stage 4 (DEKD): engine.train_1epoch_qkv (engine.py:48-140)
+- stage 5 (ensemble): engine.train_1epoch_ens_disjoint (engine.py:143-210),
+  one backward / two optimizers
+- eval: engine.evaluate (engine.py:17-45), engine.evaluate_ens_disjoint
+  (engine.py:212-242)
+
+Every builder returns a function ready to be jitted (or pjit'ed by wrapping in
+jax.jit with shardings). Mixup/cutmix runs inside the step on device. The
+reference's NaN-check-and-exit (engine.py:119-121) is replaced by returning
+the loss in the metrics; the host-side loop decides (train/loop.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from devit_tpu.data.mixup import MixupConfig, mixup_cutmix
+from devit_tpu.models.ensemble import EnsMLP, multivit_features
+from devit_tpu.models.vit import Gates, VisionTransformer
+from devit_tpu.train import losses as L
+from devit_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------- evaluation
+
+
+def make_eval_step(model: VisionTransformer, *, use_pallas: bool = False):
+    """Per-batch eval: returns summed loss and top-1/top-5 correct counts so
+    accuracy aggregates exactly over uneven final batches (engine.py:17-45)."""
+
+    def step(variables, gates: Optional[Gates], images, labels):
+        out = model.apply(variables, images, gates=gates)
+        logits = out.logits
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        _, pred5 = jax.lax.top_k(logits, 5)
+        hit = pred5 == labels[:, None]
+        return {
+            "loss_sum": jnp.sum(nll),
+            "top1": jnp.sum(hit[:, 0].astype(jnp.int32)),
+            "top5": jnp.sum(jnp.any(hit, axis=-1).astype(jnp.int32)),
+            "count": jnp.array(labels.shape[0], jnp.int32),
+        }
+
+    return step
+
+
+# --------------------------------------------------------------- stage 2
+
+
+def make_stage2_step(
+    model: VisionTransformer,
+    teacher_model: Optional[VisionTransformer] = None,
+    *,
+    mixup: Optional[MixupConfig] = None,
+    smoothing: float = 0.1,
+    distillation_type: str = "none",
+    distillation_alpha: float = 0.5,
+    distillation_tau: float = 1.0,
+    distill_token: bool = False,
+):
+    """Sub-model finetune step (train_subdata.py:233-287).
+
+    Signature: step(state, teacher_variables, images, labels, rng) ->
+    (state, metrics). teacher_variables may be None when distillation is off.
+    """
+    mixup_active = mixup is not None and mixup.active
+    base_criterion = L.make_base_criterion(mixup_active, smoothing)
+
+    def step(state: TrainState, teacher_variables, images, labels, rng):
+        rng_mix, rng_drop = jax.random.split(rng)
+        if mixup_active:
+            images_m, targets = mixup_cutmix(rng_mix, images, labels, mixup)
+        else:
+            images_m, targets = images, labels
+
+        teacher_logits = teacher_token = None
+        if distillation_type != "none":
+            t_out = teacher_model.apply(
+                teacher_variables, images_m, distill_token=distill_token
+            )
+            teacher_logits = t_out.logits
+            teacher_token = t_out.last_tokens
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params}, images_m, train=True,
+                rngs={"dropout": rng_drop}, distill_token=distill_token,
+            )
+            cls_logits = out.cls_logits
+            kd_logits = out.dist_logits if out.dist_logits is not None else out.cls_logits
+            base = base_criterion(cls_logits, targets)
+            metrics = {}
+            if distillation_type == "none":
+                loss = base
+            else:
+                kd = L.cls_distill_loss(kd_logits, teacher_logits, distillation_type,
+                                        distillation_tau)
+                loss = base * (1 - distillation_alpha) + kd * distillation_alpha
+                if distill_token:
+                    # token MSE vs teacher last tokens (losses.py:56,103-117)
+                    s_tok, t_tok = out.last_tokens, teacher_token
+                    if isinstance(s_tok, tuple):
+                        token_loss = L.mse_loss(s_tok[0], t_tok[0]) + L.mse_loss(s_tok[1], t_tok[1])
+                    else:
+                        token_loss = L.mse_loss(s_tok, t_tok)
+                    metrics["cls_loss"] = loss
+                    metrics["token_loss"] = token_loss
+                    loss = loss + token_loss  # train_subdata.py:257
+            metrics["loss"] = loss
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        return state, metrics
+
+    return step
+
+
+# --------------------------------------------------------------- stage 4 DEKD
+
+
+def make_dekd_step(
+    student: VisionTransformer,
+    teacher: VisionTransformer,
+    *,
+    gamma: Tuple[float, float, float] = (0.2, 0.1, 0.3),
+    mixup: Optional[MixupConfig] = None,
+    smoothing: float = 0.1,
+    distillation_type: str = "hard",
+    distillation_alpha: float = 0.5,
+    distillation_tau: float = 1.0,
+):
+    """DEKD step (engine.train_1epoch_qkv, engine.py:48-140): student forward
+    with middle-layer QKV capture, no-grad teacher forward ditto, cls
+    distillation + per-Q/K/V feature-relation losses weighted by gamma.
+
+    Signature: step(state, teacher_variables, gates, images, labels, rng).
+    Shrink gates are applied to the student (distill_sub.py:391-401).
+    """
+    mixup_active = mixup is not None and mixup.active
+    base_criterion = L.make_base_criterion(mixup_active, smoothing)
+
+    def step(state: TrainState, teacher_variables, gates: Gates, images, labels, rng):
+        rng_mix, rng_drop = jax.random.split(rng)
+        if mixup_active:
+            images_m, targets = mixup_cutmix(rng_mix, images, labels, mixup)
+        else:
+            images_m, targets = images, labels
+
+        t_out = teacher.apply(teacher_variables, images_m, capture_qkv="middle")
+        teacher_logits, teacher_qkv = t_out.logits, t_out.qkv
+
+        def loss_fn(params):
+            out = student.apply(
+                {"params": params}, images_m, gates=gates, train=True,
+                rngs={"dropout": rng_drop}, capture_qkv="middle",
+            )
+            cls_logits = out.cls_logits
+            kd_logits = out.dist_logits if out.dist_logits is not None else out.cls_logits
+            total, aux = L.dekd_loss(
+                (cls_logits, kd_logits), out.qkv, teacher_logits, teacher_qkv,
+                targets, base_criterion,
+                depth=student.cfg.depth, gamma=gamma,
+                distillation_type=distillation_type,
+                alpha=distillation_alpha, tau=distillation_tau,
+            )
+            aux["loss"] = total
+            return total, aux
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        return state, metrics
+
+    return step
+
+
+# --------------------------------------------------------------- stage 5 ensemble
+
+
+def make_ensemble_train_step(
+    backbone: VisionTransformer,
+    ens_model: EnsMLP,
+    teacher: Optional[VisionTransformer] = None,
+    *,
+    mixup: Optional[MixupConfig] = None,
+    smoothing: float = 0.1,
+    distillation_type: str = "hard",
+    distillation_alpha: float = 0.5,
+    distillation_tau: float = 1.0,
+    token_loss_type: str = "mse",
+):
+    """Ensemble step (engine.train_1epoch_ens_disjoint, engine.py:143-210):
+    MultiViT features -> EnsMLP fusion -> EnsLoss, ONE backward through both,
+    gradients split to two optimizers (backbone_state over the stacked division
+    params, ens_state over the fusion head) exactly like the reference's two
+    optimizer.step() calls off a single scaler.scale(loss).backward().
+
+    Signature: step(backbone_state, ens_state, teacher_variables, stacked_gates,
+    images, labels, rng) -> (backbone_state, ens_state, metrics).
+    """
+    mixup_active = mixup is not None and mixup.active
+    base_criterion = L.make_base_criterion(mixup_active, smoothing)
+    family = "deit" if backbone.cfg.distilled else "vit"
+
+    def step(backbone_state, ens_state, teacher_variables, stacked_gates, images, labels, rng):
+        rng_mix, _ = jax.random.split(rng)
+        if mixup_active:
+            images_m, targets = mixup_cutmix(rng_mix, images, labels, mixup)
+        else:
+            images_m, targets = images, labels
+
+        if distillation_type != "none":
+            t_out = teacher.apply(teacher_variables, images_m, distill_token=True)
+            tea_logits, tea_tokens = t_out.logits, t_out.last_tokens
+        else:
+            tea_logits = tea_tokens = None
+
+        def loss_fn(bb_params, ens_params):
+            cls_t, dist_t = multivit_features(
+                backbone, {"params": bb_params}, images_m, stacked_gates
+            )
+            ens_out = ens_model.apply(
+                {"params": ens_params}, cls_t, dist_t, distill=True, train=True
+            )
+            if distillation_type == "none":
+                loss = base_criterion(ens_out.logits, targets)
+                return loss, {"loss": loss}
+            token_loss, cls_loss = L.ens_loss(
+                ens_out.ens_tokens, ens_out.logits, tea_tokens, tea_logits,
+                targets, base_criterion,
+                model_family=family, distillation_type=distillation_type,
+                alpha=distillation_alpha, tau=distillation_tau,
+                token_loss_type=token_loss_type,
+            )
+            loss = token_loss + cls_loss  # engine.py:176
+            return loss, {"loss": loss, "token_loss": token_loss, "cls_loss": cls_loss}
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(backbone_state.params, ens_state.params)
+        backbone_state = backbone_state.apply_gradients(grads[0])
+        ens_state = ens_state.apply_gradients(grads[1])
+        return backbone_state, ens_state, metrics
+
+    return step
+
+
+def make_ensemble_eval_step(backbone: VisionTransformer, ens_model: EnsMLP):
+    """Collaborative-inference eval — THE benchmark path
+    (engine.evaluate_ens_disjoint, engine.py:212-242)."""
+
+    def step(stacked_variables, ens_variables, stacked_gates, images, labels):
+        cls_t, dist_t = multivit_features(backbone, stacked_variables, images, stacked_gates)
+        out = ens_model.apply(ens_variables, cls_t, dist_t)
+        logits = out.logits
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        _, pred5 = jax.lax.top_k(logits, 5)
+        hit = pred5 == labels[:, None]
+        return {
+            "loss_sum": jnp.sum(nll),
+            "top1": jnp.sum(hit[:, 0].astype(jnp.int32)),
+            "top5": jnp.sum(jnp.any(hit, axis=-1).astype(jnp.int32)),
+            "count": jnp.array(labels.shape[0], jnp.int32),
+        }
+
+    return step

@@ -1,0 +1,177 @@
+"""Ensemble fusion, train steps, and multi-device sharding tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from devit_tpu.configs import get_vit_config
+from devit_tpu.data.mixup import MixupConfig, mixup_cutmix
+from devit_tpu.models.ensemble import (
+    EnsMLP, ensemble_forward, init_multivit, multivit_features,
+    stack_division_gates, stack_division_params,
+)
+from devit_tpu.models.vit import Gates, VisionTransformer, full_gates
+from devit_tpu.parallel import mesh as M
+from devit_tpu.train.optim import OptimConfig, cosine_schedule, make_optimizer
+from devit_tpu.train.state import TrainState
+from devit_tpu.train import steps as S
+
+TINY = dict(img_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=4, num_classes=7)
+
+
+def tiny(name="dedeit", **kw):
+    return VisionTransformer(get_vit_config(name, **{**TINY, **kw}), dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def ens_setup():
+    model = tiny()
+    x = jnp.zeros((2, 32, 32, 3))
+    stacked = init_multivit(model, jax.random.key(0), x, num_divisions=4)
+    ens = EnsMLP(num_classes=28, sub_size=64, num_divisions=4, teacher_size=96,
+                 family="deit", dtype=jnp.float32)
+    cls_t = jnp.zeros((4, 2, 64))
+    ens_vars = ens.init(jax.random.key(1), cls_t, cls_t, distill=True, train=True)
+    return model, stacked, ens, ens_vars
+
+
+def test_multivit_stacked_matches_sequential(ens_setup):
+    """vmapped division forward == per-division sequential forwards."""
+    model, stacked, _, _ = ens_setup
+    x = jax.random.normal(jax.random.key(2), (2, 32, 32, 3))
+    cls_t, dist_t = multivit_features(model, stacked, x)
+    assert cls_t.shape == (4, 2, 64) and dist_t.shape == (4, 2, 64)
+    for d in range(4):
+        vars_d = jax.tree_util.tree_map(lambda a: a[d], stacked)
+        out = model.apply(vars_d, x, features_only=True)
+        np.testing.assert_allclose(cls_t[d], out.cls_feat, rtol=2e-5, atol=2e-5)
+
+
+def test_ensmlp_fusion_order(ens_setup):
+    """Fusion must be division-major per batch element (torch.stack(x,1).view)."""
+    _, _, ens, ens_vars = ens_setup
+    cls_t = jnp.arange(4 * 2 * 64, dtype=jnp.float32).reshape(4, 2, 64)
+    out = ens.apply(ens_vars, cls_t, cls_t, distill=True, train=True)
+    # check via manual fuse and the same params
+    fused = cls_t.transpose(1, 0, 2).reshape(2, 256)
+    w = ens_vars["params"]["cls_mlp"]["kernel"]
+    b = ens_vars["params"]["cls_mlp"]["bias"]
+    np.testing.assert_allclose(out.ens_tokens[0], fused @ w + b, rtol=1e-4)
+    assert out.logits.shape == (2, 28)
+    np.testing.assert_allclose(out.logits, (out.cls_logits + out.dist_logits) / 2, rtol=1e-5)
+
+
+def test_ensemble_forward_path(ens_setup):
+    model, stacked, ens, ens_vars = ens_setup
+    x = jax.random.normal(jax.random.key(3), (2, 32, 32, 3))
+    out = ensemble_forward(model, ens, stacked, ens_vars, x)
+    assert out.logits.shape == (2, 28)
+    assert out.ens_tokens is None  # eval mode: no token outputs
+
+
+def test_ensemble_division_sharding(ens_setup):
+    """Stacked params shard over 'div', batch over 'data' on the 8-device CPU
+    mesh; result matches the unsharded forward (SURVEY.md §2.7)."""
+    model, stacked, ens, ens_vars = ens_setup
+    mesh = M.ensemble_mesh(num_divisions=4)
+    assert mesh.shape == {"div": 4, "data": 2}
+    x = jax.random.normal(jax.random.key(4), (4, 32, 32, 3))
+
+    stacked_sh = M.shard_division_tree(stacked, mesh)
+    ens_sh = M.replicate_tree(ens_vars, mesh)
+    x_sh = jax.device_put(x, M.batch_sharding(mesh))
+
+    fwd = jax.jit(lambda sv, ev, xx: ensemble_forward(model, ens, sv, ev, xx).logits)
+    if True:  # explicit NamedShardings carry the mesh; no context needed
+        sharded = fwd(stacked_sh, ens_sh, x_sh)
+    plain = fwd(stacked, ens_vars, x)
+    np.testing.assert_allclose(sharded, plain, rtol=2e-4, atol=2e-4)
+
+
+def test_stage2_step_trains():
+    model = tiny()
+    x = jnp.ones((4, 32, 32, 3))
+    params = model.init(jax.random.key(0), x)["params"]
+    tx = make_optimizer(OptimConfig(lr=1e-3, epochs=2, warmup_epochs=0, cooldown_epochs=0), 10)
+    state = TrainState.create(params, tx, use_ema=True)
+    step = jax.jit(S.make_stage2_step(model, mixup=MixupConfig(num_classes=7), smoothing=0.1))
+    labels = jnp.array([0, 1, 2, 3])
+    state2, metrics = step(state, None, x, labels, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+    # params actually moved; EMA moved less
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, state2.params)
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_dekd_step_trains():
+    student = tiny("dedeit")
+    teacher = tiny("deit_base_distilled_patch16_224", embed_dim=128, num_heads=8)
+    x = jnp.ones((4, 32, 32, 3))
+    s_params = student.init(jax.random.key(0), x)["params"]
+    t_vars = teacher.init(jax.random.key(1), x)
+    tx = make_optimizer(OptimConfig(lr=1e-3, epochs=2, warmup_epochs=0, cooldown_epochs=0), 10)
+    state = TrainState.create(s_params, tx)
+    step = jax.jit(S.make_dekd_step(student, teacher, gamma=(0.2, 0.1, 0.3),
+                                    distillation_type="hard"))
+    gates = full_gates(student.cfg)
+    labels = jnp.array([0, 1, 2, 3])
+    state2, metrics = step(state, t_vars, gates, x, labels, jax.random.key(2))
+    for k in ("loss", "cls_loss", "q_loss", "k_loss", "v_loss"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_ensemble_train_step_two_optimizers(ens_setup):
+    model, stacked, ens, ens_vars = ens_setup
+    teacher = tiny("deit_base_distilled_patch16_224", embed_dim=96, num_heads=4,
+                   num_classes=28, resize_dim=None)
+    x = jnp.ones((4, 32, 32, 3))
+    t_vars = teacher.init(jax.random.key(5), x, distill_token=True)
+    tx = make_optimizer(OptimConfig(lr=1e-3, epochs=2, warmup_epochs=0, cooldown_epochs=0), 10)
+    bb_state = TrainState.create(stacked["params"], tx)
+    ens_state = TrainState.create(ens_vars["params"], tx)
+    step = jax.jit(S.make_ensemble_train_step(model, ens, teacher,
+                                              distillation_type="hard"))
+    gates = stack_division_gates([full_gates(model.cfg)] * 4)
+    labels = jnp.array([0, 1, 2, 3])
+    bb2, ens2, metrics = step(bb_state, ens_state, t_vars, gates, x, labels, jax.random.key(6))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(bb2.step) == 1 and int(ens2.step) == 1
+
+
+def test_eval_step_counts():
+    model = tiny()
+    x = jnp.ones((4, 32, 32, 3))
+    variables = model.init(jax.random.key(0), x)
+    step = jax.jit(S.make_eval_step(model))
+    out = step(variables, None, x, jnp.array([0, 1, 2, 3]))
+    assert int(out["count"]) == 4
+    assert 0 <= int(out["top1"]) <= int(out["top5"]) <= 4
+
+
+def test_mixup_cutmix_properties():
+    cfg = MixupConfig(num_classes=7, label_smoothing=0.1)
+    x = jax.random.uniform(jax.random.key(0), (6, 16, 16, 3))
+    y = jnp.array([0, 1, 2, 3, 4, 5])
+    xm, tm = mixup_cutmix(jax.random.key(1), x, y, cfg)
+    assert xm.shape == x.shape and tm.shape == (6, 7)
+    np.testing.assert_allclose(jnp.sum(tm, axis=-1), 1.0, rtol=1e-5)
+    # disabled -> smoothed one-hot only
+    cfg_off = MixupConfig(mixup_alpha=0.0, cutmix_alpha=0.0, num_classes=7)
+    xo, to = mixup_cutmix(jax.random.key(1), x, y, cfg_off)
+    np.testing.assert_allclose(xo, x)
+    assert float(to[0, 0]) > 0.85
+
+
+def test_cosine_schedule_shape():
+    cfg = OptimConfig(lr=5e-4, warmup_lr=1e-6, min_lr=1e-5, epochs=20,
+                      warmup_epochs=5, cooldown_epochs=10)
+    sched = cosine_schedule(cfg, steps_per_epoch=10)
+    assert abs(float(sched(0)) - 1e-6) < 1e-7
+    assert abs(float(sched(50)) - 5e-4) < 1e-5  # end of warmup
+    assert abs(float(sched(199)) - 1e-5) < 1e-6  # cooldown tail
+    # LR scaling
+    cfg2 = OptimConfig(lr=5e-4, scale_lr_by_batch=True, global_batch=1024)
+    assert abs(cfg2.scaled_lr() - 1e-3) < 1e-9
