@@ -1,0 +1,183 @@
+"""Datasets: array-backed sources + division views + batch iteration.
+
+Parity surface: reference `data/get_dataset.py` (build_dataset dispatch
+:17-58, build_division_dataset :61-68) and `data/datasets.py` (vendored
+Flowers102/StanfordCars/OxfordIIITPet/INatDataset). The reference decodes
+images through torchvision per worker process; here sources are numpy arrays
+(decoded once, cached) feeding device-resident batches — augmentation runs
+inside the jitted step (devit_tpu/data/pipeline.py).
+
+Supported sources: CIFAR-100 (the canonical workload) from the standard
+python pickles, generic image-folder trees (PIL decode, cached to .npz), and
+synthetic data for tests/benchmarks. Flowers/Cars/Pets follow the image-folder
+path once their archives are on disk (no egress in this environment).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from devit_tpu.data.splitter import DivisionManifest
+
+DATASET_NUM_CLASSES = {
+    # reference get_dataset.py:17-58
+    "cifar100": 100,
+    "IMNET": 1000,
+    "flowers": 102,
+    "cars": 196,
+    "pets": 37,
+}
+
+
+@dataclasses.dataclass
+class ArrayDataset:
+    """Images (N,H,W,3) uint8 + global int labels (N,)."""
+
+    images: np.ndarray
+    labels: np.ndarray
+    num_classes: int
+
+    def __len__(self) -> int:
+        return len(self.labels)
+
+    def division_view(self, manifest: DivisionManifest, division: int) -> "ArrayDataset":
+        """Class-disjoint sub-dataset with local labels (build_division_dataset
+        equivalent, get_dataset.py:61-68 — without copying files)."""
+        idx = manifest.select_indices(self.labels, division)
+        return ArrayDataset(
+            images=self.images[idx],
+            labels=manifest.remap_labels(self.labels[idx], division),
+            num_classes=manifest.num_division_classes(division),
+        )
+
+
+def load_cifar100(data_path: str, train: bool) -> ArrayDataset:
+    """Standard cifar-100-python pickles -> uint8 NHWC arrays."""
+    fname = "train" if train else "test"
+    path = os.path.join(data_path, "cifar-100-python", fname)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"CIFAR-100 not found at {path}; place the extracted cifar-100-python "
+            "directory under data_path (no network egress in this environment)."
+        )
+    with open(path, "rb") as f:
+        d = pickle.load(f, encoding="bytes")
+    images = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)  # NHWC uint8
+    labels = np.asarray(d[b"fine_labels"], dtype=np.int64)
+    return ArrayDataset(images=np.ascontiguousarray(images), labels=labels, num_classes=100)
+
+
+def load_image_folder(root: str, img_size: int = 224, cache: bool = True) -> ArrayDataset:
+    """ImageFolder tree -> resized uint8 arrays (lexicographic class order,
+    torchvision semantics). Decoded once and cached next to the tree."""
+    cache_path = os.path.join(root, f".devit_cache_{img_size}.npz")
+    if cache and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        return ArrayDataset(z["images"], z["labels"], int(z["num_classes"]))
+
+    from PIL import Image
+
+    classes = sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)) and not d.startswith(".")
+    )
+    images, labels = [], []
+    for li, cls in enumerate(classes):
+        cdir = os.path.join(root, cls)
+        for fname in sorted(os.listdir(cdir)):
+            fpath = os.path.join(cdir, fname)
+            try:
+                with Image.open(fpath) as im:
+                    im = im.convert("RGB").resize((img_size, img_size), Image.BICUBIC)
+                    images.append(np.asarray(im, dtype=np.uint8))
+                    labels.append(li)
+            except Exception:
+                continue
+    ds = ArrayDataset(
+        images=np.stack(images), labels=np.asarray(labels, np.int64), num_classes=len(classes)
+    )
+    if cache:
+        np.savez(cache_path, images=ds.images, labels=ds.labels, num_classes=ds.num_classes)
+    return ds
+
+
+def synthetic_dataset(
+    num_classes: int, n: int, img_size: int = 32, seed: int = 0
+) -> ArrayDataset:
+    """Class-dependent synthetic images (learnable, for tests/smoke runs)."""
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, num_classes, n)
+    base = rng.integers(0, 256, (num_classes, img_size, img_size, 3))
+    noise = rng.integers(-20, 20, (n, img_size, img_size, 3))
+    images = np.clip(base[labels] + noise, 0, 255).astype(np.uint8)
+    return ArrayDataset(images=images, labels=labels.astype(np.int64), num_classes=num_classes)
+
+
+def build_dataset(
+    name: str, data_path: str, train: bool, img_size: int = 224
+) -> ArrayDataset:
+    """Dispatch mirroring reference build_dataset (get_dataset.py:17-58)."""
+    if name == "cifar100":
+        return load_cifar100(data_path, train)
+    if name in ("IMNET",):
+        split = "train" if train else "val"
+        return load_image_folder(os.path.join(data_path, split), img_size)
+    if name in ("flowers", "cars", "pets"):
+        split = "train" if train else "test"
+        root = os.path.join(data_path, name, split)
+        if os.path.isdir(root):
+            return load_image_folder(root, img_size)
+        raise FileNotFoundError(f"{name} expected as an image-folder tree at {root}")
+    raise KeyError(f"unknown dataset {name!r}")
+
+
+class BatchIterator:
+    """Host-side batcher: shuffles indices per epoch, yields device-ready
+    uint8 numpy batches (drop_last for static shapes under jit)."""
+
+    def __init__(
+        self,
+        ds: ArrayDataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        repeated_aug: int = 0,
+    ):
+        self.ds = ds
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.repeated_aug = repeated_aug
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        n = len(self.ds)
+        rng = np.random.default_rng(self.seed + self.epoch)
+        if self.repeated_aug > 0 and self.shuffle:
+            # RASampler semantics (utils/samplers.py:8-58): each sample appears
+            # `repeated_aug` times per epoch, epoch-seeded shuffle, truncated
+            # to the original epoch length.
+            idx = np.repeat(rng.permutation(n), self.repeated_aug)
+            idx = rng.permutation(idx)[:n]
+        elif self.shuffle:
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        end = n - (n % self.batch_size) if self.drop_last else n
+        for s in range(0, end, self.batch_size):
+            b = idx[s : s + self.batch_size]
+            yield self.ds.images[b], self.ds.labels[b]

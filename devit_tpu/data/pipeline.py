@@ -1,0 +1,178 @@
+"""Device-side decode/augment/normalize pipeline, compiled into the step.
+
+Parity surface: reference `data/get_dataset.py:71-109` build_transform —
+train: RandomResizedCrop + hflip (+ RandAugment, color-jitter, random erasing
+via timm create_transform, :80-91; small-image RandomCrop(pad 4) swap :92-96);
+eval: Resize(256/224*size, bicubic) + CenterCrop + IMAGENET normalize
+(:99-109).
+
+The reference runs these per-sample in CPU DataLoader workers; here every op
+is batched JAX on uint8 device arrays, fused by XLA into the training step
+(the "XLA decode/augment/normalize pipeline" of BASELINE.json north_star).
+RandAugment lives in devit_tpu/data/randaugment.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    img_size: int = 224
+    hflip: bool = True
+    rrc_scale: Tuple[float, float] = (0.08, 1.0)
+    rrc_ratio: Tuple[float, float] = (3 / 4, 4 / 3)
+    color_jitter: float = 0.4
+    reprob: float = 0.25  # random erasing probability (train_subdata.py:115)
+    randaugment: bool = True
+    ra_magnitude: int = 9  # rand-m9-mstd0.5-inc1 (train_subdata.py:103)
+    ra_std: float = 0.5
+    ra_num_ops: int = 2
+    small_image: bool = False  # RandomCrop(pad 4) path for 32x32 inputs
+
+
+def normalize(images: Array, dtype=jnp.bfloat16) -> Array:
+    """uint8/float [0,255] -> standardized float."""
+    x = images.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    return ((x - mean) / std).astype(dtype)
+
+
+def resize_bicubic(images: Array, size: int) -> Array:
+    B, H, W, C = images.shape
+    return jax.image.resize(
+        images.astype(jnp.float32), (B, size, size, C), method="cubic"
+    )
+
+
+def eval_transform(images: Array, img_size: int = 224, dtype=jnp.bfloat16) -> Array:
+    """Resize(int(256/224*size)) + CenterCrop(size) + normalize
+    (get_dataset.py:99-109). For inputs already at target size, just normalize."""
+    B, H, W, C = images.shape
+    if (H, W) == (img_size, img_size):
+        return normalize(images, dtype)
+    scale_size = int((256 / 224) * img_size)
+    x = resize_bicubic(images, scale_size)
+    off = (scale_size - img_size) // 2
+    x = jax.lax.dynamic_slice(
+        x, (0, off, off, 0), (B, img_size, img_size, C)
+    )
+    return normalize(x, dtype)
+
+
+def _random_resized_crop(rng: Array, image: Array, cfg: AugmentConfig) -> Array:
+    """Single-image RRC: sample area/aspect (10 tries collapsed to one clipped
+    sample — a standard JAX-friendly approximation), crop, bicubic resize."""
+    H, W, C = image.shape
+    r_area, r_ratio, r_pos = jax.random.split(rng, 3)
+    area = H * W * jax.random.uniform(r_area, minval=cfg.rrc_scale[0], maxval=cfg.rrc_scale[1])
+    log_ratio = jax.random.uniform(
+        r_ratio, minval=jnp.log(cfg.rrc_ratio[0]), maxval=jnp.log(cfg.rrc_ratio[1])
+    )
+    ratio = jnp.exp(log_ratio)
+    w = jnp.sqrt(area * ratio)
+    h = jnp.sqrt(area / ratio)
+    w = jnp.clip(w, 8.0, W).astype(jnp.float32)
+    h = jnp.clip(h, 8.0, H).astype(jnp.float32)
+    py, px = jax.random.uniform(r_pos, (2,))
+    y0 = py * (H - h)
+    x0 = px * (W - w)
+    # crop+resize in one scale_and_translate (bilinear, matching RRC interp default
+    # would be bicubic per --train-interpolation; use cubic)
+    scale = jnp.array([cfg.img_size / h, cfg.img_size / w])
+    translation = -jnp.array([y0, x0]) * scale
+    out = jax.image.scale_and_translate(
+        image.astype(jnp.float32),
+        (cfg.img_size, cfg.img_size, C),
+        (0, 1),
+        scale,
+        translation,
+        method="cubic",
+    )
+    return out
+
+
+def _random_crop_pad4(rng: Array, image: Array, cfg: AugmentConfig) -> Array:
+    """Small-image branch (get_dataset.py:92-96): pad 4 reflect? torchvision
+    RandomCrop(padding=4) zero-pads; crop back to size."""
+    H, W, C = image.shape
+    padded = jnp.pad(image.astype(jnp.float32), ((4, 4), (4, 4), (0, 0)))
+    oy, ox = jax.random.randint(rng, (2,), 0, 9)
+    return jax.lax.dynamic_slice(padded, (oy, ox, 0), (H, W, C))
+
+
+def _color_jitter(rng: Array, image: Array, strength: float) -> Array:
+    """Brightness/contrast/saturation jitter in [1-s, 1+s] (timm default form)."""
+    rb, rc, rs = jax.random.split(rng, 3)
+    b = jax.random.uniform(rb, minval=1 - strength, maxval=1 + strength)
+    c = jax.random.uniform(rc, minval=1 - strength, maxval=1 + strength)
+    s = jax.random.uniform(rs, minval=1 - strength, maxval=1 + strength)
+    x = image * b
+    mean = jnp.mean(x, axis=(0, 1), keepdims=True)
+    x = (x - mean) * c + mean
+    gray = jnp.mean(x, axis=-1, keepdims=True)
+    x = (x - gray) * s + gray
+    return jnp.clip(x, 0.0, 255.0)
+
+
+def _random_erase(rng: Array, image: Array, prob: float) -> Array:
+    """timm RandomErasing mode='pixel' (train_subdata.py:115-119): erase one
+    random box with gaussian noise, per sample."""
+    H, W, C = image.shape
+    r_apply, r_area, r_ratio, r_pos, r_noise = jax.random.split(rng, 5)
+    area = H * W * jax.random.uniform(r_area, minval=0.02, maxval=1 / 3)
+    ratio = jnp.exp(jax.random.uniform(r_ratio, minval=jnp.log(0.3), maxval=jnp.log(10 / 3)))
+    eh = jnp.clip(jnp.sqrt(area * ratio), 1, H)
+    ew = jnp.clip(jnp.sqrt(area / ratio), 1, W)
+    py, px = jax.random.uniform(r_pos, (2,))
+    y0 = py * (H - eh)
+    x0 = px * (W - ew)
+    yy = jnp.arange(H)[:, None, None].astype(jnp.float32)
+    xx = jnp.arange(W)[None, :, None].astype(jnp.float32)
+    in_box = (yy >= y0) & (yy < y0 + eh) & (xx >= x0) & (xx < x0 + ew)
+    noise = jax.random.normal(r_noise, image.shape) * 64.0 + 128.0
+    erased = jnp.where(in_box, noise, image)
+    return jnp.where(jax.random.uniform(r_apply) < prob, erased, image)
+
+
+def train_transform(
+    rng: Array, images: Array, cfg: AugmentConfig, dtype=jnp.bfloat16
+) -> Array:
+    """Batched train augmentation on device. images: uint8 (B,H,W,3)."""
+    B = images.shape[0]
+    keys = jax.random.split(rng, B * 5).reshape(B, 5)
+
+    def per_sample(ks, img):
+        img = img.astype(jnp.float32)
+        if cfg.small_image:
+            img = _random_crop_pad4(ks[0], img, cfg)
+        else:
+            img = _random_resized_crop(ks[0], img, cfg)
+        if cfg.hflip:
+            img = jnp.where(jax.random.uniform(ks[1]) < 0.5, img[:, ::-1], img)
+        if cfg.randaugment:
+            from devit_tpu.data.randaugment import rand_augment
+
+            img = rand_augment(ks[2], img, magnitude=cfg.ra_magnitude,
+                               mag_std=cfg.ra_std, num_ops=cfg.ra_num_ops)
+        elif cfg.color_jitter > 0:
+            # timm applies color-jitter only when no AA policy is set
+            img = _color_jitter(ks[3], img, cfg.color_jitter)
+        if cfg.reprob > 0:
+            img = _random_erase(ks[4], img, cfg.reprob)
+        return img
+
+    out = jax.vmap(per_sample)(keys, images)
+    return normalize(out, dtype)

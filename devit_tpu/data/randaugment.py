@@ -1,0 +1,214 @@
+"""RandAugment in pure JAX — device-side equivalent of timm's
+`rand-m9-mstd0.5-inc1` policy (reference train_subdata.py:103-105 feeds this
+string to timm create_transform; get_dataset.py:80-91).
+
+Single-image ops in float [0,255] HWC domain, selected per sample with
+lax.switch so the whole policy compiles into the training step. Magnitude
+mappings follow the 'increasing' variants (inc1): severity grows with
+magnitude for posterize/solarize/color/contrast/brightness/sharpness.
+
+Op set (timm rand_augment_ops): AutoContrast, Equalize, Invert, Rotate,
+Posterize, Solarize, SolarizeAdd, Color, Contrast, Brightness, Sharpness,
+ShearX, ShearY, TranslateX, TranslateY.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.ndimage import map_coordinates
+
+Array = jax.Array
+
+_MAX_MAG = 10.0
+
+
+# ---------------------------------------------------------------- geometry
+
+
+def _affine(image: Array, matrix: Array) -> Array:
+    """Apply inverse affine [a b tx; c d ty] around the image center,
+    bilinear, zero fill (torchvision/timm fillcolor default is gray 128 —
+    use 128 fill)."""
+    H, W, C = image.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    y = yy - cy
+    x = xx - cx
+    src_y = matrix[0] * y + matrix[1] * x + matrix[2] + cy
+    src_x = matrix[3] * y + matrix[4] * x + matrix[5] + cx
+    out = jnp.stack(
+        [
+            map_coordinates(image[..., c], [src_y, src_x], order=1, mode="constant", cval=128.0)
+            for c in range(3)
+        ],
+        axis=-1,
+    )
+    return out
+
+
+def _rotate(image: Array, mag: Array) -> Array:
+    deg = mag / _MAX_MAG * 30.0
+    rad = jnp.deg2rad(deg)
+    c, s = jnp.cos(rad), jnp.sin(rad)
+    return _affine(image, jnp.array([c, -s, 0.0, s, c, 0.0]) * 1.0)
+
+
+def _shear_x(image: Array, mag: Array) -> Array:
+    sh = mag / _MAX_MAG * 0.3
+    return _affine(image, jnp.stack([jnp.array(1.0), -sh, jnp.array(0.0),
+                                     jnp.array(0.0), jnp.array(1.0), jnp.array(0.0)]))
+
+
+def _shear_y(image: Array, mag: Array) -> Array:
+    sh = mag / _MAX_MAG * 0.3
+    return _affine(image, jnp.stack([jnp.array(1.0), jnp.array(0.0), jnp.array(0.0),
+                                     -sh, jnp.array(1.0), jnp.array(0.0)]))
+
+
+def _translate_x(image: Array, mag: Array) -> Array:
+    W = image.shape[1]
+    t = mag / _MAX_MAG * 0.45 * W
+    return _affine(image, jnp.stack([jnp.array(1.0), jnp.array(0.0), jnp.array(0.0),
+                                     jnp.array(0.0), jnp.array(1.0), -t]))
+
+
+def _translate_y(image: Array, mag: Array) -> Array:
+    H = image.shape[0]
+    t = mag / _MAX_MAG * 0.45 * H
+    return _affine(image, jnp.stack([jnp.array(1.0), jnp.array(0.0), -t,
+                                     jnp.array(0.0), jnp.array(1.0), jnp.array(0.0)]))
+
+
+# ---------------------------------------------------------------- intensity
+
+
+def _autocontrast(image: Array, mag: Array) -> Array:
+    lo = jnp.min(image, axis=(0, 1), keepdims=True)
+    hi = jnp.max(image, axis=(0, 1), keepdims=True)
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-5)
+    out = (image - lo) * scale
+    return jnp.where(hi > lo, out, image)
+
+
+def _equalize(image: Array, mag: Array) -> Array:
+    """Per-channel histogram equalization (PIL semantics, approximated)."""
+
+    def eq_channel(ch):
+        ints = jnp.clip(jnp.round(ch), 0, 255).astype(jnp.int32)
+        hist = jnp.zeros(256, jnp.int32).at[ints.reshape(-1)].add(1)
+        cdf = jnp.cumsum(hist)
+        # PIL: step = (total - last nonzero bin count) / 255
+        nz_min = jnp.min(jnp.where(hist > 0, cdf, jnp.iinfo(jnp.int32).max))
+        total = cdf[-1]
+        denom = jnp.maximum(total - nz_min, 1)
+        lut = jnp.clip(jnp.round((cdf - nz_min) * 255.0 / denom), 0, 255)
+        return lut[ints].astype(jnp.float32)
+
+    out = jnp.stack([eq_channel(image[..., c]) for c in range(3)], axis=-1)
+    return out
+
+
+def _invert(image: Array, mag: Array) -> Array:
+    return 255.0 - image
+
+
+def _posterize(image: Array, mag: Array) -> Array:
+    # increasing: more magnitude -> fewer bits (4 -> 0 removed from 8)
+    bits = 8 - jnp.round(mag / _MAX_MAG * 4).astype(jnp.int32)
+    shift = (8 - bits).astype(jnp.float32)
+    q = jnp.exp2(shift)
+    return jnp.floor(image / q) * q
+
+
+def _solarize(image: Array, mag: Array) -> Array:
+    # increasing: threshold 256 -> 0
+    thresh = 256.0 - mag / _MAX_MAG * 256.0
+    return jnp.where(image >= thresh, 255.0 - image, image)
+
+
+def _solarize_add(image: Array, mag: Array) -> Array:
+    add = mag / _MAX_MAG * 110.0
+    return jnp.where(image < 128.0, jnp.clip(image + add, 0, 255), image)
+
+
+def _blend_factor(mag: Array) -> Array:
+    # increasing variants: factor = 1 +/- 0.9*mag/10 (random sign handled by caller)
+    return mag / _MAX_MAG * 0.9
+
+
+def _color(image: Array, mag: Array) -> Array:
+    f = 1.0 + _blend_factor(mag)
+    gray = jnp.mean(image, axis=-1, keepdims=True)
+    return jnp.clip(gray + (image - gray) * f, 0, 255)
+
+
+def _contrast(image: Array, mag: Array) -> Array:
+    f = 1.0 + _blend_factor(mag)
+    mean = jnp.mean(image)
+    return jnp.clip(mean + (image - mean) * f, 0, 255)
+
+
+def _brightness(image: Array, mag: Array) -> Array:
+    f = 1.0 + _blend_factor(mag)
+    return jnp.clip(image * f, 0, 255)
+
+
+def _sharpness(image: Array, mag: Array) -> Array:
+    f = 1.0 + _blend_factor(mag)
+    kernel = jnp.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
+    blurred = jax.lax.conv_general_dilated(
+        image.transpose(2, 0, 1)[:, None],  # (C,1,H,W)
+        kernel[None, None],
+        (1, 1),
+        "SAME",
+    )[:, 0].transpose(1, 2, 0)
+    return jnp.clip(blurred + (image - blurred) * f, 0, 255)
+
+
+OPS = [
+    _autocontrast, _equalize, _invert, _rotate, _posterize, _solarize,
+    _solarize_add, _color, _contrast, _brightness, _sharpness,
+    _shear_x, _shear_y, _translate_x, _translate_y,
+]
+OP_NAMES = [
+    "autocontrast", "equalize", "invert", "rotate", "posterize", "solarize",
+    "solarize_add", "color", "contrast", "brightness", "sharpness",
+    "shear_x", "shear_y", "translate_x", "translate_y",
+]
+
+
+def rand_augment(
+    rng: Array,
+    image: Array,
+    magnitude: float = 9.0,
+    mag_std: float = 0.5,
+    num_ops: int = 2,
+    prob: float = 0.5,
+) -> Array:
+    """Apply `num_ops` randomly chosen ops, each with probability `prob`,
+    magnitude jittered by N(0, mag_std) (the mstd0.5 part). Geometric/blend
+    ops mirror their direction with probability 0.5 (timm randomly negates)."""
+    image = image.astype(jnp.float32)
+
+    def one_op(img, k):
+        k_op, k_apply, k_mag, k_sign = jax.random.split(k, 4)
+        op_idx = jax.random.randint(k_op, (), 0, len(OPS))
+        mag = magnitude + jax.random.normal(k_mag) * mag_std
+        mag = jnp.clip(mag, 0.0, _MAX_MAG)
+        sign = jnp.where(jax.random.uniform(k_sign) < 0.5, -1.0, 1.0)
+        signed_mag = mag * sign
+        # ops that honor a sign: rotate/shears/translates/color-ish blends
+        signed_ops = {3, 7, 8, 9, 10, 11, 12, 13, 14}
+        branches = []
+        for i, op in enumerate(OPS):
+            m = signed_mag if i in signed_ops else mag
+            branches.append(lambda im, op=op, m=m: op(im, m))
+        out = jax.lax.switch(op_idx, branches, img)
+        return jnp.where(jax.random.uniform(k_apply) < prob, out, img)
+
+    keys = jax.random.split(rng, num_ops)
+    for i in range(num_ops):
+        image = one_op(image, keys[i])
+    return image

@@ -1,0 +1,126 @@
+"""Data layer tests: splitter parity, division views, device-side pipeline."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from devit_tpu.data.datasets import ArrayDataset, BatchIterator, synthetic_dataset
+from devit_tpu.data.pipeline import AugmentConfig, eval_transform, normalize, train_transform
+from devit_tpu.data.randaugment import OPS, rand_augment
+from devit_tpu.data.splitter import DivisionManifest, local_label_map, split_classes
+
+
+def test_split_classes_matches_reference_semantics():
+    """Bit-exact with splite_dataset.py:51-56: random.seed(42), shuffle,
+    contiguous chunks with remainder in the last."""
+    random.seed(42)
+    label_list = list(range(100))
+    random.shuffle(label_list)
+    expected = [label_list[i * 25 : (i + 1) * 25] if i < 3 else label_list[75:] for i in range(4)]
+    got = split_classes(100, 4, seed=42)
+    assert got == expected
+    # disjoint and complete
+    flat = sorted(x for d in got for x in d)
+    assert flat == list(range(100))
+
+
+def test_split_remainder_goes_to_last():
+    got = split_classes(10, 3, seed=42)
+    assert [len(d) for d in got] == [3, 3, 4]
+
+
+def test_local_label_map_string_sorted():
+    """ImageFolder sorts directory names lexicographically: '10' < '2'."""
+    m = local_label_map([2, 10, 1])
+    assert m == {1: 0, 10: 1, 2: 2}
+
+
+def test_manifest_division_view_and_remap():
+    man = DivisionManifest.create(10, 2, seed=42)
+    ds = synthetic_dataset(10, 64, img_size=8, seed=0)
+    v0 = ds.division_view(man, 0)
+    v1 = ds.division_view(man, 1)
+    assert len(v0) + len(v1) == 64
+    assert v0.num_classes == 5 and v1.num_classes == 5
+    assert set(np.unique(v0.labels)).issubset(set(range(5)))
+    # local -> global roundtrip
+    g = man.global_label_of(0, 0)
+    assert g in man.classes(0)
+    mat = man.division_to_global_matrix()
+    assert mat.shape == (2, 5)
+    assert sorted(mat.flatten().tolist()) == list(range(10))
+
+
+def test_batch_iterator_epochs_and_ra():
+    ds = synthetic_dataset(4, 50, img_size=8)
+    it = BatchIterator(ds, 16, shuffle=True, seed=1)
+    batches = list(it)
+    assert len(batches) == 3 and batches[0][0].shape == (16, 8, 8, 3)
+    it.set_epoch(1)
+    b2 = list(it)
+    assert not np.array_equal(batches[0][1], b2[0][1])  # reshuffled
+    # repeated augmentation: samples appear multiple times
+    ra = BatchIterator(ds, 16, shuffle=True, seed=1, repeated_aug=3)
+    labels = np.concatenate([b[1] for b in ra])
+    assert len(labels) == 48
+
+
+def test_eval_transform_shapes_and_range():
+    imgs = np.random.default_rng(0).integers(0, 256, (2, 256, 256, 3), np.uint8)
+    out = eval_transform(jnp.asarray(imgs), img_size=224, dtype=jnp.float32)
+    assert out.shape == (2, 224, 224, 3)
+    assert abs(float(jnp.mean(out))) < 1.0  # roughly standardized
+    # same-size input path
+    imgs32 = np.random.default_rng(0).integers(0, 256, (2, 32, 32, 3), np.uint8)
+    out32 = eval_transform(jnp.asarray(imgs32), img_size=32, dtype=jnp.float32)
+    np.testing.assert_allclose(out32, normalize(jnp.asarray(imgs32), jnp.float32), rtol=1e-6)
+
+
+def test_train_transform_jits_and_randomizes():
+    cfg = AugmentConfig(img_size=32, randaugment=True, reprob=0.25)
+    imgs = jnp.asarray(np.random.default_rng(0).integers(0, 256, (4, 48, 48, 3), np.uint8))
+    fn = jax.jit(lambda r, x: train_transform(r, x, cfg, dtype=jnp.float32))
+    a = fn(jax.random.key(0), imgs)
+    b = fn(jax.random.key(1), imgs)
+    assert a.shape == (4, 32, 32, 3)
+    assert np.isfinite(np.asarray(a)).all()
+    assert not np.allclose(a, b)
+
+
+def test_train_transform_small_image_branch():
+    cfg = AugmentConfig(img_size=32, small_image=True, randaugment=False, color_jitter=0.4)
+    imgs = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 32, 32, 3), np.uint8))
+    out = train_transform(jax.random.key(0), imgs, cfg, dtype=jnp.float32)
+    assert out.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_randaugment_each_op_finite_and_bounded():
+    img = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (24, 24, 3)).astype(np.float32)
+    )
+    for i, op in enumerate(OPS):
+        out = op(img, jnp.asarray(7.0))
+        arr = np.asarray(out)
+        assert np.isfinite(arr).all(), i
+        assert arr.min() >= -1e-3 and arr.max() <= 255.001, (i, arr.min(), arr.max())
+
+
+def test_randaugment_identity_ops_at_zero_magnitude():
+    img = jnp.asarray(
+        np.random.default_rng(1).integers(0, 256, (16, 16, 3)).astype(np.float32)
+    )
+    from devit_tpu.data import randaugment as R
+
+    for op in (R._rotate, R._shear_x, R._shear_y, R._translate_x, R._translate_y,
+               R._color, R._contrast, R._brightness, R._sharpness):
+        out = op(img, jnp.asarray(0.0))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1.0)
+
+
+def test_rand_augment_pipeline():
+    img = jnp.asarray(np.random.default_rng(2).integers(0, 256, (32, 32, 3)).astype(np.float32))
+    out = rand_augment(jax.random.key(0), img, magnitude=9, mag_std=0.5, num_ops=2)
+    assert out.shape == img.shape and np.isfinite(np.asarray(out)).all()
