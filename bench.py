@@ -28,7 +28,8 @@ def build():
     from devit_tpu.models.ensemble import EnsMLP, ensemble_forward, init_multivit
 
     num_div = 4
-    model = create_vit("dedeit", num_classes=25)
+    # inference-speed configuration: Pallas fused attention + bf16 norm/softmax
+    model = create_vit("dedeit", num_classes=25, use_pallas=True, fast_math=True)
     ens = EnsMLP(num_classes=100, sub_size=model.cfg.embed_dim,
                  num_divisions=num_div, teacher_size=768, family="deit")
 

@@ -1,0 +1,77 @@
+"""Unified CLI: `python -m devit_tpu.cli <stage> [flags]`.
+
+Stages mirror the reference's five entry scripts plus eval/bench
+(README.md:40-69):
+  split     — class-disjoint partition manifest   (splite_dataset.py)
+  train_sub — finetune one division's sub-model   (train_subdata.py)
+  shrink    — HSIC rank + MACs policy search      (shrink.py)
+  distill   — DEKD distillation with shrink masks (distill_sub.py)
+  ensemble  — token-fusion ensemble training/eval (ensemble.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from devit_tpu.cli import common as C
+from devit_tpu.cli import stages
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("devit_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="stage", required=True)
+
+    sp = sub.add_parser("split", help="stage 1: class-disjoint split manifest")
+    C.add_data_args(sp)
+    sp.set_defaults(fn=stages.split_main)
+
+    tp = sub.add_parser("train_sub", help="stage 2: train one division sub-model")
+    for add in (C.add_model_args, C.add_optim_args, C.add_aug_args,
+                C.add_distill_args, C.add_data_args):
+        add(tp)
+    tp.set_defaults(fn=stages.train_sub_main)
+
+    sh = sub.add_parser("shrink", help="stage 3: rank + shrink policy search")
+    for add in (C.add_model_args, C.add_optim_args, C.add_aug_args, C.add_data_args):
+        add(sh)
+    sh.add_argument("--shrink-ratio", type=float, default=0.3)
+    sh.add_argument("--population", type=int, default=50)
+    sh.add_argument("--lb", type=float, default=0.0)
+    sh.add_argument("--ub", type=float, default=0.9)
+    sh.add_argument("--candidate-chunk", type=int, default=8)
+    sh.set_defaults(fn=stages.shrink_main, model="dedeit")
+
+    dp = sub.add_parser("distill", help="stage 4: DEKD distillation")
+    for add in (C.add_model_args, C.add_optim_args, C.add_aug_args,
+                C.add_distill_args, C.add_data_args):
+        add(dp)
+    dp.add_argument("--gama", type=float, nargs=3, default=[0.2, 0.1, 0.3],
+                    help="q/k/v relation-loss weights (distill_sub gama flag)")
+    dp.add_argument("--policy-path", type=str, default=None,
+                    help="dir with shrinked_policy.npy/shrinked_accuracy.npy")
+    dp.add_argument("--distillation-inter", action="store_true", default=True)
+    dp.set_defaults(fn=stages.distill_main, model="dedeit", distillation_type="hard")
+
+    ep = sub.add_parser("ensemble", help="stage 5: token-fusion ensemble")
+    for add in (C.add_model_args, C.add_optim_args, C.add_aug_args,
+                C.add_distill_args, C.add_data_args):
+        add(ep)
+    ep.add_argument("--sub-model-path", type=str, default=None,
+                    help="dir with sub-dataset{i}/checkpoint.{msgpack,pth}")
+    ep.add_argument("--gates-path", type=str, default=None)
+    ep.add_argument("--teacher-size", type=int, default=768)
+    ep.add_argument("--ens-lr", type=float, default=None)
+    ep.set_defaults(fn=stages.ensemble_main, model="dedeit")
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

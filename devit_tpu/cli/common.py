@@ -1,0 +1,228 @@
+"""Shared CLI plumbing: argparse groups mirroring the reference's ~80 flags
+(train_subdata.py:36-190 et al., kept name-compatible), dataset/model
+builders, and jitted preprocessing helpers."""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from devit_tpu.configs import get_vit_config
+from devit_tpu.data.datasets import ArrayDataset, BatchIterator, build_dataset
+from devit_tpu.data.mixup import MixupConfig
+from devit_tpu.data.pipeline import AugmentConfig, eval_transform, train_transform
+from devit_tpu.data.splitter import DivisionManifest
+from devit_tpu.io.checkpoint import (
+    load_torch_state_dict, resize_pos_embed, restore_pytree, save_pytree,
+    torch_vit_to_params,
+)
+from devit_tpu.models.vit import VisionTransformer
+from devit_tpu.train.meters import create_logger
+from devit_tpu.train.optim import OptimConfig
+
+
+def add_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model", default="deit_base_distilled_patch16_224", type=str)
+    p.add_argument("--model-path", type=str, default=None,
+                   help="pretrained checkpoint (.pth or .msgpack)")
+    p.add_argument("--input-size", default=224, type=int)
+    p.add_argument("--patch-size", default=16, type=int)
+    p.add_argument("--drop", type=float, default=0.0)
+    p.add_argument("--drop-path", type=float, default=0.1)
+    p.add_argument("--model-ema", action="store_true", default=True)
+    p.add_argument("--no-model-ema", action="store_false", dest="model_ema")
+    p.add_argument("--model-ema-decay", type=float, default=0.99996)
+    # geometry overrides (None = registry defaults) — used by smoke tests
+    p.add_argument("--embed-dim", type=int, default=None)
+    p.add_argument("--depth", type=int, default=None)
+    p.add_argument("--num-heads", type=int, default=None)
+
+
+def add_optim_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--batch-size", default=64, type=int)
+    p.add_argument("--eval-batch-size", default=256, type=int)
+    p.add_argument("--epochs", default=5, type=int)
+    p.add_argument("--opt-eps", default=1e-8, type=float)
+    p.add_argument("--clip-grad", type=float, default=None)
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--warmup-lr", type=float, default=1e-6)
+    p.add_argument("--min-lr", type=float, default=1e-5)
+    p.add_argument("--warmup-epochs", type=int, default=5)
+    p.add_argument("--cooldown-epochs", type=int, default=10)
+    p.add_argument("--scale-lr", action="store_true", default=True,
+                   help="linear scale lr by global_batch/512 (train_subdata.py:405)")
+    p.add_argument("--no-scale-lr", action="store_false", dest="scale_lr")
+
+
+def add_aug_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--color-jitter", type=float, default=0.4)
+    p.add_argument("--aa", type=str, default="rand-m9-mstd0.5-inc1")
+    p.add_argument("--no-aug", action="store_true")
+    p.add_argument("--smoothing", type=float, default=0.1)
+    p.add_argument("--repeated-aug", action="store_true", default=True)
+    p.add_argument("--no-repeated-aug", action="store_false", dest="repeated_aug")
+    p.add_argument("--reprob", type=float, default=0.25)
+    p.add_argument("--mixup", type=float, default=0.8)
+    p.add_argument("--cutmix", type=float, default=1.0)
+    p.add_argument("--mixup-prob", type=float, default=1.0)
+    p.add_argument("--mixup-switch-prob", type=float, default=0.5)
+
+
+def add_distill_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--teacher-model", default="deit_base_distilled_patch16_224", type=str)
+    p.add_argument("--teacher-path", type=str, default=None)
+    p.add_argument("--distillation-type", default="none", choices=["none", "soft", "hard"])
+    p.add_argument("--distillation-token", action="store_true")
+    p.add_argument("--distillation-alpha", default=0.5, type=float)
+    p.add_argument("--distillation-tau", default=1.0, type=float)
+
+
+def add_data_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--data-path", default="./datasets", type=str)
+    p.add_argument("--dataset", default="cifar100", type=str,
+                   help="cifar100|IMNET|flowers|cars|pets|synthetic[:K[:N[:S]]]")
+    p.add_argument("--num_division", default=4, type=int)
+    p.add_argument("--start-division", default=0, type=int)
+    p.add_argument("--manifest", type=str, default=None,
+                   help="manifest.json from the split stage")
+    p.add_argument("--output_dir", default="./output", type=str)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--resume", default="", type=str)
+    p.add_argument("--eval", action="store_true")
+
+
+def parse_ra_string(aa: Optional[str]) -> Tuple[bool, int, float]:
+    """'rand-m9-mstd0.5-inc1' -> (enabled, magnitude, mag_std)."""
+    if not aa or not aa.startswith("rand"):
+        return False, 9, 0.5
+    mag, std = 9, 0.5
+    for part in aa.split("-"):
+        if part.startswith("m") and part[1:].isdigit():
+            mag = int(part[1:])
+        elif part.startswith("mstd"):
+            std = float(part[4:])
+    return True, mag, std
+
+
+def augment_config_from_args(args, img_size: int, source_size: int) -> AugmentConfig:
+    ra, mag, std = parse_ra_string(getattr(args, "aa", None))
+    if getattr(args, "no_aug", False):
+        ra = False
+    return AugmentConfig(
+        img_size=img_size,
+        color_jitter=args.color_jitter,
+        reprob=args.reprob,
+        randaugment=ra,
+        ra_magnitude=mag,
+        ra_std=std,
+        small_image=source_size <= img_size and source_size <= 64 and img_size == source_size,
+    )
+
+
+def mixup_config_from_args(args, num_classes: int) -> Optional[MixupConfig]:
+    if args.mixup <= 0 and args.cutmix <= 0:
+        return None
+    return MixupConfig(
+        mixup_alpha=args.mixup, cutmix_alpha=args.cutmix, prob=args.mixup_prob,
+        switch_prob=args.mixup_switch_prob, label_smoothing=args.smoothing,
+        num_classes=num_classes,
+    )
+
+
+def optim_config_from_args(args, global_batch: int) -> OptimConfig:
+    return OptimConfig(
+        lr=args.lr, min_lr=args.min_lr, warmup_lr=args.warmup_lr,
+        warmup_epochs=args.warmup_epochs, cooldown_epochs=args.cooldown_epochs,
+        epochs=args.epochs, weight_decay=args.weight_decay, opt_eps=args.opt_eps,
+        clip_grad=args.clip_grad, scale_lr_by_batch=args.scale_lr,
+        global_batch=global_batch,
+    )
+
+
+def build_division_data(args) -> Tuple[ArrayDataset, ArrayDataset, DivisionManifest]:
+    """Full train/val sets + manifest; callers take division views."""
+    train_ds = build_dataset(args.dataset, args.data_path, train=True, img_size=args.input_size)
+    val_ds = build_dataset(args.dataset, args.data_path, train=False, img_size=args.input_size)
+    if args.manifest and os.path.exists(args.manifest):
+        manifest = DivisionManifest.load(args.manifest)
+    else:
+        manifest = DivisionManifest.create(train_ds.num_classes, args.num_division, seed=42)
+    return train_ds, val_ds, manifest
+
+
+def build_model(name: str, num_classes: int, args, resize_dim=None) -> VisionTransformer:
+    overrides = dict(
+        img_size=args.input_size,
+        patch_size=getattr(args, "patch_size", 16),
+        num_classes=num_classes,
+        drop_rate=args.drop,
+        drop_path_rate=args.drop_path,
+        resize_dim=resize_dim,
+    )
+    for flag, key in (("embed_dim", "embed_dim"), ("depth", "depth"), ("num_heads", "num_heads")):
+        v = getattr(args, flag, None)
+        if v is not None:
+            overrides[key] = v
+    return VisionTransformer(get_vit_config(name, **overrides))
+
+
+def load_params_for(model: VisionTransformer, path: str, template_params):
+    """Load .pth (torch) or .msgpack checkpoints into the model's param tree,
+    with head-shape filtering + pos-embed interpolation on mismatch
+    (shrink.py:298-332 behaviour)."""
+    cfg = model.cfg
+    if path.endswith(".pth") or path.endswith(".pt"):
+        sd = load_torch_state_dict(path)
+        params = torch_vit_to_params(sd, depth=cfg.depth)
+    else:
+        restored = restore_pytree(path, None)
+        params = restored.get("params", restored) if isinstance(restored, dict) else restored
+
+    def merge(tpl, new):
+        out = {}
+        for k, v in tpl.items():
+            if k not in new:
+                out[k] = v  # missing (e.g. fresh head) -> keep init
+            elif isinstance(v, dict):
+                out[k] = merge(v, new[k])
+            else:
+                nv = np.asarray(new[k])
+                if nv.shape != v.shape:
+                    if "pos_embed" in str(k):
+                        nv = resize_pos_embed(nv, cfg.seq_len, cfg.num_prefix_tokens)
+                        out[k] = jnp.asarray(nv)
+                    else:
+                        out[k] = v  # shape mismatch (e.g. head) -> keep init
+                else:
+                    out[k] = jnp.asarray(nv)
+        return out
+
+    # pos_embed may need interpolation
+    if "pos_embed" in params and np.asarray(params["pos_embed"]).shape != template_params["pos_embed"].shape:
+        params["pos_embed"] = resize_pos_embed(
+            np.asarray(params["pos_embed"]), cfg.seq_len, cfg.num_prefix_tokens
+        )
+    return merge(template_params, params)
+
+
+def make_eval_prepare(img_size: int, dtype=jnp.bfloat16):
+    fn = jax.jit(lambda x: eval_transform(x, img_size=img_size, dtype=dtype))
+    return lambda images: fn(jnp.asarray(images))
+
+
+def make_train_prepare(aug_cfg: AugmentConfig, dtype=jnp.bfloat16):
+    fn = jax.jit(lambda r, x: train_transform(r, x, aug_cfg, dtype=dtype))
+    return lambda rng, images: fn(rng, jnp.asarray(images))
+
+
+def setup(args):
+    os.makedirs(args.output_dir, exist_ok=True)
+    log = create_logger(args.output_dir)
+    return log

@@ -1,0 +1,434 @@
+"""The five pipeline stages as CLI subcommands.
+
+Mirrors the reference entry scripts: splite_dataset.py (split),
+train_subdata.py (train_sub), shrink.py (shrink), distill_sub.py (distill),
+ensemble.py (ensemble) — same flag names, same artifacts
+(shrinked_policy.npy/shrinked_accuracy.npy, checkpoint + best checkpoint,
+result.txt, log_stats.txt), TPU-native execution.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from devit_tpu.cli import common as C
+from devit_tpu.core.rank import attn_head_rank, build_gates, mlp_neuron_rank
+from devit_tpu.core.shrink import model_shrink
+from devit_tpu.data.datasets import BatchIterator, build_dataset
+from devit_tpu.data.splitter import DivisionManifest
+from devit_tpu.io.checkpoint import restore_pytree, save_pytree
+from devit_tpu.models.ensemble import (
+    EnsMLP, init_multivit, multivit_features, stack_division_gates,
+    stack_division_params,
+)
+from devit_tpu.models.vit import Gates, full_gates
+from devit_tpu.train import steps as S
+from devit_tpu.train.loop import fit, run_eval
+from devit_tpu.train.optim import make_optimizer
+from devit_tpu.train.state import TrainState
+
+
+# ------------------------------------------------------------------ split
+
+
+def split_main(args) -> str:
+    """Stage 1: build + save the division manifest (splite_dataset.py:29-176,
+    manifest instead of file copies)."""
+    log = C.setup(args)
+    from devit_tpu.data.datasets import DATASET_NUM_CLASSES
+
+    if args.dataset.startswith("synthetic"):
+        num_classes = int(args.dataset.split(":")[1]) if ":" in args.dataset else 100
+    else:
+        num_classes = DATASET_NUM_CLASSES[args.dataset]
+    manifest = DivisionManifest.create(num_classes, args.num_division, seed=42)
+    out = os.path.join(args.output_dir, f"division{args.num_division}")
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "manifest.json")
+    manifest.save(path)
+    log.info(f"wrote {path}: {args.num_division} divisions over {num_classes} classes")
+    for i, d in enumerate(manifest.divisions):
+        log.info(f"  division {i}: {len(d)} classes")
+    return path
+
+
+# ------------------------------------------------------------------ train_sub
+
+
+def train_sub_main(args) -> float:
+    """Stage 2: finetune one division's sub-model (train_subdata.py:320-503)."""
+    log = C.setup(args)
+    train_full, val_full, manifest = C.build_division_data(args)
+    div = args.start_division
+    train_ds = train_full.division_view(manifest, div)
+    val_ds = val_full.division_view(manifest, div)
+    num_classes = train_ds.num_classes
+    log.info(f"division {div}: {len(train_ds)} train / {len(val_ds)} val, {num_classes} classes")
+
+    model = C.build_model(args.model, num_classes, args)
+    sample = jnp.zeros((2, args.input_size, args.input_size, 3), jnp.bfloat16)
+    variables = model.init(jax.random.key(args.seed), sample)
+    params = variables["params"]
+    if args.model_path:
+        params = C.load_params_for(model, args.model_path, params)
+
+    teacher = t_vars = None
+    if args.distillation_type != "none":
+        teacher = C.build_model(args.teacher_model, num_classes, args)
+        t_tpl = teacher.init(jax.random.key(0), sample, distill_token=args.distillation_token)
+        t_params = C.load_params_for(teacher, args.teacher_path, t_tpl["params"]) \
+            if args.teacher_path else t_tpl["params"]
+        t_vars = {"params": t_params}
+
+    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    opt_cfg = C.optim_config_from_args(args, args.batch_size)
+    tx = make_optimizer(opt_cfg, steps_per_epoch)
+    state = TrainState.create(params, tx, use_ema=args.model_ema, ema_decay=args.model_ema_decay)
+
+    aug_cfg = C.augment_config_from_args(args, args.input_size, train_ds.images.shape[1])
+    mix_cfg = C.mixup_config_from_args(args, num_classes)
+    prep_train = C.make_train_prepare(aug_cfg)
+    prep_eval = C.make_eval_prepare(args.input_size)
+
+    raw_step = S.make_stage2_step(
+        model, teacher, mixup=mix_cfg, smoothing=args.smoothing,
+        distillation_type=args.distillation_type,
+        distillation_alpha=args.distillation_alpha,
+        distillation_tau=args.distillation_tau,
+        distill_token=args.distillation_token,
+    )
+    jstep = jax.jit(raw_step)
+
+    def step_fn(state, images, labels, rng):
+        r_aug, r_step = jax.random.split(rng)
+        x = prep_train(r_aug, images)
+        return jstep(state, t_vars, x, jnp.asarray(labels), r_step)
+
+    eval_step = jax.jit(S.make_eval_step(model))
+
+    def eval_fn(state):
+        variables = {"params": state.ema_params if state.ema_params is not None else state.params}
+        batches = BatchIterator(val_ds, args.eval_batch_size, shuffle=False, drop_last=False)
+        return run_eval(eval_step, variables, None, batches, prepare=prep_eval)
+
+    def save_state(path, state, epoch):
+        save_pytree(path, {"params": state.params, "ema_params": state.ema_params,
+                           "opt_state": state.opt_state, "epoch": np.int32(epoch)})
+
+    if args.eval:
+        m = eval_fn(state)
+        log.info(f"eval only: acc1 {m['acc1']:.2f}")
+        return m["acc1"]
+
+    def train_batches(epoch):
+        it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed,
+                           repeated_aug=3 if args.repeated_aug else 0)
+        it.set_epoch(epoch)
+        return it
+
+    state, best = fit(
+        carry=state, step_fn=step_fn, train_batches_fn=train_batches, eval_fn=eval_fn,
+        epochs=args.epochs, rng=jax.random.key(args.seed + 1),
+        output_dir=args.output_dir, log_fn=log.info, save_state_fn=save_state,
+    )
+    log.info(f"best acc1: {best:.2f}")
+    return best
+
+
+# ------------------------------------------------------------------ shrink
+
+
+def shrink_main(args):
+    """Stage 3: HSIC rank + MACs-constrained policy search (shrink.py:203-418).
+    Fixes the reference's undefined-args bugs (SURVEY.md §7) by construction."""
+    log = C.setup(args)
+    train_full, val_full, manifest = C.build_division_data(args)
+    div = args.start_division
+    train_ds = train_full.division_view(manifest, div)
+    val_ds = val_full.division_view(manifest, div)
+    num_classes = train_ds.num_classes
+
+    model = C.build_model(args.model, num_classes, args)
+    cfg = model.cfg
+    sample = jnp.zeros((2, args.input_size, args.input_size, 3), jnp.bfloat16)
+    params = model.init(jax.random.key(0), sample)["params"]
+    if args.model_path:
+        params = C.load_params_for(model, args.model_path, params)
+    variables = {"params": params}
+
+    prep_eval = C.make_eval_prepare(args.input_size)
+
+    # one train batch for ranking (imp_rank.py:21-23)
+    images, _ = next(iter(BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed)))
+    rank_apply = jax.jit(
+        lambda v, x, g, c: model.apply(v, x, gates=g, capture_rank_stats=c),
+        static_argnums=(3,),
+    )
+    x = prep_eval(images)
+    neuron_rank = mlp_neuron_rank(rank_apply, variables, x)
+    head_rank = attn_head_rank(rank_apply, variables, x)
+    log.info(f"ranked {neuron_rank.shape} neurons, {head_rank.shape} heads")
+
+    def apply_logits(v, imgs, gates):
+        return model.apply(v, imgs, gates=gates).logits
+
+    def val_batches():
+        for imgs, labels in BatchIterator(val_ds, args.eval_batch_size, shuffle=False,
+                                          drop_last=False):
+            yield prep_eval(imgs), jnp.asarray(labels)
+
+    # the reference 9.19 anchor only applies to the canonical dedeit geometry
+    # (shrink_imp.py:144); other geometries derive their own full-model cost
+    canonical = cfg.depth == 12 and cfg.embed_dim == 384 and cfg.num_heads == 6
+    result = model_shrink(
+        apply_logits, variables, neuron_rank, head_rank, val_batches,
+        layer=cfg.depth, shrink_ratio=args.shrink_ratio, population=args.population,
+        lb=args.lb, ub=args.ub, emb=cfg.embed_dim, head=cfg.num_heads,
+        seq_length=197, mlp_ratio=cfg.mlp_ratio,
+        full_gmacs=9.19 if canonical else None,
+        candidate_chunk=args.candidate_chunk, seed=args.seed, log=log,
+    )
+    np.save(os.path.join(args.output_dir, "shrinked_policy.npy"), result.policies)
+    np.save(os.path.join(args.output_dir, "shrinked_accuracy.npy"), result.accuracies)
+    np.save(os.path.join(args.output_dir, "neuron_rank.npy"), neuron_rank)
+    np.save(os.path.join(args.output_dir, "head_rank.npy"), head_rank)
+    log.info(f"best policy acc {result.accuracies.max():.2f} -> {args.output_dir}")
+    return result
+
+
+# ------------------------------------------------------------------ distill (DEKD)
+
+
+def distill_main(args) -> float:
+    """Stage 4: DEKD (distill_sub.py:243-478 + engine.train_1epoch_qkv)."""
+    log = C.setup(args)
+    train_full, val_full, manifest = C.build_division_data(args)
+    div = args.start_division
+    train_ds = train_full.division_view(manifest, div)
+    val_ds = val_full.division_view(manifest, div)
+    num_classes = train_ds.num_classes
+
+    teacher = C.build_model(args.teacher_model, num_classes, args)
+    sample = jnp.zeros((2, args.input_size, args.input_size, 3), jnp.bfloat16)
+    t_tpl = teacher.init(jax.random.key(0), sample, capture_qkv="middle")
+    t_params = C.load_params_for(teacher, args.teacher_path, t_tpl["params"]) \
+        if args.teacher_path else t_tpl["params"]
+    t_vars = {"params": t_params}
+
+    # student gets resize heads to teacher width when token-distilling
+    # (distill_sub.py:211-221)
+    resize_dim = teacher.cfg.embed_dim if args.distillation_token else None
+    student = C.build_model(args.model, num_classes, args, resize_dim=resize_dim)
+    s_params = student.init(jax.random.key(args.seed), sample, capture_qkv="middle",
+                            distill_token=args.distillation_token)["params"]
+    if args.model_path:
+        s_params = C.load_params_for(student, args.model_path, s_params)
+    variables = {"params": s_params}
+
+    # shrink policy: argmax accuracy row; first L entries = neuron sparsity,
+    # next L = head sparsity (distill_sub.py:384-389)
+    L = student.cfg.depth
+    if args.policy_path:
+        policies = np.load(os.path.join(args.policy_path, "shrinked_policy.npy"))
+        accs = np.load(os.path.join(args.policy_path, "shrinked_accuracy.npy"))
+        best = policies[int(np.argmax(accs))]
+        neuron_sparsity, head_sparsity = best[:L], best[L : 2 * L]
+        rank_file = os.path.join(args.policy_path, "neuron_rank.npy")
+        prep_eval0 = C.make_eval_prepare(args.input_size)
+        if os.path.exists(rank_file):
+            neuron_rank = np.load(rank_file)
+            head_rank = np.load(os.path.join(args.policy_path, "head_rank.npy"))
+        else:
+            # re-rank on one batch (distill_sub.py:391-401)
+            images, _ = next(iter(BatchIterator(train_ds, args.batch_size, shuffle=True)))
+            rank_apply = jax.jit(
+                lambda v, x, g, c: student.apply(v, x, gates=g, capture_rank_stats=c),
+                static_argnums=(3,),
+            )
+            x = prep_eval0(images)
+            neuron_rank = mlp_neuron_rank(rank_apply, variables, x)
+            head_rank = attn_head_rank(rank_apply, variables, x)
+        gates = build_gates(neuron_rank, head_rank, neuron_sparsity, head_sparsity)
+        log.info(f"applied shrink policy: mean neuron sparsity "
+                 f"{np.mean(neuron_sparsity):.2f}, head {np.mean(head_sparsity):.2f}")
+    else:
+        gates = full_gates(student.cfg)
+
+    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    tx = make_optimizer(C.optim_config_from_args(args, args.batch_size), steps_per_epoch)
+    state = TrainState.create(s_params, tx, use_ema=args.model_ema,
+                              ema_decay=args.model_ema_decay)
+
+    aug_cfg = C.augment_config_from_args(args, args.input_size, train_ds.images.shape[1])
+    mix_cfg = C.mixup_config_from_args(args, num_classes)
+    prep_train = C.make_train_prepare(aug_cfg)
+    prep_eval = C.make_eval_prepare(args.input_size)
+
+    jstep = jax.jit(S.make_dekd_step(
+        student, teacher, gamma=tuple(args.gama),
+        mixup=mix_cfg, smoothing=args.smoothing,
+        distillation_type=args.distillation_type or "hard",
+        distillation_alpha=args.distillation_alpha,
+        distillation_tau=args.distillation_tau,
+    ))
+
+    def step_fn(state, images, labels, rng):
+        r_aug, r_step = jax.random.split(rng)
+        x = prep_train(r_aug, images)
+        return jstep(state, t_vars, gates, x, jnp.asarray(labels), r_step)
+
+    eval_step = jax.jit(S.make_eval_step(student))
+
+    def eval_fn(state):
+        v = {"params": state.ema_params if state.ema_params is not None else state.params}
+        batches = BatchIterator(val_ds, args.eval_batch_size, shuffle=False, drop_last=False)
+        return run_eval(eval_step, v, gates, batches, prepare=prep_eval)
+
+    def save_state(path, state, epoch):
+        save_pytree(path, {"params": state.params, "ema_params": state.ema_params,
+                           "gates": {"head": np.asarray(gates.head),
+                                     "neuron": np.asarray(gates.neuron)},
+                           "epoch": np.int32(epoch)})
+
+    def train_batches(epoch):
+        it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed,
+                           repeated_aug=3 if args.repeated_aug else 0)
+        it.set_epoch(epoch)
+        return it
+
+    state, best = fit(
+        carry=state, step_fn=step_fn, train_batches_fn=train_batches, eval_fn=eval_fn,
+        epochs=args.epochs, rng=jax.random.key(args.seed + 1),
+        output_dir=args.output_dir, log_fn=log.info, save_state_fn=save_state,
+    )
+    log.info(f"DEKD best acc1: {best:.2f}")
+    return best
+
+
+# ------------------------------------------------------------------ ensemble
+
+
+def ensemble_main(args) -> float:
+    """Stage 5: token-fusion ensemble over N frozen-architecture backbones
+    (ensemble.py:245-456). Sub-model checkpoints load by NAME into the stacked
+    pytree (replacing the positional dict_map trick, ensemble.py:192-200)."""
+    log = C.setup(args)
+    train_ds = build_dataset(args.dataset, args.data_path, train=True, img_size=args.input_size)
+    val_ds = build_dataset(args.dataset, args.data_path, train=False, img_size=args.input_size)
+    num_classes = train_ds.num_classes
+    D = args.num_division
+    if args.manifest and os.path.exists(args.manifest):
+        manifest = DivisionManifest.load(args.manifest)
+    else:
+        manifest = DivisionManifest.create(num_classes, D, seed=42)
+
+    backbone = C.build_model(args.model, 0, args)  # heads never materialised
+    sample = jnp.zeros((2, args.input_size, args.input_size, 3), jnp.bfloat16)
+
+    if args.sub_model_path:
+        div_params = []
+        tpl = backbone.init(jax.random.key(0), sample, features_only=True)["params"]
+        for i in range(D):
+            p = os.path.join(args.sub_model_path, f"sub-dataset{i}", "checkpoint.msgpack")
+            if not os.path.exists(p):
+                p = os.path.join(args.sub_model_path, f"sub-dataset{i}", "checkpoint.pth")
+            div_params.append(C.load_params_for(backbone, p, tpl))
+        stacked = {"params": stack_division_params(div_params)}
+    else:
+        stacked = init_multivit(backbone, jax.random.key(args.seed), sample, D)
+
+    gates = None
+    if args.gates_path:
+        loaded = []
+        for i in range(D):
+            g = restore_pytree(os.path.join(args.gates_path, f"sub-dataset{i}", "gates.msgpack"), None)
+            loaded.append(Gates(jnp.asarray(g["head"]), jnp.asarray(g["neuron"])))
+        gates = stack_division_gates(loaded)
+
+    family = "deit" if backbone.cfg.distilled else "vit"
+    ens = EnsMLP(num_classes=num_classes, sub_size=backbone.cfg.embed_dim,
+                 num_divisions=D, teacher_size=args.teacher_size, family=family)
+    cls_t = jnp.zeros((D, 2, backbone.cfg.embed_dim))
+    ens_vars = ens.init(jax.random.key(args.seed + 1), cls_t, cls_t, distill=True, train=True)
+
+    teacher = t_vars = None
+    if args.distillation_type != "none":
+        teacher = C.build_model(args.teacher_model, num_classes, args)
+        t_tpl = teacher.init(jax.random.key(0), sample, distill_token=True)
+        t_params = C.load_params_for(teacher, args.teacher_path, t_tpl["params"]) \
+            if args.teacher_path else t_tpl["params"]
+        t_vars = {"params": t_params}
+
+    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    # two optimizers: backbone lr vs ens lr (ensemble.py:343-348)
+    bb_args = C.optim_config_from_args(args, args.batch_size)
+    ens_cfg = C.optim_config_from_args(args, args.batch_size)
+    ens_cfg = type(ens_cfg)(**{**ens_cfg.__dict__, "lr": args.ens_lr or args.lr})
+    bb_state = TrainState.create(stacked["params"], make_optimizer(bb_args, steps_per_epoch))
+    ens_state = TrainState.create(ens_vars["params"], make_optimizer(ens_cfg, steps_per_epoch))
+
+    aug_cfg = C.augment_config_from_args(args, args.input_size, train_ds.images.shape[1])
+    mix_cfg = C.mixup_config_from_args(args, num_classes)
+    prep_train = C.make_train_prepare(aug_cfg)
+    prep_eval = C.make_eval_prepare(args.input_size)
+
+    jstep = jax.jit(S.make_ensemble_train_step(
+        backbone, ens, teacher, mixup=mix_cfg, smoothing=args.smoothing,
+        distillation_type=args.distillation_type,
+        distillation_alpha=args.distillation_alpha,
+        distillation_tau=args.distillation_tau,
+    ))
+    ens_eval = jax.jit(S.make_ensemble_eval_step(backbone, ens))
+
+    def step_fn(carry, images, labels, rng):
+        bb_state, ens_state = carry
+        r_aug, r_step = jax.random.split(rng)
+        x = prep_train(r_aug, images)
+        bb_state, ens_state, metrics = jstep(
+            bb_state, ens_state, t_vars, gates, x, jnp.asarray(labels), r_step
+        )
+        return (bb_state, ens_state), metrics
+
+    def eval_fn(carry):
+        bb_state, ens_state = carry
+        totals = {"loss_sum": 0.0, "top1": 0, "top5": 0, "count": 0}
+        for imgs, labels in BatchIterator(val_ds, args.eval_batch_size, shuffle=False,
+                                          drop_last=False):
+            out = jax.device_get(ens_eval({"params": bb_state.params},
+                                          {"params": ens_state.params},
+                                          gates, prep_eval(imgs), jnp.asarray(labels)))
+            for k in totals:
+                totals[k] += float(out[k])
+        n = max(totals["count"], 1)
+        return {"acc1": 100 * totals["top1"] / n, "acc5": 100 * totals["top5"] / n,
+                "loss": totals["loss_sum"] / n}
+
+    def save_state(path, carry, epoch):
+        bb_state, ens_state = carry
+        save_pytree(path, {"backbone_params": bb_state.params,
+                           "ens_params": ens_state.params, "epoch": np.int32(epoch)})
+
+    def train_batches(epoch):
+        it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed)
+        it.set_epoch(epoch)
+        return it
+
+    if args.eval:
+        m = eval_fn((bb_state, ens_state))
+        log.info(f"ensemble eval: acc1 {m['acc1']:.2f}")
+        return m["acc1"]
+
+    carry, best = fit(
+        carry=(bb_state, ens_state), step_fn=step_fn, train_batches_fn=train_batches,
+        eval_fn=eval_fn, epochs=args.epochs, rng=jax.random.key(args.seed + 2),
+        output_dir=args.output_dir, log_fn=log.info, save_state_fn=save_state,
+    )
+    log.info(f"ensemble best acc1: {best:.2f}")
+    return best

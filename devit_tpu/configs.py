@@ -38,6 +38,10 @@ class ViTConfig:
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     layer_norm_eps: float = 1e-6
+    # Set by compaction (core/compact.py) when the MLP width is no longer
+    # embed_dim * mlp_ratio / the attention width is no longer embed_dim.
+    hidden_override: Optional[int] = None
+    head_dim_override: Optional[int] = None
 
     @property
     def grid_size(self) -> int:
@@ -57,11 +61,20 @@ class ViTConfig:
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         assert self.embed_dim % self.num_heads == 0
         return self.embed_dim // self.num_heads
 
     @property
+    def attn_dim(self) -> int:
+        """Total attention width H*dh — equals embed_dim unless compacted."""
+        return self.num_heads * self.head_dim
+
+    @property
     def hidden_dim(self) -> int:
+        if self.hidden_override is not None:
+            return self.hidden_override
         return int(self.embed_dim * self.mlp_ratio)
 
     def replace(self, **kw) -> "ViTConfig":

@@ -1,0 +1,144 @@
+"""Structural compaction: physically remove pruned heads/neurons.
+
+The reference only ever *masks* (gates stay in the forward, FLOPs unchanged —
+de_vit.py:43,79); its MACs savings exist only in the analytic formulas
+(compute_metric.py). Compaction realises them: given trained params + gates,
+gather the kept attention heads and MLP neurons into dense, smaller weight
+matrices. The compacted model is mathematically identical to the gated model
+(verified by tests) but actually runs the reduced MACs — the deployment
+artifact for collaborative inference.
+
+Ragged per-layer kept counts are padded to the per-model maximum (rounded up
+for MXU alignment) with zero weights, so one scan-stacked program still serves
+every layer; padded heads/neurons provably contribute nothing (zero V rows,
+zero fc1 columns with zero bias).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from devit_tpu.configs import ViTConfig
+from devit_tpu.models.vit import Gates
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def compact_vit_params(
+    params,
+    gates: Gates,
+    cfg: ViTConfig,
+    *,
+    head_multiple: int = 2,  # 2 heads x 64 dh = 128 lanes, one MXU tile
+    neuron_multiple: int = 128,
+    min_keep_heads: Optional[int] = None,
+    min_keep_neurons: Optional[int] = None,
+) -> Tuple[dict, ViTConfig]:
+    """Gather kept heads/neurons into compact shapes.
+
+    params: our scan-stacked ViT param pytree; gates: (L,H)/(L,hidden) masks.
+    Returns (compact params, new config with num_heads/hidden_override shrunk).
+    """
+    head = np.asarray(jax.device_get(gates.head))
+    neuron = np.asarray(jax.device_get(gates.neuron))
+    L, H = head.shape
+    _, hidden = neuron.shape
+    dh = cfg.head_dim
+    C = cfg.embed_dim
+
+    keep_h = max(int(head.sum(-1).max()), 1)
+    keep_n = max(int(neuron.sum(-1).max()), 1)
+    if min_keep_heads:
+        keep_h = max(keep_h, min_keep_heads)
+    if min_keep_neurons:
+        keep_n = max(keep_n, min_keep_neurons)
+    keep_h = min(_round_up(keep_h, head_multiple), H)
+    keep_n = min(_round_up(keep_n, neuron_multiple), hidden)
+
+    def head_indices(l: int) -> np.ndarray:
+        kept = np.nonzero(head[l])[0]
+        pad = np.zeros(keep_h - len(kept), dtype=np.int64)  # padded slots (zero weights)
+        return np.concatenate([kept, pad])
+
+    def neuron_indices(l: int) -> np.ndarray:
+        kept = np.nonzero(neuron[l])[0]
+        pad = np.zeros(keep_n - len(kept), dtype=np.int64)
+        return np.concatenate([kept, pad])
+
+    p = jax.tree_util.tree_map(np.asarray, params)
+    blocks = p["blocks"]
+    new_blocks = dict(blocks)
+
+    qkv_k = blocks["qkv"]["kernel"].reshape(L, C, 3, H, dh)
+    qkv_b = blocks["qkv"].get("bias")
+    proj_k = blocks["proj"]["kernel"].reshape(L, H, dh, C)
+    fc1_k = blocks["fc1"]["kernel"]  # (L, C, hidden)
+    fc1_b = blocks["fc1"]["bias"]
+    fc2_k = blocks["fc2"]["kernel"]  # (L, hidden, C)
+
+    new_qkv_k = np.zeros((L, C, 3, keep_h, dh), qkv_k.dtype)
+    new_qkv_b = (
+        np.zeros((L, 3, keep_h, dh), qkv_b.dtype) if qkv_b is not None else None
+    )
+    new_proj_k = np.zeros((L, keep_h, dh, C), proj_k.dtype)
+    new_fc1_k = np.zeros((L, C, keep_n), fc1_k.dtype)
+    new_fc1_b = np.zeros((L, keep_n), fc1_b.dtype)
+    new_fc2_k = np.zeros((L, keep_n, C), fc2_k.dtype)
+
+    for l in range(L):
+        hi = head_indices(l)
+        n_kept_h = int(head[l].sum())
+        new_qkv_k[l, :, :, :n_kept_h] = qkv_k[l][:, :, hi[:n_kept_h]]
+        if qkv_b is not None:
+            b = qkv_b[l].reshape(3, H, dh)
+            new_qkv_b[l, :, :n_kept_h] = b[:, hi[:n_kept_h]]
+        new_proj_k[l, :n_kept_h] = proj_k[l][hi[:n_kept_h]]
+
+        ni = neuron_indices(l)
+        n_kept_n = int(neuron[l].sum())
+        new_fc1_k[l, :, :n_kept_n] = fc1_k[l][:, ni[:n_kept_n]]
+        new_fc1_b[l, :n_kept_n] = fc1_b[l][ni[:n_kept_n]]
+        new_fc2_k[l, :n_kept_n] = fc2_k[l][ni[:n_kept_n]]
+
+    new_C = keep_h * dh
+    new_blocks["qkv"] = {"kernel": new_qkv_k.reshape(L, C, 3 * new_C)}
+    if new_qkv_b is not None:
+        new_blocks["qkv"]["bias"] = new_qkv_b.reshape(L, 3 * new_C)
+    new_blocks["proj"] = {
+        "kernel": new_proj_k.reshape(L, new_C, C),
+        "bias": blocks["proj"]["bias"],
+    }
+    new_blocks["fc1"] = {"kernel": new_fc1_k, "bias": new_fc1_b}
+    new_blocks["fc2"] = {"kernel": new_fc2_k, "bias": blocks["fc2"]["bias"]}
+
+    new_params = dict(p)
+    new_params["blocks"] = new_blocks
+    new_cfg = cfg.replace(num_heads=keep_h, hidden_override=keep_n,
+                          head_dim_override=dh)
+    new_params = jax.tree_util.tree_map(jnp.asarray, new_params)
+    return new_params, new_cfg
+
+
+def compact_divisions(
+    params_list: Sequence[dict],
+    gates_list: Sequence[Gates],
+    cfg: ViTConfig,
+    **kw,
+) -> Tuple[List[dict], ViTConfig]:
+    """Compact every division to ONE common (max-over-divisions) geometry so
+    the stacked/vmapped ensemble forward still compiles to a single program."""
+    heads = [np.asarray(jax.device_get(g.head)) for g in gates_list]
+    neurons = [np.asarray(jax.device_get(g.neuron)) for g in gates_list]
+    kw.setdefault("min_keep_heads", max(int(h.sum(-1).max()) for h in heads))
+    kw.setdefault("min_keep_neurons", max(int(n.sum(-1).max()) for n in neurons))
+    out, final_cfg = [], None
+    for p, g in zip(params_list, gates_list):
+        cp, final_cfg = compact_vit_params(p, g, cfg, **kw)
+        out.append(cp)
+    return out, final_cfg

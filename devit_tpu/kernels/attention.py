@@ -1,0 +1,110 @@
+"""Pallas fused multi-head self-attention with head gating.
+
+The TPU-native replacement for the reference's unfused attention
+(de_vit.py:65-87): one kernel consumes the RAW fused-qkv Dense output
+(B, N, 3C) — no (3,B,H,N,dh) transpose is ever materialised — computes
+softmax(q k^T * scale) v per head entirely in VMEM (the (N, N) probability
+tile never round-trips HBM), applies the head gate, and writes the
+proj-ready (B, N, C) layout. Sized for ViT sequence lengths (N = 197/198 is
+fixed by the 224/16 geometry — SURVEY.md §5.7 — so the whole row fits VMEM
+and no flash-style tiling over N is needed).
+
+Layout contract with models/vit.py:
+  input  qkv:  (B, N, 3*C) with C = H*dh, ordered [q | k | v], head-major
+  output out:  (B, N, C)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _attn_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int,
+                 scale: float):
+    C = num_heads * head_dim
+    x = qkv_ref[...]  # (TB, N, 3C)
+    for h in range(num_heads):
+        lo = h * head_dim
+        q = x[:, :, lo : lo + head_dim]
+        k = x[:, :, C + lo : C + lo + head_dim]
+        v = x[:, :, 2 * C + lo : 2 * C + lo + head_dim]
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),  # (TB, N, N)
+            preferred_element_type=jnp.float32,
+        ) * scale
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o = jax.lax.dot_general(
+            p, v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),  # (TB, N, dh)
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, :, lo : lo + head_dim] = o.astype(o_ref.dtype)
+
+
+def fused_attention(
+    qkv: Array,
+    head_gate: Optional[Array] = None,
+    *,
+    num_heads: int,
+    block_b: int = 8,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """softmax(q k^T / sqrt(dh)) v * head_gate, fused.
+
+    qkv: (B, N, 3C) raw fused-qkv activations; head_gate: (H,) or None.
+    Returns (B, N, C). On non-TPU backends falls back to interpret mode so
+    the same model code runs in CPU tests.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N, threeC = qkv.shape
+    C = threeC // 3
+    dh = C // num_heads
+    block_b = min(block_b, B)
+    grid = (pl.cdiv(B, block_b),)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, num_heads=num_heads, head_dim=dh,
+                          scale=dh ** -0.5),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, N, threeC), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, N, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+        interpret=interpret,
+    )(qkv)
+    if head_gate is not None:
+        # Head gate applied outside the kernel (one fused elementwise pass) so
+        # the kernel stays vmap-compatible for the division-stacked ensemble.
+        out = out * jnp.repeat(head_gate.astype(out.dtype), dh)[None, None, :]
+    return out
+
+
+def reference_attention(qkv: Array, head_gate: Optional[Array] = None,
+                        *, num_heads: int) -> Array:
+    """XLA reference with identical layout contract, for parity tests and the
+    training path."""
+    B, N, threeC = qkv.shape
+    C = threeC // 3
+    dh = C // num_heads
+    x = qkv.reshape(B, N, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
+    q, k, v = x[0], x[1], x[2]
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    s = s * (dh ** -0.5)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+    if head_gate is not None:
+        o = o * head_gate.astype(o.dtype)[None, :, None, None]
+    return o.transpose(0, 2, 1, 3).reshape(B, N, C)

@@ -1,0 +1,184 @@
+"""Ragged-compact ViT: per-layer exact-width inference forward.
+
+The scan-stacked model (models/vit.py) needs uniform layer shapes, so
+core/compact.py pads every layer to the per-model max kept width — which
+throws away most of the savings when the shrink policy is ragged (the
+reference's policy search samples per-layer sparsities uniformly,
+shrink_imp.py:71). This module compacts WITHOUT padding: each layer keeps its
+exact kept-head/kept-neuron width (rounded only to MXU alignment) and the
+forward unrolls the 12 layers with per-layer shapes. This is the deployment
+artifact — mathematically identical to the gated model, running the analytic
+MACs for real.
+
+Pure-function style: parameters are a pytree (list of per-layer dicts), the
+forward is jit-compatible, and divisions with different policies are simply
+different compiled programs (on one chip sequential programs lose nothing vs
+a stacked vmap; across chips each division lives on its own sub-mesh anyway).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from devit_tpu.configs import ViTConfig
+from devit_tpu.models.vit import Gates, _layer_norm
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class CompactViT(NamedTuple):
+    """Deployment artifact: embed/head params + per-layer ragged blocks."""
+
+    embed: dict  # patch kernel/bias, cls/dist tokens, pos_embed, final norm
+    layers: Tuple[dict, ...]  # per-layer params with exact widths
+    head: dict  # classifier head(s); may be empty for feature-only backbones
+    head_dim: int
+    distilled: bool
+    eps: float
+
+
+def compact_vit_ragged(
+    params,
+    gates: Gates,
+    cfg: ViTConfig,
+    *,
+    head_multiple: int = 1,
+    neuron_multiple: int = 128,
+) -> CompactViT:
+    """Gather kept heads/neurons per layer into exact-width weights."""
+    head = np.asarray(jax.device_get(gates.head))
+    neuron = np.asarray(jax.device_get(gates.neuron))
+    p = jax.tree_util.tree_map(np.asarray, params)
+    L, H = head.shape
+    hidden = neuron.shape[1]
+    C = cfg.embed_dim
+    dh = cfg.head_dim
+
+    blocks = p["blocks"]
+    qkv_k = blocks["qkv"]["kernel"].reshape(L, C, 3, H, dh)
+    qkv_b = blocks["qkv"].get("bias")
+    if qkv_b is not None:
+        qkv_b = qkv_b.reshape(L, 3, H, dh)
+    proj_k = blocks["proj"]["kernel"].reshape(L, H, dh, C)
+
+    layers: List[dict] = []
+    for l in range(L):
+        hi = np.nonzero(head[l])[0]
+        ni = np.nonzero(neuron[l])[0]
+        kh = max(min(_round_up(len(hi), head_multiple), H), 1)
+        kn = max(min(_round_up(len(ni), neuron_multiple), hidden), 1)
+        # pad with arbitrary extra indices but zero their weights
+        hi_pad = np.concatenate([hi, np.zeros(kh - len(hi), np.int64)])
+        ni_pad = np.concatenate([ni, np.zeros(kn - len(ni), np.int64)])
+        h_mask = (np.arange(kh) < len(hi)).astype(qkv_k.dtype)
+        n_mask = (np.arange(kn) < len(ni)).astype(qkv_k.dtype)
+
+        lp = {
+            "norm1": {k: blocks["norm1"][k][l] for k in ("scale", "bias")},
+            "norm2": {k: blocks["norm2"][k][l] for k in ("scale", "bias")},
+            "qkv_kernel": (qkv_k[l][:, :, hi_pad] * h_mask[None, None, :, None])
+            .reshape(C, 3 * kh * dh),
+            "proj_kernel": proj_k[l][hi_pad].reshape(kh * dh, C)
+            * np.repeat(h_mask, dh)[:, None],
+            "proj_bias": blocks["proj"]["bias"][l],
+            "fc1_kernel": blocks["fc1"]["kernel"][l][:, ni_pad] * n_mask[None, :],
+            "fc1_bias": blocks["fc1"]["bias"][l][ni_pad] * n_mask,
+            "fc2_kernel": blocks["fc2"]["kernel"][l][ni_pad] * n_mask[:, None],
+            "fc2_bias": blocks["fc2"]["bias"][l],
+        }
+        if qkv_b is not None:
+            lp["qkv_bias"] = (qkv_b[l][:, hi_pad] * h_mask[None, :, None]).reshape(
+                3 * kh * dh
+            )
+        lp = jax.tree_util.tree_map(jnp.asarray, lp)
+        lp["num_heads"] = kh  # static Python int — must not become a tracer
+        layers.append(lp)
+
+    embed = {
+        "patch_kernel": jnp.asarray(p["patch_embed"]["kernel"]),
+        "patch_bias": jnp.asarray(p["patch_embed"]["bias"]),
+        "cls_token": jnp.asarray(p["cls_token"]),
+        "pos_embed": jnp.asarray(p["pos_embed"]),
+        "norm": {k: jnp.asarray(p["norm"][k]) for k in ("scale", "bias")},
+    }
+    if "dist_token" in p:
+        embed["dist_token"] = jnp.asarray(p["dist_token"])
+    head_p = {}
+    for name in ("head", "head_dist"):
+        if name in p:
+            head_p[name] = jax.tree_util.tree_map(jnp.asarray, p[name])
+
+    return CompactViT(
+        embed=embed, layers=tuple(layers), head=head_p,
+        head_dim=dh, distilled=cfg.distilled, eps=cfg.layer_norm_eps,
+    )
+
+
+def compact_forward(
+    model: CompactViT,
+    x,  # (B, H, W, 3)
+    *,
+    patch_size: int,
+    dtype=jnp.bfloat16,
+    use_pallas: bool = True,
+    fast_math: bool = True,
+    features_only: bool = False,
+):
+    """Inference forward over ragged layers. Returns logits or (cls, dist) feats."""
+    stat = dtype if fast_math else jnp.float32
+    B, Hh, Ww, _ = x.shape
+    g = Hh // patch_size
+    xp = x.reshape(B, g, patch_size, g, patch_size, 3)
+    xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(B, g * g, -1).astype(dtype)
+    t = jnp.dot(xp, model.embed["patch_kernel"].astype(dtype))
+    t = t + model.embed["patch_bias"].astype(dtype)
+    toks = [jnp.broadcast_to(model.embed["cls_token"].astype(dtype), (B, 1, t.shape[-1]))]
+    if model.distilled:
+        toks.append(jnp.broadcast_to(model.embed["dist_token"].astype(dtype),
+                                     (B, 1, t.shape[-1])))
+    t = jnp.concatenate(toks + [t], axis=1)
+    t = t + model.embed["pos_embed"].astype(dtype)
+    N = t.shape[1]
+    dh = model.head_dim
+
+    for lp in model.layers:
+        h = _layer_norm(t, lp["norm1"]["scale"], lp["norm1"]["bias"], model.eps, stat)
+        qkv = jnp.dot(h, lp["qkv_kernel"].astype(dtype))
+        if "qkv_bias" in lp:
+            qkv = qkv + lp["qkv_bias"].astype(dtype)
+        kh = lp["num_heads"]
+        if use_pallas and jax.default_backend() == "tpu":
+            from devit_tpu.kernels.attention import fused_attention
+
+            att = fused_attention(qkv, None, num_heads=kh)
+        else:
+            from devit_tpu.kernels.attention import reference_attention
+
+            att = reference_attention(qkv, None, num_heads=kh)
+        att = jnp.dot(att, lp["proj_kernel"].astype(dtype)) + lp["proj_bias"].astype(dtype)
+        t = t + att
+        h = _layer_norm(t, lp["norm2"]["scale"], lp["norm2"]["bias"], model.eps, stat)
+        h = jnp.dot(h, lp["fc1_kernel"].astype(dtype)) + lp["fc1_bias"].astype(dtype)
+        h = jax.nn.gelu(h, approximate=False)
+        h = jnp.dot(h, lp["fc2_kernel"].astype(dtype)) + lp["fc2_bias"].astype(dtype)
+        t = t + h
+
+    t = _layer_norm(t, model.embed["norm"]["scale"], model.embed["norm"]["bias"],
+                    model.eps, stat)
+    cls_feat = t[:, 0]
+    dist_feat = t[:, 1] if model.distilled else None
+    if features_only or not model.head:
+        return cls_feat, dist_feat
+    logits = jnp.dot(cls_feat, model.head["head"]["kernel"].astype(dtype))
+    logits = (logits + model.head["head"]["bias"].astype(dtype)).astype(jnp.float32)
+    if model.distilled and "head_dist" in model.head:
+        d = jnp.dot(dist_feat, model.head["head_dist"]["kernel"].astype(dtype))
+        d = (d + model.head["head_dist"]["bias"].astype(dtype)).astype(jnp.float32)
+        logits = (logits + d) / 2.0
+    return logits

@@ -145,6 +145,43 @@ class EnsMLP(nn.Module):
         )
 
 
+def multicct_features(cct_model, stacked_variables, x: Array) -> Array:
+    """All-division CCT backbone forward -> pooled features (D, B, C)
+    (MultiCCT, ensemble_models.py:93-113)."""
+
+    def one(variables):
+        return cct_model.apply(variables, x).pooled
+
+    return jax.vmap(one)(stacked_variables)
+
+
+class EnsembleCCT(nn.Module):
+    """CCT fusion head (ensemble_models.py:116-151) — structurally the 'vit'
+    single-token path of EnsMLP; kept as its own class for name parity."""
+
+    num_classes: int = 100
+    sub_size: int = 256
+    num_divisions: int = 4
+    teacher_size: Optional[int] = None
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, features: Array, *, distill: bool = False, train: bool = False):
+        D, B, C = features.shape
+        fused = features.transpose(1, 0, 2).reshape(B, D * C).astype(self.dtype)
+        token = None
+        if self.teacher_size is not None:
+            fused = nn.Dense(self.teacher_size, dtype=self.dtype,
+                             kernel_init=trunc_init, name="cls_mlp")(fused)
+            token = fused
+        logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                          kernel_init=trunc_init, name="cls_classifier")(fused)
+        logits = logits.astype(jnp.float32)
+        if distill and train and self.teacher_size is not None:
+            return EnsOutput(logits=logits, cls_logits=logits, ens_tokens=token)
+        return EnsOutput(logits=logits, cls_logits=logits)
+
+
 def ensemble_forward(
     model: VisionTransformer,
     ens_model: EnsMLP,

@@ -71,26 +71,29 @@ class ViTOutput(NamedTuple):
     head_out: Optional[Array] = None  # (L,B,N,H,dh) pre-gate head outputs (imp_rank.py:108)
 
 
-def _layer_norm(x: Array, scale: Array, bias: Array, eps: float) -> Array:
-    """LayerNorm with fp32 statistics regardless of compute dtype."""
+def _layer_norm(x: Array, scale: Array, bias: Array, eps: float,
+                stat_dtype=jnp.float32) -> Array:
+    """LayerNorm with fp32 statistics by default (stat_dtype=bf16 for
+    inference-speed mode)."""
     dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    xs = x.astype(stat_dtype)
+    mean = jnp.mean(xs, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xs - mean), axis=-1, keepdims=True)
+    y = (xs - mean) * jax.lax.rsqrt(var + jnp.asarray(eps, stat_dtype))
+    y = y * scale.astype(stat_dtype) + bias.astype(stat_dtype)
     return y.astype(dtype)
 
 
 class LayerNorm(nn.Module):
     eps: float = 1e-6
+    stat_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,))
         bias = self.param("bias", nn.initializers.zeros, (dim,))
-        return _layer_norm(x, scale, bias, self.eps)
+        return _layer_norm(x, scale, bias, self.eps, self.stat_dtype)
 
 
 class PatchEmbed(nn.Module):
@@ -130,6 +133,9 @@ class Block(nn.Module):
     capture_block_outputs: bool = False  # att/encoder outputs (de_vit.py:268-284)
     capture_rank_stats: bool = False  # neuron_act/head_out for HSIC ranking
     dtype: Any = jnp.bfloat16
+    softmax_dtype: Any = jnp.float32  # bf16 for inference-speed mode
+    norm_dtype: Any = jnp.float32
+    use_pallas: bool = False  # fused attention kernel (inference path)
 
     @nn.compact
     def __call__(self, carry, per_layer):
@@ -138,29 +144,46 @@ class Block(nn.Module):
         head_gate, neuron_gate, dp_rate, layer_idx = per_layer
         B, N, C = x.shape
         H, dh = cfg.num_heads, cfg.head_dim
+        A = cfg.attn_dim  # == C unless compacted (core/compact.py)
 
         # ---- attention ----
-        h = LayerNorm(eps=cfg.layer_norm_eps, name="norm1")(x)
-        qkv = nn.Dense(
-            3 * C, use_bias=cfg.qkv_bias, dtype=self.dtype,
+        h = LayerNorm(eps=cfg.layer_norm_eps, stat_dtype=self.norm_dtype, name="norm1")(x)
+        qkv_raw = nn.Dense(
+            3 * A, use_bias=cfg.qkv_bias, dtype=self.dtype,
             kernel_init=trunc_init, name="qkv",
         )(h)
-        qkv = qkv.reshape(B, N, 3, H, dh).transpose(2, 0, 3, 1, 4)  # (3,B,H,N,dh)
-        q, k, v = qkv[0], qkv[1], qkv[2]
 
-        logits = jnp.einsum(
-            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
-        ) * (dh ** -0.5)
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        if cfg.attn_drop_rate > 0 and not self.deterministic:
-            probs = nn.Dropout(cfg.attn_drop_rate, deterministic=False)(probs)
-        attn_out = jnp.einsum("bhnm,bhmd->bhnd", probs, v)  # (B,H,N,dh)
+        # The Pallas fused kernel handles the common inference shape: no qkv /
+        # rank-stat capture, no attention dropout. Everything else uses the
+        # XLA path (autodiff'd for training).
+        needs_capture = self.capture_qkv != "none" or self.capture_rank_stats
+        pallas_ok = (
+            self.use_pallas and not needs_capture
+            and (self.deterministic or cfg.attn_drop_rate == 0)
+        )
+        if pallas_ok:
+            from devit_tpu.kernels.attention import fused_attention
 
-        head_out = attn_out.transpose(0, 2, 1, 3) if self.capture_rank_stats else None
+            q = k = v = None
+            head_out = None
+            attn_out = fused_attention(qkv_raw, head_gate, num_heads=H)
+        else:
+            qkv = qkv_raw.reshape(B, N, 3, H, dh).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
 
-        # Head gate before the output projection (de_vit.py:77-79).
-        attn_out = attn_out * head_gate.astype(self.dtype)[None, :, None, None]
-        attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, N, C)
+            logits = jnp.einsum(
+                "bhnd,bhmd->bhnm", q, k, preferred_element_type=self.softmax_dtype
+            ) * jnp.asarray(dh ** -0.5, self.softmax_dtype)
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            if cfg.attn_drop_rate > 0 and not self.deterministic:
+                probs = nn.Dropout(cfg.attn_drop_rate, deterministic=False)(probs)
+            attn_out = jnp.einsum("bhnm,bhmd->bhnd", probs, v)  # (B,H,N,dh)
+
+            head_out = attn_out.transpose(0, 2, 1, 3) if self.capture_rank_stats else None
+
+            # Head gate before the output projection (de_vit.py:77-79).
+            attn_out = attn_out * head_gate.astype(self.dtype)[None, :, None, None]
+            attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, N, A)
         attn_out = nn.Dense(C, dtype=self.dtype, kernel_init=trunc_init, name="proj")(attn_out)
         if cfg.drop_rate > 0 and not self.deterministic:
             attn_out = nn.Dropout(cfg.drop_rate, deterministic=False)(attn_out)
@@ -169,7 +192,7 @@ class Block(nn.Module):
         att_residual = x  # reference captures the post-attention output? see below
 
         # ---- MLP ----
-        h = LayerNorm(eps=cfg.layer_norm_eps, name="norm2")(x)
+        h = LayerNorm(eps=cfg.layer_norm_eps, stat_dtype=self.norm_dtype, name="norm2")(x)
         h = nn.Dense(cfg.hidden_dim, dtype=self.dtype, kernel_init=trunc_init, name="fc1")(h)
         h = nn.gelu(h, approximate=False)
         if cfg.drop_rate > 0 and not self.deterministic:
@@ -226,6 +249,11 @@ class VisionTransformer(nn.Module):
 
     cfg: ViTConfig
     dtype: Any = jnp.bfloat16
+    # inference-speed mode: bf16 softmax + bf16 LayerNorm statistics.
+    # Training keeps fp32 for both (the bf16 analogue of the reference's AMP
+    # policy, which also kept softmax/LN in fp32).
+    fast_math: bool = False
+    use_pallas: bool = False  # fused attention kernel on the inference path
 
     @nn.compact
     def __call__(
@@ -289,6 +317,7 @@ class VisionTransformer(nn.Module):
         layer_ids = jnp.arange(cfg.depth)
         qkv_slot = jnp.zeros((3, B, cfg.num_heads, cfg.seq_len, cfg.head_dim), self.dtype)
 
+        stat_dtype = self.dtype if self.fast_math else jnp.float32
         ScanBlocks = nn.scan(
             Block,
             variable_axes={"params": 0},
@@ -305,10 +334,13 @@ class VisionTransformer(nn.Module):
             capture_block_outputs=capture_block_outputs,
             capture_rank_stats=capture_rank_stats,
             dtype=self.dtype,
+            softmax_dtype=stat_dtype,
+            norm_dtype=stat_dtype,
+            use_pallas=self.use_pallas,
             name="blocks",
         )((x, qkv_slot), (gates.head, gates.neuron, dp_rates, layer_ids))
 
-        x = LayerNorm(eps=cfg.layer_norm_eps, name="norm")(x)
+        x = LayerNorm(eps=cfg.layer_norm_eps, stat_dtype=stat_dtype, name="norm")(x)
 
         cls_feat = x[:, 0]
         dist_feat = x[:, 1] if cfg.distilled else None
@@ -375,4 +407,7 @@ class VisionTransformer(nn.Module):
 
 def create_vit(name: str, **overrides) -> VisionTransformer:
     dtype = overrides.pop("dtype", jnp.bfloat16)
-    return VisionTransformer(get_vit_config(name, **overrides), dtype=dtype)
+    fast_math = overrides.pop("fast_math", False)
+    use_pallas = overrides.pop("use_pallas", False)
+    return VisionTransformer(get_vit_config(name, **overrides), dtype=dtype,
+                             fast_math=fast_math, use_pallas=use_pallas)

@@ -1,0 +1,120 @@
+"""Host-side epoch orchestration shared by all training stages.
+
+Parity surface: the per-epoch skeleton of train_subdata.main (epoch loop
+:441-499 — sampler.set_epoch, train epoch, per-epoch temp checkpoint, eval,
+best-accuracy checkpoint, jsonl stats) and the NaN guard (engine.py:119-121 —
+the reference sys.exit(1)s; we raise).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from devit_tpu.io.checkpoint import save_checkpoint
+from devit_tpu.train.meters import MetricLogger
+
+
+class NonFiniteLossError(RuntimeError):
+    pass
+
+
+def run_eval(
+    eval_step: Callable, variables, gates, batches: Iterable, *, prepare=None
+) -> Dict[str, float]:
+    """Aggregate summed counters over the val set -> {'acc1','acc5','loss'}."""
+    totals = {"loss_sum": 0.0, "top1": 0, "top5": 0, "count": 0}
+    for images, labels in batches:
+        if prepare is not None:
+            images = prepare(images)
+        out = jax.device_get(eval_step(variables, gates, images, labels))
+        for k in totals:
+            totals[k] += float(out[k])
+    n = max(totals["count"], 1)
+    return {
+        "acc1": 100.0 * totals["top1"] / n,
+        "acc5": 100.0 * totals["top5"] / n,
+        "loss": totals["loss_sum"] / n,
+    }
+
+
+def train_epoch(
+    step_fn: Callable,
+    carry,
+    batches: Iterable,
+    rng,
+    *,
+    epoch: int,
+    log_fn=print,
+    print_freq: int = 10,
+    nan_abort: bool = True,
+):
+    """One epoch. `step_fn(carry, images, labels, rng) -> (carry, metrics)`.
+    `carry` is whatever state tuple the stage threads through."""
+    logger = MetricLogger(log_fn=log_fn)
+    header = f"Epoch: [{epoch}]"
+    for i, (images, labels) in enumerate(logger.log_every(batches, print_freq, header)):
+        rng, sub = jax.random.split(rng)
+        carry, metrics = step_fn(carry, images, labels, sub)
+        host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        if nan_abort and not math.isfinite(host.get("loss", 0.0)):
+            raise NonFiniteLossError(f"Loss is {host.get('loss')}, stopping training")
+        logger.update(**host)
+    return carry, logger.averages(), rng
+
+
+def fit(
+    *,
+    carry,
+    step_fn: Callable,
+    train_batches_fn: Callable[[int], Iterable],
+    eval_fn: Callable[[object], Dict[str, float]],
+    epochs: int,
+    rng,
+    output_dir: Optional[str] = None,
+    log_fn=print,
+    save_state_fn: Optional[Callable] = None,
+    start_epoch: int = 0,
+):
+    """Standard stage driver: epoch loop + eval + best checkpointing + stats.
+
+    - train_batches_fn(epoch) -> iterable of (images, labels)
+    - eval_fn(carry) -> metrics dict with 'acc1'
+    - save_state_fn(path, carry, epoch) persists resumable state
+    """
+    best_acc = -1.0
+    stats_path = os.path.join(output_dir, "log_stats.txt") if output_dir else None
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+    for epoch in range(start_epoch, epochs):
+        t0 = time.time()
+        carry, train_stats, rng = train_epoch(
+            step_fn, carry, train_batches_fn(epoch), rng, epoch=epoch, log_fn=log_fn
+        )
+        if output_dir and save_state_fn is not None:
+            save_state_fn(os.path.join(output_dir, "checkpoint_temp.msgpack"), carry, epoch)
+        eval_stats = eval_fn(carry)
+        log_fn(
+            f"epoch {epoch}: train loss {train_stats.get('loss', float('nan')):.4f} "
+            f"val acc1 {eval_stats['acc1']:.2f} acc5 {eval_stats['acc5']:.2f} "
+            f"({time.time() - t0:.1f}s)"
+        )
+        if eval_stats["acc1"] > best_acc:
+            best_acc = eval_stats["acc1"]
+            if output_dir and save_state_fn is not None:
+                save_state_fn(os.path.join(output_dir, "checkpoint.msgpack"), carry, epoch)
+            if output_dir:
+                with open(os.path.join(output_dir, "result.txt"), "a") as f:
+                    f.write(json.dumps({"epoch": epoch, "best_acc1": best_acc}) + "\n")
+        if stats_path:
+            with open(stats_path, "a") as f:
+                f.write(json.dumps(
+                    {"epoch": epoch, **{f"train_{k}": v for k, v in train_stats.items()},
+                     **{f"test_{k}": v for k, v in eval_stats.items()}}) + "\n")
+    return carry, best_acc

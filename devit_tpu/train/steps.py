@@ -45,7 +45,7 @@ def make_eval_step(model: VisionTransformer, *, use_pallas: bool = False):
         logits = out.logits
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-        _, pred5 = jax.lax.top_k(logits, 5)
+        _, pred5 = jax.lax.top_k(logits, min(5, logits.shape[-1]))
         hit = pred5 == labels[:, None]
         return {
             "loss_sum": jnp.sum(nll),
@@ -268,7 +268,7 @@ def make_ensemble_eval_step(backbone: VisionTransformer, ens_model: EnsMLP):
         logits = out.logits
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-        _, pred5 = jax.lax.top_k(logits, 5)
+        _, pred5 = jax.lax.top_k(logits, min(5, logits.shape[-1]))
         hit = pred5 == labels[:, None]
         return {
             "loss_sum": jnp.sum(nll),

@@ -1,0 +1,143 @@
+"""CCT backbone tests: tokenizer geometry, forward surface, ensemble path,
+and torch parity of the conv tokenizer + encoder layer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from devit_tpu.configs import get_cct_config
+from devit_tpu.models.cct import CCT, Tokenizer, create_cct, sinusoidal_embedding
+from devit_tpu.models.ensemble import EnsembleCCT, multicct_features
+from devit_tpu.models.vit import Gates
+
+
+def test_config_names_and_seq_len():
+    cfg = get_cct_config("cct_7_3x1_32")
+    assert cfg.kernel_size == 3 and cfg.n_conv_layers == 1 and cfg.img_size == 32
+    assert cfg.num_layers == 7 and cfg.embed_dim == 256
+    # closed-form sequence length must match an actual tokenizer forward
+    model = Tokenizer(cfg, dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.shape[1] == cfg.sequence_length()
+
+    cfg2 = get_cct_config("cct_7_7x2_224")
+    model2 = Tokenizer(cfg2, dtype=jnp.float32)
+    x2 = jnp.zeros((1, 224, 224, 3))
+    params2 = model2.init(jax.random.key(0), x2)
+    assert model2.apply(params2, x2).shape[1] == cfg2.sequence_length()
+
+
+def test_cct_forward_and_captures():
+    model = create_cct("cct_2_3x1_32", num_classes=10, dtype=jnp.float32,
+                       stochastic_depth=0.0, attention_dropout=0.0)
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = model.init(jax.random.key(0), x, capture_qkv="middle", capture_outputs=True)
+    out = model.apply(variables, x, capture_qkv="middle", capture_outputs=True)
+    cfg = model.cfg
+    N = cfg.sequence_length()
+    assert out.logits.shape == (2, 10)
+    assert out.pooled.shape == (2, cfg.embed_dim)
+    assert out.attn.shape == (cfg.num_layers, 2, N, cfg.embed_dim)
+    assert out.qkv.shape == (3, 2, cfg.num_heads, N, cfg.embed_dim // cfg.num_heads)
+
+
+def test_cct_backbone_and_ensemble():
+    model = create_cct("decct_2_3x1", img_size=32, dtype=jnp.float32,
+                       stochastic_depth=0.0, attention_dropout=0.0)
+    assert model.cfg.backbone
+    x = jnp.zeros((2, 32, 32, 3))
+    v0 = model.init(jax.random.key(0), x)
+    v1 = model.init(jax.random.key(1), x)
+    stacked = jax.tree_util.tree_map(lambda *a: jnp.stack(a), v0, v1)
+    feats = multicct_features(model, stacked, x)
+    assert feats.shape == (2, 2, model.cfg.embed_dim)
+
+    ens = EnsembleCCT(num_classes=10, sub_size=model.cfg.embed_dim,
+                      num_divisions=2, teacher_size=64, dtype=jnp.float32)
+    ev = ens.init(jax.random.key(2), feats, distill=True, train=True)
+    out = ens.apply(ev, feats, distill=True, train=True)
+    assert out.logits.shape == (2, 10)
+    assert out.ens_tokens.shape == (2, 64)
+
+
+def test_sinusoidal_embedding_matches_reference_formula():
+    pe = sinusoidal_embedding(5, 8)
+    ref = torch.FloatTensor(
+        [[p / (10000 ** (2 * (i // 2) / 8)) for i in range(8)] for p in range(5)]
+    )
+    ref[:, 0::2] = torch.sin(ref[:, 0::2])
+    ref[:, 1::2] = torch.cos(ref[:, 1::2])
+    np.testing.assert_allclose(pe[0], ref.numpy(), rtol=1e-5)
+
+
+class TorchCCTStage(nn.Module):
+    """Torch fixture: one tokenizer stage + one encoder layer, reference
+    semantics (tokenizer.py:24-44, transformers.py:73-113)."""
+
+    def __init__(self, dim=32, heads=2, k=3, s=1, p=1):
+        super().__init__()
+        self.conv = nn.Conv2d(3, dim, k, s, p, bias=False)
+        self.pre_norm = nn.LayerNorm(dim)
+        self.qkv = nn.Linear(dim, dim * 3, bias=False)
+        self.proj = nn.Linear(dim, dim)
+        self.norm1 = nn.LayerNorm(dim)
+        self.linear1 = nn.Linear(dim, dim * 2)
+        self.linear2 = nn.Linear(dim * 2, dim)
+        self.heads = heads
+
+    def forward(self, x):
+        x = F.relu(self.conv(x))
+        x = F.max_pool2d(x, 3, 2, 1)
+        x = x.flatten(2).transpose(1, 2)
+        B, N, C = x.shape
+        h = self.pre_norm(x)
+        qkv = self.qkv(h).reshape(B, N, 3, self.heads, C // self.heads).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q @ k.transpose(-2, -1)) * (C // self.heads) ** -0.5
+        a = (attn.softmax(-1) @ v).transpose(1, 2).reshape(B, N, C)
+        x = x + self.proj(a)
+        h2 = self.norm1(x)
+        x = x + self.linear2(F.gelu(self.linear1(h2)))
+        return x
+
+
+def test_cct_layer_parity_with_torch():
+    tm = TorchCCTStage().eval()
+    cfg = get_cct_config(
+        "cct_2", img_size=8, embed_dim=32, num_heads=2, mlp_ratio=2.0,
+        n_conv_layers=1, kernel_size=3, stride=1, padding=1, num_layers=1,
+        positional_embedding="none", stochastic_depth=0.0, attention_dropout=0.0,
+        dropout=0.0, num_classes=5, seq_pool=True,
+    )
+    model = CCT(cfg, dtype=jnp.float32)
+    x8 = np.random.default_rng(0).normal(size=(2, 8, 8, 3)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(x8))
+
+    # copy torch weights into our pytree
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    p["tokenizer"]["conv0"]["kernel"] = tm.conv.weight.detach().numpy().transpose(2, 3, 1, 0)
+    blk = p["blocks"]
+    blk["pre_norm"]["scale"] = np.stack([tm.pre_norm.weight.detach().numpy()])
+    blk["pre_norm"]["bias"] = np.stack([tm.pre_norm.bias.detach().numpy()])
+    blk["qkv"]["kernel"] = np.stack([tm.qkv.weight.detach().numpy().T])
+    blk["proj"]["kernel"] = np.stack([tm.proj.weight.detach().numpy().T])
+    blk["proj"]["bias"] = np.stack([tm.proj.bias.detach().numpy()])
+    blk["norm1"]["scale"] = np.stack([tm.norm1.weight.detach().numpy()])
+    blk["norm1"]["bias"] = np.stack([tm.norm1.bias.detach().numpy()])
+    blk["linear1"]["kernel"] = np.stack([tm.linear1.weight.detach().numpy().T])
+    blk["linear1"]["bias"] = np.stack([tm.linear1.bias.detach().numpy()])
+    blk["linear2"]["kernel"] = np.stack([tm.linear2.weight.detach().numpy().T])
+    blk["linear2"]["bias"] = np.stack([tm.linear2.bias.detach().numpy()])
+
+    with torch.no_grad():
+        t_tokens = tm(torch.tensor(x8.transpose(0, 3, 1, 2))).numpy()
+
+    # capture our final hidden states (pre-final-norm) via capture_outputs
+    out = model.apply({"params": jax.tree_util.tree_map(jnp.asarray, p)},
+                      jnp.asarray(x8), capture_outputs=True)
+    np.testing.assert_allclose(np.asarray(out.hidden[0]), t_tokens, rtol=2e-4, atol=2e-5)

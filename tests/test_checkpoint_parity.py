@@ -1,0 +1,177 @@
+"""Numeric parity: torch reference-architecture ViT vs our model on converted
+weights. This is the test that pins qkv reshape order, patch flatten order,
+GELU variant (exact erf), LayerNorm eps, head-gate/neuron-gate placement, and
+the eval-time dual-head mean — the whole forward semantics of reference
+models/de_vit.py — to float tolerance.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from devit_tpu.configs import get_vit_config
+from devit_tpu.io.checkpoint import resize_pos_embed, torch_vit_to_params
+from devit_tpu.models.vit import Gates, VisionTransformer
+
+torch.manual_seed(0)
+
+
+class TorchBlock(nn.Module):
+    """Pre-norm block with gate hooks, matching reference de_vit.py:21-121."""
+
+    def __init__(self, dim, heads, hidden):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.qkv = nn.Linear(dim, dim * 3, bias=True)
+        self.proj = nn.Linear(dim, dim)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.fc1 = nn.Linear(dim, hidden)
+        self.fc2 = nn.Linear(hidden, dim)
+        self.heads = heads
+
+    def forward(self, x, head_gate, neuron_gate):
+        B, N, C = x.shape
+        h = self.norm1(x)
+        qkv = self.qkv(h).reshape(B, N, 3, self.heads, C // self.heads).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q @ k.transpose(-2, -1)) * (C // self.heads) ** -0.5
+        attn = attn.softmax(dim=-1)
+        o = (attn @ v).transpose(1, 2)  # B,N,H,dh
+        o = o * head_gate.view(1, 1, self.heads, 1)
+        o = o.reshape(B, N, C)
+        x = x + self.proj(o)
+        h = self.norm2(x)
+        h = F.gelu(self.fc1(h))  # exact gelu, like torch nn.GELU default
+        h = h * neuron_gate.view(1, 1, -1)
+        x = x + self.fc2(h)
+        return x, (q, k, v)
+
+
+class TorchViT(nn.Module):
+    def __init__(self, img=32, patch=8, dim=64, depth=3, heads=4, classes=10, distilled=True):
+        super().__init__()
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, dim, patch, patch)
+        n = (img // patch) ** 2 + (2 if distilled else 1)
+        self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.dist_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02) if distilled else None
+        self.pos_embed = nn.Parameter(torch.randn(1, n, dim) * 0.02)
+        hidden = dim * 4
+        self.blocks = nn.ModuleList([TorchBlock(dim, heads, hidden) for _ in range(depth)])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.head = nn.Linear(dim, classes)
+        self.head_dist = nn.Linear(dim, classes) if distilled else None
+        self.depth, self.heads = depth, heads
+
+    def forward(self, x, head_gates=None, neuron_gates=None):
+        B = x.shape[0]
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        toks = [self.cls_token.expand(B, -1, -1)]
+        if self.dist_token is not None:
+            toks.append(self.dist_token.expand(B, -1, -1))
+        x = torch.cat(toks + [x], dim=1) + self.pos_embed
+        qkvs = []
+        for i, blk in enumerate(self.blocks):
+            hg = head_gates[i] if head_gates is not None else torch.ones(self.heads)
+            ng = neuron_gates[i] if neuron_gates is not None else torch.ones(blk.fc1.out_features)
+            x, qkv = blk(x, hg, ng)
+            qkvs.append(qkv)
+        x = self.norm(x)
+        cls_logits = self.head(x[:, 0])
+        if self.head_dist is not None:
+            dist_logits = self.head_dist(x[:, 1])
+            return (cls_logits + dist_logits) / 2, qkvs
+        return cls_logits, qkvs
+
+    def flat_state_dict(self):
+        sd = {}
+        for k, v in self.state_dict().items():
+            sd[k.replace(".proj.weight", ".proj.weight") if False else k] = v
+        # rename block keys into reference layout: blocks.i.attn.qkv etc.
+        out = {}
+        for k, v in sd.items():
+            k = k.replace("blocks.", "BLK.")
+            k = (
+                k.replace("BLK.", "blocks.")
+                .replace(".qkv.", ".attn.qkv.")
+                .replace(".proj.", ".attn.proj.")
+                .replace(".fc1.", ".mlp.fc1.")
+                .replace(".fc2.", ".mlp.fc2.")
+            )
+            # careful: patch_embed.proj was renamed by the .proj rule; undo
+            k = k.replace("patch_embed.attn.proj", "patch_embed.proj")
+            out[k] = v.detach().numpy()
+        return out
+
+
+def build_pair(distilled=True):
+    tm = TorchViT(distilled=distilled).eval()
+    cfg = get_vit_config(
+        "dedeit" if distilled else "devit",
+        img_size=32, patch_size=8, embed_dim=64, depth=3, num_heads=4, num_classes=10,
+    )
+    jm = VisionTransformer(cfg, dtype=jnp.float32)
+    params = torch_vit_to_params(tm.flat_state_dict(), depth=3)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return tm, jm, {"params": params}
+
+
+def test_forward_parity_eval():
+    tm, jm, variables = build_pair()
+    x = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_logits, _ = tm(torch.tensor(x.transpose(0, 3, 1, 2)))
+    j_out = jm.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(j_out.logits), t_logits.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_forward_parity_with_gates():
+    tm, jm, variables = build_pair()
+    rng = np.random.default_rng(1)
+    hg = (rng.uniform(size=(3, 4)) > 0.4).astype(np.float32)
+    ng = (rng.uniform(size=(3, 256)) > 0.5).astype(np.float32)
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_logits, _ = tm(
+            torch.tensor(x.transpose(0, 3, 1, 2)),
+            head_gates=torch.tensor(hg), neuron_gates=torch.tensor(ng),
+        )
+    j_out = jm.apply(variables, jnp.asarray(x), gates=Gates(jnp.asarray(hg), jnp.asarray(ng)))
+    np.testing.assert_allclose(np.asarray(j_out.logits), t_logits.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_qkv_capture_parity():
+    tm, jm, variables = build_pair()
+    x = np.random.default_rng(2).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        _, t_qkvs = tm(torch.tensor(x.transpose(0, 3, 1, 2)))
+    j_out = jm.apply(variables, jnp.asarray(x), capture_qkv="all")
+    for layer in range(3):
+        for i in range(3):
+            np.testing.assert_allclose(
+                np.asarray(j_out.qkv[layer, i]), t_qkvs[layer][i].numpy(),
+                rtol=2e-4, atol=2e-5,
+            )
+
+
+def test_undistilled_parity():
+    tm, jm, variables = build_pair(distilled=False)
+    x = np.random.default_rng(3).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_logits, _ = tm(torch.tensor(x.transpose(0, 3, 1, 2)))
+    j_out = jm.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(j_out.logits), t_logits.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_resize_pos_embed_roundtrip():
+    pe = np.random.default_rng(4).normal(size=(1, 2 + 16, 8)).astype(np.float32)
+    out = resize_pos_embed(pe, new_seq_len=2 + 64, num_prefix_tokens=2)
+    assert out.shape == (1, 66, 8)
+    np.testing.assert_allclose(out[:, :2], pe[:, :2])  # prefix tokens untouched
+    same = resize_pos_embed(pe, new_seq_len=2 + 16, num_prefix_tokens=2)
+    np.testing.assert_allclose(same, pe)

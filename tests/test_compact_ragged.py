@@ -1,0 +1,55 @@
+"""Ragged compaction equivalence (per-layer exact widths)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from devit_tpu.configs import get_vit_config
+from devit_tpu.models.compact_vit import compact_forward, compact_vit_ragged
+from devit_tpu.models.vit import Gates, VisionTransformer
+
+CFG = get_vit_config("dedeit", img_size=32, patch_size=8, embed_dim=64,
+                     depth=3, num_heads=4, num_classes=9)
+
+
+def test_ragged_compact_matches_gated_model():
+    model = VisionTransformer(CFG, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    params = model.init(jax.random.key(1), x)["params"]
+    rng = np.random.default_rng(3)
+    head = np.zeros((3, 4), np.float32)
+    neuron = np.zeros((3, 256), np.float32)
+    for l, (hk, nk) in enumerate([(1, 50), (4, 200), (2, 120)]):
+        head[l, rng.choice(4, hk, replace=False)] = 1
+        neuron[l, rng.choice(256, nk, replace=False)] = 1
+    gates = Gates(jnp.asarray(head), jnp.asarray(neuron))
+
+    ref = model.apply({"params": params}, x, gates=gates)
+    cm = compact_vit_ragged(params, gates, CFG, neuron_multiple=8)
+    # per-layer widths are exact (rounded to 8)
+    assert [lp["num_heads"] for lp in cm.layers] == [1, 4, 2]
+    assert [lp["fc1_kernel"].shape[1] for lp in cm.layers] == [56, 200, 120]
+
+    logits = compact_forward(cm, x, patch_size=8, dtype=jnp.float32,
+                             use_pallas=False, fast_math=False)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref.logits),
+                               rtol=1e-4, atol=1e-4)
+
+    cls, dist = compact_forward(cm, x, patch_size=8, dtype=jnp.float32,
+                                use_pallas=False, fast_math=False, features_only=True)
+    np.testing.assert_allclose(np.asarray(cls), np.asarray(ref.cls_feat),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dist), np.asarray(ref.dist_feat),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ragged_compact_jits():
+    model = VisionTransformer(CFG, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(5), (2, 32, 32, 3))
+    params = model.init(jax.random.key(6), x)["params"]
+    gates = Gates(jnp.ones((3, 4)).at[0, 0].set(0), jnp.ones((3, 256)))
+    cm = compact_vit_ragged(params, gates, CFG, neuron_multiple=8)
+    f = jax.jit(lambda xx: compact_forward(cm, xx, patch_size=8, dtype=jnp.float32,
+                                           use_pallas=False, fast_math=False))
+    out = f(x)
+    assert out.shape == (2, 9) and np.isfinite(np.asarray(out)).all()

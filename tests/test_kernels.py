@@ -1,0 +1,57 @@
+"""Pallas kernel parity tests (interpret mode on CPU; the same code compiles
+with Mosaic on TPU — verified on-chip in bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from devit_tpu.configs import get_vit_config
+from devit_tpu.kernels.attention import fused_attention, reference_attention
+from devit_tpu.models.vit import Gates, VisionTransformer
+
+
+def test_fused_attention_matches_reference():
+    B, N, H, dh = 4, 18, 3, 8
+    qkv = jax.random.normal(jax.random.key(0), (B, N, 3 * H * dh), jnp.float32)
+    gate = jnp.ones((H,)).at[1].set(0.0)
+    out = fused_attention(qkv, gate, num_heads=H, block_b=2, interpret=True)
+    ref = reference_attention(qkv, gate, num_heads=H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_attention_no_gate_and_remainder_batch():
+    B, N, H, dh = 5, 10, 2, 8  # B not divisible by block_b
+    qkv = jax.random.normal(jax.random.key(1), (B, N, 3 * H * dh), jnp.float32)
+    out = fused_attention(qkv, None, num_heads=H, block_b=2, interpret=True)
+    ref = reference_attention(qkv, None, num_heads=H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_model_pallas_path_matches_xla_path():
+    cfg = get_vit_config("dedeit", img_size=32, patch_size=8, embed_dim=64,
+                         depth=2, num_heads=4, num_classes=7)
+    x = jax.random.normal(jax.random.key(2), (2, 32, 32, 3))
+    m_xla = VisionTransformer(cfg, dtype=jnp.float32)
+    m_pal = VisionTransformer(cfg, dtype=jnp.float32, use_pallas=True)
+    v = m_xla.init(jax.random.key(0), x)
+    gates = Gates(
+        head=jnp.ones((2, 4)).at[0, 1].set(0.0),
+        neuron=jnp.ones((2, 256)).at[1, :100].set(0.0),
+    )
+    a = m_xla.apply(v, x, gates=gates).logits
+    b = m_pal.apply(v, x, gates=gates).logits
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_path_vmaps_over_divisions():
+    cfg = get_vit_config("dedeit", img_size=32, patch_size=8, embed_dim=64,
+                         depth=2, num_heads=4, num_classes=7)
+    m = VisionTransformer(cfg, dtype=jnp.float32, use_pallas=True)
+    x = jax.random.normal(jax.random.key(3), (2, 32, 32, 3))
+    v0 = m.init(jax.random.key(0), x)
+    v1 = m.init(jax.random.key(1), x)
+    stacked = jax.tree_util.tree_map(lambda *a: jnp.stack(a), v0, v1)
+    feats = jax.vmap(lambda vv: m.apply(vv, x, features_only=True).cls_feat)(stacked)
+    assert feats.shape == (2, 2, 64)
+    single = m.apply(v1, x, features_only=True).cls_feat
+    np.testing.assert_allclose(np.asarray(feats[1]), np.asarray(single), rtol=1e-4, atol=1e-5)
