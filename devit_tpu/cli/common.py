@@ -226,3 +226,22 @@ def setup(args):
     os.makedirs(args.output_dir, exist_ok=True)
     log = create_logger(args.output_dir)
     return log
+
+
+def make_data_parallel():
+    """Multi-chip data parallelism: returns a batch-placement fn. With one
+    device it's a no-op; with N devices batches are sharded over a ('data',)
+    mesh and jit propagates the sharding — the DDP replacement
+    (dist_utils.py:215-237 -> Mesh + NamedSharding, SURVEY.md §2.7)."""
+    from devit_tpu.parallel import mesh as M
+
+    if jax.device_count() <= 1:
+        return lambda tree: tree
+    mesh = M.data_mesh()
+
+    def place(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, M.batch_sharding(mesh)), tree
+        )
+
+    return place

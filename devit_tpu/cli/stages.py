@@ -35,6 +35,28 @@ from devit_tpu.train.optim import make_optimizer
 from devit_tpu.train.state import TrainState
 
 
+
+
+def _try_resume(args, state, log):
+    """Restore {params, ema, opt_state, epoch} from --resume (the
+    checkpoint_temp.msgpack written every epoch — train_subdata.py:450-459
+    semantics). Returns (state, start_epoch)."""
+    if not args.resume:
+        return state, 0
+    tpl = {"params": state.params, "ema_params": state.ema_params,
+           "opt_state": state.opt_state, "epoch": np.int32(0)}
+    ckpt = restore_pytree(args.resume, tpl)
+    state = state.replace(
+        params=ckpt["params"],
+        ema_params=ckpt.get("ema_params", state.ema_params),
+        opt_state=ckpt.get("opt_state", state.opt_state),
+        step=state.step,
+    )
+    start_epoch = int(ckpt.get("epoch", -1)) + 1
+    log.info(f"resumed from {args.resume} at epoch {start_epoch}")
+    return state, start_epoch
+
+
 # ------------------------------------------------------------------ split
 
 
@@ -122,6 +144,8 @@ def train_sub_main(args) -> float:
         save_pytree(path, {"params": state.params, "ema_params": state.ema_params,
                            "opt_state": state.opt_state, "epoch": np.int32(epoch)})
 
+    state, start_epoch = _try_resume(args, state, log)
+
     if args.eval:
         m = eval_fn(state)
         log.info(f"eval only: acc1 {m['acc1']:.2f}")
@@ -137,6 +161,7 @@ def train_sub_main(args) -> float:
         carry=state, step_fn=step_fn, train_batches_fn=train_batches, eval_fn=eval_fn,
         epochs=args.epochs, rng=jax.random.key(args.seed + 1),
         output_dir=args.output_dir, log_fn=log.info, save_state_fn=save_state,
+        start_epoch=start_epoch,
     )
     log.info(f"best acc1: {best:.2f}")
     return best
@@ -293,9 +318,12 @@ def distill_main(args) -> float:
 
     def save_state(path, state, epoch):
         save_pytree(path, {"params": state.params, "ema_params": state.ema_params,
+                           "opt_state": state.opt_state,
                            "gates": {"head": np.asarray(gates.head),
                                      "neuron": np.asarray(gates.neuron)},
                            "epoch": np.int32(epoch)})
+
+    state, start_epoch = _try_resume(args, state, log)
 
     def train_batches(epoch):
         it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed,
@@ -307,6 +335,7 @@ def distill_main(args) -> float:
         carry=state, step_fn=step_fn, train_batches_fn=train_batches, eval_fn=eval_fn,
         epochs=args.epochs, rng=jax.random.key(args.seed + 1),
         output_dir=args.output_dir, log_fn=log.info, save_state_fn=save_state,
+        start_epoch=start_epoch,
     )
     log.info(f"DEKD best acc1: {best:.2f}")
     return best

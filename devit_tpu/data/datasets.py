@@ -134,11 +134,30 @@ def build_dataset(
         split = "train" if train else "val"
         return load_image_folder(os.path.join(data_path, split), img_size)
     if name in ("flowers", "cars", "pets"):
+        # standard extracted archives first (reference data/datasets.py layouts),
+        # then a plain image-folder tree as fallback
+        from devit_tpu.data import fine_grained as FG
+
         split = "train" if train else "test"
+        loader = {"flowers": FG.load_flowers102, "cars": FG.load_stanford_cars,
+                  "pets": FG.load_oxford_pets}[name]
+        try:
+            return loader(data_path, split, img_size)
+        except FileNotFoundError:
+            pass
         root = os.path.join(data_path, name, split)
         if os.path.isdir(root):
             return load_image_folder(root, img_size)
-        raise FileNotFoundError(f"{name} expected as an image-folder tree at {root}")
+        raise FileNotFoundError(
+            f"{name}: neither the standard archive layout under {data_path} nor "
+            f"an image-folder tree at {root} was found"
+        )
+    if name in ("INAT", "INAT19"):
+        from devit_tpu.data import fine_grained as FG
+
+        year = 2018 if name == "INAT" else 2019
+        return FG.load_inat(data_path, "train" if train else "val", year=year,
+                            img_size=img_size)
     raise KeyError(f"unknown dataset {name!r}")
 
 

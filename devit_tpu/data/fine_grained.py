@@ -1,0 +1,129 @@
+"""Fine-grained dataset readers: Flowers-102, Stanford Cars, Oxford-IIIT Pet,
+iNaturalist.
+
+Parity surface: reference `data/datasets.py` — vendored torchvision datasets
+`Flowers102` (:20-131), `StanfordCars` (:134-246), `OxfordIIITPet` (:249-363),
+`INatDataset` (:366-404). Those classes download + verify archives; this
+environment has no egress, so these readers consume the standard extracted
+on-disk layouts and decode to `ArrayDataset` (resized uint8, cached as .npz).
+
+Class counts (reference get_dataset.py:17-58): flowers 102, cars 196, pets 37.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+from devit_tpu.data.datasets import ArrayDataset
+
+
+def _decode(paths: List[str], labels: List[int], num_classes: int,
+            img_size: int, cache_path: str) -> ArrayDataset:
+    if os.path.exists(cache_path):
+        z = np.load(cache_path)
+        return ArrayDataset(z["images"], z["labels"], int(z["num_classes"]))
+    from PIL import Image
+
+    images = []
+    kept_labels = []
+    for p, l in zip(paths, labels):
+        try:
+            with Image.open(p) as im:
+                im = im.convert("RGB").resize((img_size, img_size), Image.BICUBIC)
+                images.append(np.asarray(im, dtype=np.uint8))
+                kept_labels.append(l)
+        except Exception:
+            continue
+    ds = ArrayDataset(np.stack(images), np.asarray(kept_labels, np.int64), num_classes)
+    np.savez(cache_path, images=ds.images, labels=ds.labels, num_classes=num_classes)
+    return ds
+
+
+def load_flowers102(root: str, split: str, img_size: int = 224) -> ArrayDataset:
+    """Standard layout: root/flowers-102/{jpg/image_%05d.jpg, imagelabels.mat,
+    setid.mat}. Train split = train+val like the reference splitter
+    (splite_dataset.py:39-43); labels shifted to 0-based."""
+    from scipy.io import loadmat
+
+    base = os.path.join(root, "flowers-102")
+    labels_all = loadmat(os.path.join(base, "imagelabels.mat"))["labels"][0] - 1
+    setid = loadmat(os.path.join(base, "setid.mat"))
+    split_ids = {
+        "train": np.concatenate([setid["trnid"][0], setid["valid"][0]]),
+        "trainonly": setid["trnid"][0],
+        "val": setid["valid"][0],
+        "test": setid["tstid"][0],
+    }[split]
+    paths = [os.path.join(base, "jpg", f"image_{i:05d}.jpg") for i in split_ids]
+    labels = [int(labels_all[i - 1]) for i in split_ids]
+    return _decode(paths, labels, 102, img_size,
+                   os.path.join(base, f".devit_{split}_{img_size}.npz"))
+
+
+def load_stanford_cars(root: str, split: str, img_size: int = 224) -> ArrayDataset:
+    """Standard layout: root/stanford_cars/{cars_train, cars_test,
+    devkit/cars_train_annos.mat, cars_test_annos_withlabels.mat}."""
+    from scipy.io import loadmat
+
+    base = os.path.join(root, "stanford_cars")
+    if split == "train":
+        annos = loadmat(os.path.join(base, "devkit", "cars_train_annos.mat"))
+        img_dir = os.path.join(base, "cars_train")
+    else:
+        annos = loadmat(os.path.join(base, "cars_test_annos_withlabels.mat"))
+        img_dir = os.path.join(base, "cars_test")
+    paths, labels = [], []
+    for a in annos["annotations"][0]:
+        labels.append(int(a["class"][0, 0]) - 1)
+        paths.append(os.path.join(img_dir, str(a["fname"][0])))
+    return _decode(paths, labels, 196, img_size,
+                   os.path.join(base, f".devit_{split}_{img_size}.npz"))
+
+
+def load_oxford_pets(root: str, split: str, img_size: int = 224) -> ArrayDataset:
+    """Standard layout: root/oxford-iiit-pet/{images, annotations/{trainval.txt,
+    test.txt}}; label = breed id (1-37) - 1."""
+    base = os.path.join(root, "oxford-iiit-pet")
+    ann = os.path.join(base, "annotations",
+                       "trainval.txt" if split == "train" else "test.txt")
+    paths, labels = [], []
+    with open(ann) as f:
+        for line in f:
+            name, class_id, *_ = line.strip().split()
+            paths.append(os.path.join(base, "images", name + ".jpg"))
+            labels.append(int(class_id) - 1)
+    return _decode(paths, labels, 37, img_size,
+                   os.path.join(base, f".devit_{split}_{img_size}.npz"))
+
+
+def load_inat(root: str, split: str, year: int = 2018, category: str = "name",
+              img_size: int = 224) -> ArrayDataset:
+    """iNaturalist layout (reference INatDataset, datasets.py:366-404):
+    root/train{year}.json + categories.json; label space defined by the chosen
+    category field."""
+    ann_file = os.path.join(root, f"{'train' if split == 'train' else 'val'}{year}.json")
+    with open(ann_file) as f:
+        data = json.load(f)
+    with open(os.path.join(root, "categories.json")) as f:
+        categories = json.load(f)
+
+    targeter = {}
+    for c in categories:
+        key = c[category]
+        if key not in targeter:
+            targeter[key] = len(targeter)
+    num_classes = len(targeter)
+
+    id_to_cat = {c["id"]: c for c in categories}
+    img_by_id = {im["id"]: im["file_name"] for im in data["images"]}
+    paths, labels = [], []
+    for ann in data["annotations"]:
+        cat = id_to_cat[ann["category_id"]]
+        paths.append(os.path.join(root, img_by_id[ann["image_id"]]))
+        labels.append(targeter[cat[category]])
+    return _decode(paths, labels, num_classes, img_size,
+                   os.path.join(root, f".devit_{split}{year}_{img_size}.npz"))
