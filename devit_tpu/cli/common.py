@@ -157,6 +157,31 @@ def build_division_data(args) -> Tuple[ArrayDataset, ArrayDataset, DivisionManif
     return train_ds, val_ds, manifest
 
 
+def is_cct(name: str) -> bool:
+    return name.startswith("cct") or name.startswith("decct")
+
+
+def build_backbone(name: str, num_classes: int, args, resize_dim=None):
+    """Family-dispatching model factory (ViT/DeiT vs CCT)."""
+    if is_cct(name):
+        from devit_tpu.models.cct import create_cct
+
+        overrides = dict(
+            img_size=args.input_size,
+            num_classes=num_classes,
+            dropout=args.drop,
+            stochastic_depth=args.drop_path,
+            resize_dim=resize_dim,
+        )
+        for flag, key in (("embed_dim", "embed_dim"), ("depth", "num_layers"),
+                          ("num_heads", "num_heads")):
+            v = getattr(args, flag, None)
+            if v is not None:
+                overrides[key] = v
+        return create_cct(name, **overrides)
+    return build_model(name, num_classes, args, resize_dim=resize_dim)
+
+
 def build_model(name: str, num_classes: int, args, resize_dim=None) -> VisionTransformer:
     overrides = dict(
         img_size=args.input_size,

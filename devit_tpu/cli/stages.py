@@ -94,7 +94,7 @@ def train_sub_main(args) -> float:
     num_classes = train_ds.num_classes
     log.info(f"division {div}: {len(train_ds)} train / {len(val_ds)} val, {num_classes} classes")
 
-    model = C.build_model(args.model, num_classes, args)
+    model = C.build_backbone(args.model, num_classes, args)
     sample = jnp.zeros((2, args.input_size, args.input_size, 3), jnp.bfloat16)
     variables = model.init(jax.random.key(args.seed), sample)
     params = variables["params"]
@@ -103,7 +103,7 @@ def train_sub_main(args) -> float:
 
     teacher = t_vars = None
     if args.distillation_type != "none":
-        teacher = C.build_model(args.teacher_model, num_classes, args)
+        teacher = C.build_backbone(args.teacher_model, num_classes, args)
         t_tpl = teacher.init(jax.random.key(0), sample, distill_token=args.distillation_token)
         t_params = C.load_params_for(teacher, args.teacher_path, t_tpl["params"]) \
             if args.teacher_path else t_tpl["params"]
@@ -180,7 +180,7 @@ def shrink_main(args):
     val_ds = val_full.division_view(manifest, div)
     num_classes = train_ds.num_classes
 
-    model = C.build_model(args.model, num_classes, args)
+    model = C.build_backbone(args.model, num_classes, args)
     cfg = model.cfg
     sample = jnp.zeros((2, args.input_size, args.input_size, 3), jnp.bfloat16)
     params = model.init(jax.random.key(0), sample)["params"]
@@ -240,7 +240,7 @@ def distill_main(args) -> float:
     val_ds = val_full.division_view(manifest, div)
     num_classes = train_ds.num_classes
 
-    teacher = C.build_model(args.teacher_model, num_classes, args)
+    teacher = C.build_backbone(args.teacher_model, num_classes, args)
     sample = jnp.zeros((2, args.input_size, args.input_size, 3), jnp.bfloat16)
     t_tpl = teacher.init(jax.random.key(0), sample, capture_qkv="middle")
     t_params = C.load_params_for(teacher, args.teacher_path, t_tpl["params"]) \
@@ -250,7 +250,7 @@ def distill_main(args) -> float:
     # student gets resize heads to teacher width when token-distilling
     # (distill_sub.py:211-221)
     resize_dim = teacher.cfg.embed_dim if args.distillation_token else None
-    student = C.build_model(args.model, num_classes, args, resize_dim=resize_dim)
+    student = C.build_backbone(args.model, num_classes, args, resize_dim=resize_dim)
     s_params = student.init(jax.random.key(args.seed), sample, capture_qkv="middle",
                             distill_token=args.distillation_token)["params"]
     if args.model_path:
@@ -358,6 +358,9 @@ def ensemble_main(args) -> float:
     else:
         manifest = DivisionManifest.create(num_classes, D, seed=42)
 
+    cct_family = C.is_cct(args.model)
+    if cct_family:
+        return _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D)
     backbone = C.build_model(args.model, 0, args)  # heads never materialised
     sample = jnp.zeros((2, args.input_size, args.input_size, 3), jnp.bfloat16)
 
@@ -460,4 +463,113 @@ def ensemble_main(args) -> float:
         output_dir=args.output_dir, log_fn=log.info, save_state_fn=save_state,
     )
     log.info(f"ensemble best acc1: {best:.2f}")
+    return best
+
+
+def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
+    """CCT collaborative ensemble (MultiCCT + EnsembleCCT,
+    ensemble_models.py:93-151)."""
+    from devit_tpu.models.ensemble import EnsembleCCT, multicct_features
+    from devit_tpu.models.cct import create_cct
+
+    backbone = C.build_backbone(
+        args.model if args.model.startswith("decct") else "de" + args.model,
+        num_classes, args,
+    )
+    assert backbone.cfg.backbone, "CCT ensemble needs the headless backbone"
+    sample = jnp.zeros((2, args.input_size, args.input_size, 3), jnp.bfloat16)
+
+    if args.sub_model_path:
+        div_params = []
+        tpl = backbone.init(jax.random.key(0), sample)["params"]
+        for i in range(D):
+            path = os.path.join(args.sub_model_path, f"sub-dataset{i}", "checkpoint.msgpack")
+            ckpt = restore_pytree(path, None)
+            loaded = ckpt.get("params", ckpt) if isinstance(ckpt, dict) else ckpt
+            div_params.append(jax.tree_util.tree_map(
+                lambda t, n: jnp.asarray(n) if np.asarray(n).shape == t.shape else t,
+                tpl, loaded))
+        stacked = {"params": stack_division_params(div_params)}
+    else:
+        keys = jax.random.split(jax.random.key(args.seed), D)
+        stacked = jax.vmap(lambda k: backbone.init(k, sample))(keys)
+
+    ens = EnsembleCCT(num_classes=num_classes, sub_size=backbone.cfg.embed_dim,
+                      num_divisions=D, teacher_size=args.teacher_size)
+    feats0 = jnp.zeros((D, 2, backbone.cfg.embed_dim))
+    ens_vars = ens.init(jax.random.key(args.seed + 1), feats0, distill=True, train=True)
+
+    teacher = t_vars = None
+    if args.distillation_type != "none":
+        teacher = C.build_backbone(args.teacher_model, num_classes, args)
+        t_tpl = teacher.init(jax.random.key(0), sample)
+        t_params = t_tpl["params"]
+        if args.teacher_path:
+            ckpt = restore_pytree(args.teacher_path, None)
+            t_params = ckpt.get("params", ckpt) if isinstance(ckpt, dict) else ckpt
+        t_vars = {"params": t_params}
+
+    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    bb_cfg = C.optim_config_from_args(args, args.batch_size)
+    ens_cfg = type(bb_cfg)(**{**bb_cfg.__dict__, "lr": args.ens_lr or args.lr})
+    bb_state = TrainState.create(stacked["params"], make_optimizer(bb_cfg, steps_per_epoch))
+    ens_state = TrainState.create(ens_vars["params"], make_optimizer(ens_cfg, steps_per_epoch))
+
+    aug_cfg = C.augment_config_from_args(args, args.input_size, train_ds.images.shape[1])
+    mix_cfg = C.mixup_config_from_args(args, num_classes)
+    prep_train = C.make_train_prepare(aug_cfg)
+    prep_eval = C.make_eval_prepare(args.input_size)
+
+    jstep = jax.jit(S.make_cct_ensemble_train_step(
+        backbone, ens, teacher, mixup=mix_cfg, smoothing=args.smoothing,
+        distillation_type=args.distillation_type,
+        distillation_alpha=args.distillation_alpha,
+        distillation_tau=args.distillation_tau,
+    ))
+    ens_eval = jax.jit(S.make_cct_ensemble_eval_step(backbone, ens))
+
+    def step_fn(carry, images, labels, rng):
+        bb_state, ens_state = carry
+        r_aug, r_step = jax.random.split(rng)
+        x = prep_train(r_aug, images)
+        bb_state, ens_state, metrics = jstep(
+            bb_state, ens_state, t_vars, x, jnp.asarray(labels), r_step
+        )
+        return (bb_state, ens_state), metrics
+
+    def eval_fn(carry):
+        bb_state, ens_state = carry
+        totals = {"loss_sum": 0.0, "top1": 0, "top5": 0, "count": 0}
+        for imgs, labels in BatchIterator(val_ds, args.eval_batch_size, shuffle=False,
+                                          drop_last=False):
+            out = jax.device_get(ens_eval({"params": bb_state.params},
+                                          {"params": ens_state.params},
+                                          prep_eval(imgs), jnp.asarray(labels)))
+            for k in totals:
+                totals[k] += float(out[k])
+        n = max(totals["count"], 1)
+        return {"acc1": 100 * totals["top1"] / n, "acc5": 100 * totals["top5"] / n,
+                "loss": totals["loss_sum"] / n}
+
+    def save_state(path, carry, epoch):
+        bb_state, ens_state = carry
+        save_pytree(path, {"backbone_params": bb_state.params,
+                           "ens_params": ens_state.params, "epoch": np.int32(epoch)})
+
+    def train_batches(epoch):
+        it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed)
+        it.set_epoch(epoch)
+        return it
+
+    if args.eval:
+        m = eval_fn((bb_state, ens_state))
+        log.info(f"CCT ensemble eval: acc1 {m['acc1']:.2f}")
+        return m["acc1"]
+
+    carry, best = fit(
+        carry=(bb_state, ens_state), step_fn=step_fn, train_batches_fn=train_batches,
+        eval_fn=eval_fn, epochs=args.epochs, rng=jax.random.key(args.seed + 2),
+        output_dir=args.output_dir, log_fn=log.info, save_state_fn=save_state,
+    )
+    log.info(f"CCT ensemble best acc1: {best:.2f}")
     return best

@@ -162,6 +162,19 @@ class CCTConfig:
     def conv_padding(self) -> int:
         return self.padding if self.padding is not None else max(1, self.kernel_size // 2)
 
+    @property
+    def depth(self) -> int:
+        """Alias so generic step builders treat ViT and CCT configs uniformly."""
+        return self.num_layers
+
+    @property
+    def hidden_dim(self) -> int:
+        return int(self.embed_dim * self.mlp_ratio)
+
+    @property
+    def distilled(self) -> bool:
+        return False
+
     def sequence_length(self) -> int:
         """Token count after the conv tokenizer (reference tokenizer.py:40-41 probes
         with a zeros forward; here it's closed-form)."""

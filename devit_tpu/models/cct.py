@@ -37,6 +37,20 @@ class CCTOutput(NamedTuple):
     hidden: Optional[Array] = None  # (L+1, B, N, D or resize_dim) hidden states
     qkv: Optional[Array] = None  # (3,B,H,N,dh) middle-layer capture for DEKD
 
+    # API compatibility with ViTOutput so the DEKD/stage-2 steps work on CCT
+    # students/teachers unchanged (CCT has a single head; no dist logits).
+    @property
+    def cls_logits(self):
+        return self.logits
+
+    @property
+    def dist_logits(self):
+        return None
+
+    @property
+    def last_tokens(self):
+        return self.pooled
+
 
 def sinusoidal_embedding(n: int, dim: int) -> np.ndarray:
     """transformers.py:380-385 exact formula."""
@@ -168,6 +182,8 @@ class CCT(nn.Module):
         capture_qkv: str = "none",
         capture_layer: Optional[int] = None,
         capture_outputs: bool = False,
+        distill_token: bool = False,  # accepted for step-API parity; the
+        # pooled feature doubles as the distillation token (CCTOutput.last_tokens)
     ) -> CCTOutput:
         cfg = self.cfg
         x = Tokenizer(cfg, dtype=self.dtype, name="tokenizer")(x)

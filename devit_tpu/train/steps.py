@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from devit_tpu.data.mixup import MixupConfig, mixup_cutmix
-from devit_tpu.models.ensemble import EnsMLP, multivit_features
+from devit_tpu.models.ensemble import EnsMLP, multicct_features, multivit_features
 from devit_tpu.models.vit import Gates, VisionTransformer
 from devit_tpu.train import losses as L
 from devit_tpu.train.state import TrainState
@@ -265,6 +265,87 @@ def make_ensemble_eval_step(backbone: VisionTransformer, ens_model: EnsMLP):
     def step(stacked_variables, ens_variables, stacked_gates, images, labels):
         cls_t, dist_t = multivit_features(backbone, stacked_variables, images, stacked_gates)
         out = ens_model.apply(ens_variables, cls_t, dist_t)
+        logits = out.logits
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        _, pred5 = jax.lax.top_k(logits, min(5, logits.shape[-1]))
+        hit = pred5 == labels[:, None]
+        return {
+            "loss_sum": jnp.sum(nll),
+            "top1": jnp.sum(hit[:, 0].astype(jnp.int32)),
+            "top5": jnp.sum(jnp.any(hit, axis=-1).astype(jnp.int32)),
+            "count": jnp.array(labels.shape[0], jnp.int32),
+        }
+
+    return step
+
+
+# --------------------------------------------------------- stage 5 (CCT family)
+
+
+def make_cct_ensemble_train_step(
+    backbone,
+    ens_model,
+    teacher=None,
+    *,
+    mixup: Optional[MixupConfig] = None,
+    smoothing: float = 0.1,
+    distillation_type: str = "none",
+    distillation_alpha: float = 0.5,
+    distillation_tau: float = 1.0,
+    token_loss_type: str = "mse",
+):
+    """CCT collaborative-ensemble step (MultiCCT + EnsembleCCT,
+    ensemble_models.py:93-151): single pooled token per division, 'vit'-style
+    EnsLoss (one token, one classifier)."""
+    mixup_active = mixup is not None and mixup.active
+    base_criterion = L.make_base_criterion(mixup_active, smoothing)
+
+    def step(backbone_state, ens_state, teacher_variables, images, labels, rng):
+        rng_mix, _ = jax.random.split(rng)
+        if mixup_active:
+            images_m, targets = mixup_cutmix(rng_mix, images, labels, mixup)
+        else:
+            images_m, targets = images, labels
+
+        if distillation_type != "none":
+            t_out = teacher.apply(teacher_variables, images_m)
+            tea_logits, tea_token = t_out.logits, t_out.pooled
+        else:
+            tea_logits = tea_token = None
+
+        def loss_fn(bb_params, ens_params):
+            feats = multicct_features(backbone, {"params": bb_params}, images_m)
+            ens_out = ens_model.apply(
+                {"params": ens_params}, feats, distill=True, train=True
+            )
+            if distillation_type == "none":
+                loss = base_criterion(ens_out.logits, targets)
+                return loss, {"loss": loss}
+            token_loss, cls_loss = L.ens_loss(
+                ens_out.ens_tokens, ens_out.logits, tea_token, tea_logits,
+                targets, base_criterion,
+                model_family="vit", distillation_type=distillation_type,
+                alpha=distillation_alpha, tau=distillation_tau,
+                token_loss_type=token_loss_type,
+            )
+            loss = token_loss + cls_loss
+            return loss, {"loss": loss, "token_loss": token_loss, "cls_loss": cls_loss}
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(backbone_state.params, ens_state.params)
+        backbone_state = backbone_state.apply_gradients(grads[0])
+        ens_state = ens_state.apply_gradients(grads[1])
+        return backbone_state, ens_state, metrics
+
+    return step
+
+
+def make_cct_ensemble_eval_step(backbone, ens_model):
+    def step(stacked_variables, ens_variables, images, labels):
+        feats = multicct_features(backbone, stacked_variables, images)
+        out = ens_model.apply(ens_variables, feats)
         logits = out.logits
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]

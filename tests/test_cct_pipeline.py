@@ -1,0 +1,82 @@
+"""CCT family through the pipeline: DEKD distillation and collaborative
+ensemble (BASELINE config row 4: 4-way decomposed CCT with DEKD)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from devit_tpu.cli.__main__ import build_parser
+from devit_tpu.models.cct import create_cct
+from devit_tpu.models.vit import Gates
+from devit_tpu.train import steps as S
+from devit_tpu.train.optim import OptimConfig, make_optimizer
+from devit_tpu.train.state import TrainState
+
+TINY = [
+    "--input-size", "32", "--embed-dim", "64", "--depth", "2", "--num-heads", "2",
+    "--drop-path", "0.0",
+]
+OPT = [
+    "--batch-size", "32", "--eval-batch-size", "64", "--epochs", "1",
+    "--warmup-epochs", "0", "--cooldown-epochs", "0", "--lr", "1e-3",
+]
+DATA = ["--dataset", "synthetic:8:192:32", "--num_division", "2"]
+
+
+def test_cct_dekd_step():
+    """DEKD works with CCT student + CCT teacher through the generic step."""
+    student = create_cct("cct_2_3x1_32", num_classes=5, dtype=jnp.float32,
+                         num_layers=2, embed_dim=64, num_heads=2,
+                         stochastic_depth=0.0, attention_dropout=0.0, dropout=0.0)
+    teacher = create_cct("cct_2_3x1_32", num_classes=5, dtype=jnp.float32,
+                         num_layers=2, embed_dim=128, num_heads=4,
+                         stochastic_depth=0.0, attention_dropout=0.0, dropout=0.0)
+    x = jnp.ones((4, 32, 32, 3))
+    sp = student.init(jax.random.key(0), x, capture_qkv="middle")["params"]
+    tv = teacher.init(jax.random.key(1), x, capture_qkv="middle")
+    tx = make_optimizer(OptimConfig(lr=1e-3, epochs=1, warmup_epochs=0, cooldown_epochs=0), 5)
+    state = TrainState.create(sp, tx)
+    step = jax.jit(S.make_dekd_step(student, teacher, distillation_type="hard"))
+    L = student.cfg.depth
+    gates = Gates(jnp.ones((L, 2)), jnp.ones((L, student.cfg.hidden_dim)))
+    state2, metrics = step(state, tv, gates, x, jnp.array([0, 1, 2, 3]), jax.random.key(2))
+    for k in ("loss", "q_loss", "k_loss", "v_loss"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def run(argv):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("cct_pipe"))
+
+
+def test_cct_train_sub_stage(workdir):
+    out = os.path.join(workdir, "sub-dataset0")
+    best = run([
+        "train_sub", *TINY, *OPT, *DATA,
+        "--model", "cct_2_3x1_32",
+        "--start-division", "0", "--output_dir", out,
+        "--no-repeated-aug", "--aa", "", "--no-model-ema",
+    ])
+    assert os.path.exists(os.path.join(out, "checkpoint.msgpack"))
+
+
+def test_cct_ensemble_stage(workdir):
+    out = os.path.join(workdir, "ens")
+    best = run([
+        "ensemble", *TINY, *OPT, *DATA,
+        "--model", "cct_2_3x1_32",
+        "--teacher-size", "48",
+        "--distillation-type", "none",
+        "--output_dir", out,
+        "--no-repeated-aug", "--aa", "",
+    ])
+    assert os.path.exists(os.path.join(out, "checkpoint.msgpack"))
+    assert best >= 0.0
