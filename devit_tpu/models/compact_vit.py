@@ -120,6 +120,26 @@ def compact_vit_ragged(
     )
 
 
+def quantize_compact(model: CompactViT) -> CompactViT:
+    """Int8 serving variant: per-layer weight matrices -> QuantizedLinear
+    (per-channel scales); layout otherwise unchanged. Use with
+    compact_forward(..., int8=True)."""
+    from devit_tpu.kernels.quant import quantize_weight
+
+    layers = []
+    for lp in model.layers:
+        nlp = dict(lp)
+        nlp["qkv_q"] = quantize_weight(lp["qkv_kernel"], lp.get("qkv_bias"))
+        nlp["proj_q"] = quantize_weight(lp["proj_kernel"], lp["proj_bias"])
+        nlp["fc1_q"] = quantize_weight(lp["fc1_kernel"], lp["fc1_bias"])
+        nlp["fc2_q"] = quantize_weight(lp["fc2_kernel"], lp["fc2_bias"])
+        for k in ("qkv_kernel", "qkv_bias", "proj_kernel", "proj_bias",
+                  "fc1_kernel", "fc1_bias", "fc2_kernel", "fc2_bias"):
+            nlp.pop(k, None)
+        layers.append(nlp)
+    return model._replace(layers=tuple(layers))
+
+
 def compact_forward(
     model: CompactViT,
     x,  # (B, H, W, 3)
@@ -129,6 +149,7 @@ def compact_forward(
     use_pallas: bool = True,
     fast_math: bool = True,
     features_only: bool = False,
+    int8: bool = False,
 ):
     """Inference forward over ragged layers. Returns logits or (cls, dist) feats."""
     stat = dtype if fast_math else jnp.float32
@@ -147,11 +168,17 @@ def compact_forward(
     N = t.shape[1]
     dh = model.head_dim
 
+    if int8:
+        from devit_tpu.kernels.quant import dynamic_int8_matmul
+
     for lp in model.layers:
         h = _layer_norm(t, lp["norm1"]["scale"], lp["norm1"]["bias"], model.eps, stat)
-        qkv = jnp.dot(h, lp["qkv_kernel"].astype(dtype))
-        if "qkv_bias" in lp:
-            qkv = qkv + lp["qkv_bias"].astype(dtype)
+        if int8:
+            qkv = dynamic_int8_matmul(h, lp["qkv_q"], dtype)
+        else:
+            qkv = jnp.dot(h, lp["qkv_kernel"].astype(dtype))
+            if "qkv_bias" in lp:
+                qkv = qkv + lp["qkv_bias"].astype(dtype)
         kh = lp["num_heads"]
         if use_pallas and jax.default_backend() == "tpu":
             from devit_tpu.kernels.attention import fused_attention
@@ -161,12 +188,20 @@ def compact_forward(
             from devit_tpu.kernels.attention import reference_attention
 
             att = reference_attention(qkv, None, num_heads=kh)
-        att = jnp.dot(att, lp["proj_kernel"].astype(dtype)) + lp["proj_bias"].astype(dtype)
+        if int8:
+            att = dynamic_int8_matmul(att, lp["proj_q"], dtype)
+        else:
+            att = jnp.dot(att, lp["proj_kernel"].astype(dtype)) + lp["proj_bias"].astype(dtype)
         t = t + att
         h = _layer_norm(t, lp["norm2"]["scale"], lp["norm2"]["bias"], model.eps, stat)
-        h = jnp.dot(h, lp["fc1_kernel"].astype(dtype)) + lp["fc1_bias"].astype(dtype)
-        h = jax.nn.gelu(h, approximate=False)
-        h = jnp.dot(h, lp["fc2_kernel"].astype(dtype)) + lp["fc2_bias"].astype(dtype)
+        if int8:
+            h = dynamic_int8_matmul(h, lp["fc1_q"], dtype)
+            h = jax.nn.gelu(h, approximate=False)
+            h = dynamic_int8_matmul(h, lp["fc2_q"], dtype)
+        else:
+            h = jnp.dot(h, lp["fc1_kernel"].astype(dtype)) + lp["fc1_bias"].astype(dtype)
+            h = jax.nn.gelu(h, approximate=False)
+            h = jnp.dot(h, lp["fc2_kernel"].astype(dtype)) + lp["fc2_bias"].astype(dtype)
         t = t + h
 
     t = _layer_norm(t, model.embed["norm"]["scale"], model.embed["norm"]["bias"],

@@ -55,3 +55,43 @@ def test_pallas_path_vmaps_over_divisions():
     assert feats.shape == (2, 2, 64)
     single = m.apply(v1, x, features_only=True).cls_feat
     np.testing.assert_allclose(np.asarray(feats[1]), np.asarray(single), rtol=1e-4, atol=1e-5)
+
+
+def test_int8_quantized_matmul_accuracy():
+    """kernels/quant.py: per-channel weight + dynamic activation int8 matmul
+    stays within ~1% relative error of the float matmul."""
+    from devit_tpu.kernels.quant import dynamic_int8_matmul, quantize_weight
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 96)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(96, 48)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(48,)), jnp.float32)
+    q = quantize_weight(w, b)
+    got = np.asarray(dynamic_int8_matmul(x, q, jnp.float32))
+    ref = np.asarray(x @ w + b)
+    rel = np.abs(got - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.02, rel
+
+
+def test_int8_compact_forward_consistency():
+    """quantize_compact + int8 forward tracks the bf16 forward."""
+    from devit_tpu.models.compact_vit import (
+        compact_forward, compact_vit_ragged, quantize_compact,
+    )
+    from devit_tpu.models.vit import Gates, VisionTransformer
+    from devit_tpu.configs import get_vit_config
+
+    cfg = get_vit_config("dedeit", img_size=32, patch_size=8, embed_dim=64,
+                         depth=2, num_heads=4, num_classes=9)
+    model = VisionTransformer(cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    params = model.init(jax.random.key(1), x)["params"]
+    gates = Gates(jnp.ones((2, 4)), jnp.ones((2, 256)))
+    cm = compact_vit_ragged(params, gates, cfg, neuron_multiple=8)
+    cm8 = quantize_compact(cm)
+    a = np.asarray(compact_forward(cm, x, patch_size=8, dtype=jnp.float32,
+                                   use_pallas=False, fast_math=False))
+    b = np.asarray(compact_forward(cm8, x, patch_size=8, dtype=jnp.float32,
+                                   use_pallas=False, fast_math=False, int8=True))
+    rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+    assert rel < 0.1, rel
