@@ -64,6 +64,15 @@ def build_parser() -> argparse.ArgumentParser:
     ep.add_argument("--ens-lr", type=float, default=None)
     ep.set_defaults(fn=stages.ensemble_main, model="dedeit")
 
+    dep = sub.add_parser("deploy", help="compact division checkpoints into serving artifacts")
+    C.add_model_args(dep)
+    C.add_data_args(dep)
+    dep.add_argument("--sub-model-path", type=str, required=True,
+                     help="dir with sub-dataset{i}/checkpoint.msgpack (distill outputs)")
+    dep.add_argument("--deploy-num-classes", type=int, default=25)
+    dep.add_argument("--neuron-multiple", type=int, default=128)
+    dep.set_defaults(fn=stages.deploy_main, model="dedeit")
+
     return p
 
 

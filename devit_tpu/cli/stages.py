@@ -573,3 +573,51 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
     )
     log.info(f"CCT ensemble best acc1: {best:.2f}")
     return best
+
+
+# ------------------------------------------------------------------ deploy
+
+
+def deploy_main(args):
+    """Build the serving artifact: load each division's distilled checkpoint
+    (params + gates from the distill stage), ragged-compact it (equivalence
+    with the gated model is test-guaranteed), and save per-division compact
+    models + an analytic MACs report. This realises the MACs savings the
+    reference only ever computes on paper (compute_metric.py)."""
+    from devit_tpu.core.metrics import cal_shrink_macs, cal_shrink_paras
+    from devit_tpu.models.compact_vit import compact_vit_ragged, save_compact
+    from devit_tpu.core.rank import check_sparsity
+
+    log = C.setup(args)
+    model = C.build_model(args.model, args.deploy_num_classes, args)
+    cfg = model.cfg
+    report = []
+    for i in range(args.num_division):
+        path = os.path.join(args.sub_model_path, f"sub-dataset{i}", "checkpoint.msgpack")
+        ckpt = restore_pytree(path, None)
+        params = ckpt.get("ema_params") or ckpt.get("params", ckpt)
+        if "gates" in ckpt and ckpt["gates"] is not None:
+            g = ckpt["gates"]
+            gates = Gates(jnp.asarray(g["head"]), jnp.asarray(g["neuron"]))
+        else:
+            gates = full_gates(cfg)
+        cm = compact_vit_ragged(params, gates, cfg,
+                                neuron_multiple=args.neuron_multiple)
+        out = os.path.join(args.output_dir, f"sub-dataset{i}", "compact.msgpack")
+        save_compact(out, cm)
+        n_sp, h_sp = check_sparsity(gates)
+        macs = cal_shrink_macs(list(n_sp), list(h_sp), emb=cfg.embed_dim,
+                               seq_length=197, mlp_ratio=cfg.mlp_ratio,
+                               head=cfg.num_heads, layer=cfg.depth)
+        paras = cal_shrink_paras(list(n_sp), list(h_sp), emb=cfg.embed_dim,
+                                 seq_length=197, mlp_ratio=cfg.mlp_ratio,
+                                 head=cfg.num_heads, layer=cfg.depth)
+        kept_h = sum(lp["num_heads"] for lp in cm.layers)
+        log.info(f"division {i}: {macs:.3f} GMACs, {paras:.1f} M params, "
+                 f"{kept_h}/{cfg.depth * cfg.num_heads} heads -> {out}")
+        report.append({"division": i, "gmacs": macs, "mparams": paras})
+    import json as _json
+
+    with open(os.path.join(args.output_dir, "deploy_report.json"), "w") as f:
+        _json.dump(report, f, indent=1)
+    return report

@@ -33,8 +33,13 @@ def save_pytree(path: str, tree: Any) -> None:
 
 
 def restore_pytree(path: str, template: Any) -> Any:
+    """Restore with a template (exact treedef) or, with template=None, as raw
+    nested dicts via msgpack_restore."""
     with open(path, "rb") as f:
-        return flax.serialization.from_bytes(template, f.read())
+        data = f.read()
+    if template is None:
+        return flax.serialization.msgpack_restore(data)
+    return flax.serialization.from_bytes(template, data)
 
 
 def save_checkpoint(

@@ -217,3 +217,49 @@ def compact_forward(
         d = (d + model.head["head_dist"]["bias"].astype(dtype)).astype(jnp.float32)
         logits = (logits + d) / 2.0
     return logits
+
+
+def save_compact(path: str, model: CompactViT) -> None:
+    """Serialize the deployment artifact (arrays via msgpack; static meta
+    alongside)."""
+    from devit_tpu.io.checkpoint import save_pytree
+
+    layers = []
+    heads = []
+    for lp in model.layers:
+        lp = dict(lp)
+        heads.append(int(lp.pop("num_heads")))
+        layers.append(lp)
+    save_pytree(path, {
+        "embed": model.embed,
+        "layers": {str(i): l for i, l in enumerate(layers)},
+        "head": model.head,
+        "meta": {
+            "num_heads": np.asarray(heads, np.int32),
+            "head_dim": np.int32(model.head_dim),
+            "distilled": np.int32(model.distilled),
+            "eps": np.float32(model.eps),
+        },
+    })
+
+
+def load_compact(path: str) -> CompactViT:
+    from devit_tpu.io.checkpoint import restore_pytree
+
+    tree = restore_pytree(path, None)
+    meta = tree["meta"]
+    heads = [int(h) for h in np.asarray(meta["num_heads"])]
+    layers = []
+    for i in range(len(heads)):
+        lp = {k: jnp.asarray(v) if not isinstance(v, dict)
+              else {kk: jnp.asarray(vv) for kk, vv in v.items()}
+              for k, v in tree["layers"][str(i)].items()}
+        lp["num_heads"] = heads[i]
+        layers.append(lp)
+    to_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    return CompactViT(
+        embed=to_jnp(tree["embed"]), layers=tuple(layers),
+        head=to_jnp(tree.get("head", {})),
+        head_dim=int(meta["head_dim"]), distilled=bool(int(meta["distilled"])),
+        eps=float(meta["eps"]),
+    )

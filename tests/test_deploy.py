@@ -1,0 +1,69 @@
+"""Deploy stage: compact-artifact roundtrip and the CLI deploy command."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from devit_tpu.cli.__main__ import build_parser
+from devit_tpu.configs import get_vit_config
+from devit_tpu.models.compact_vit import (
+    compact_forward, compact_vit_ragged, load_compact, save_compact,
+)
+from devit_tpu.models.vit import Gates, VisionTransformer
+
+
+def test_compact_save_load_roundtrip(tmp_path):
+    cfg = get_vit_config("dedeit", img_size=32, patch_size=8, embed_dim=64,
+                         depth=2, num_heads=4, num_classes=9)
+    model = VisionTransformer(cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    params = model.init(jax.random.key(1), x)["params"]
+    gates = Gates(jnp.ones((2, 4)).at[0, 0].set(0), jnp.ones((2, 256)).at[1, :56].set(0))
+    cm = compact_vit_ragged(params, gates, cfg, neuron_multiple=8)
+    path = str(tmp_path / "compact.msgpack")
+    save_compact(path, cm)
+    cm2 = load_compact(path)
+    assert [l["num_heads"] for l in cm2.layers] == [l["num_heads"] for l in cm.layers]
+    a = compact_forward(cm, x, patch_size=8, dtype=jnp.float32,
+                        use_pallas=False, fast_math=False)
+    b = compact_forward(cm2, x, patch_size=8, dtype=jnp.float32,
+                        use_pallas=False, fast_math=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_deploy_cli(tmp_path):
+    # fabricate two division checkpoints with gates (distill-stage layout)
+    from devit_tpu.io.checkpoint import save_pytree
+
+    cfg = get_vit_config("dedeit", img_size=32, patch_size=8, embed_dim=32,
+                         depth=2, num_heads=2, num_classes=4)
+    model = VisionTransformer(cfg, dtype=jnp.float32)
+    x = jnp.zeros((2, 32, 32, 3))
+    for i in range(2):
+        params = model.init(jax.random.key(i), x)["params"]
+        gates = {"head": np.ones((2, 2), np.float32),
+                 "neuron": np.concatenate([np.ones((2, 96), np.float32),
+                                           np.zeros((2, 32), np.float32)], axis=1)}
+        save_pytree(str(tmp_path / f"sub-dataset{i}" / "checkpoint.msgpack"),
+                    {"params": params, "gates": gates, "epoch": np.int32(0)})
+
+    args = build_parser().parse_args([
+        "deploy", "--model", "dedeit",
+        "--input-size", "32", "--patch-size", "8",
+        "--embed-dim", "32", "--depth", "2", "--num-heads", "2",
+        "--num_division", "2",
+        "--sub-model-path", str(tmp_path),
+        "--deploy-num-classes", "4",
+        "--neuron-multiple", "8",
+        "--output_dir", str(tmp_path / "deploy"),
+    ])
+    report = args.fn(args)
+    assert len(report) == 2
+    assert os.path.exists(str(tmp_path / "deploy" / "sub-dataset0" / "compact.msgpack"))
+    assert os.path.exists(str(tmp_path / "deploy" / "deploy_report.json"))
+    cm = load_compact(str(tmp_path / "deploy" / "sub-dataset0" / "compact.msgpack"))
+    out = compact_forward(cm, x, patch_size=8, dtype=jnp.float32,
+                          use_pallas=False, fast_math=False)
+    assert out.shape == (2, 4)
