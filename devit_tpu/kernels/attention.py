@@ -108,3 +108,86 @@ def reference_attention(qkv: Array, head_gate: Optional[Array] = None,
     if head_gate is not None:
         o = o * head_gate.astype(o.dtype)[None, :, None, None]
     return o.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+
+# ----------------------------------------------------------- training path
+
+
+def _attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, num_heads: int, head_dim: int,
+                     scale: float):
+    """Backward: recompute p from qkv (flash-style — the (N,N) probabilities
+    are never stored), then dv = p^T g, dp = g v^T, ds = p*(dp - rowsum(dp*p)),
+    dq = ds k * scale, dk = ds^T q * scale."""
+    C = num_heads * head_dim
+    x = qkv_ref[...]
+    g = g_ref[...]
+    for h in range(num_heads):
+        lo = h * head_dim
+        q = x[:, :, lo : lo + head_dim]
+        k = x[:, :, C + lo : C + lo + head_dim]
+        v = x[:, :, 2 * C + lo : 2 * C + lo + head_dim]
+        gh = g[:, :, lo : lo + head_dim]
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)  # f32 (TB, N, N)
+        pb = p.astype(v.dtype)
+        dv = jax.lax.dot_general(pb, gh, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(gh, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(v.dtype)
+        dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dqkv_ref[:, :, lo : lo + head_dim] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, C + lo : C + lo + head_dim] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * C + lo : 2 * C + lo + head_dim] = dv.astype(dqkv_ref.dtype)
+
+
+def _attention_bwd_impl(qkv: Array, g: Array, num_heads: int, block_b: int,
+                        interpret: Optional[bool]) -> Array:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N, threeC = qkv.shape
+    C = threeC // 3
+    dh = C // num_heads
+    block_b = min(block_b, B)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, num_heads=num_heads, head_dim=dh,
+                          scale=dh ** -0.5),
+        grid=(pl.cdiv(B, block_b),),
+        in_specs=[
+            pl.BlockSpec((block_b, N, threeC), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, N, threeC), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, threeC), qkv.dtype),
+        interpret=interpret,
+    )(qkv, g)
+
+
+@functools.lru_cache(maxsize=None)
+def make_trainable_attention(num_heads: int, block_b: int = 8,
+                             interpret: Optional[bool] = None):
+    """Differentiable fused attention (no gate, no dropout): forward is the
+    fused kernel; backward recomputes p in a second kernel. The residual is
+    just the qkv activations — O(B N C) instead of O(B H N^2)."""
+
+    @jax.custom_vjp
+    def attn(qkv: Array) -> Array:
+        return fused_attention(qkv, None, num_heads=num_heads,
+                               block_b=block_b, interpret=interpret)
+
+    def fwd(qkv):
+        return attn(qkv), qkv
+
+    def bwd(qkv, g):
+        return (_attention_bwd_impl(qkv, g, num_heads, block_b, interpret),)
+
+    attn.defvjp(fwd, bwd)
+    return attn

@@ -162,11 +162,18 @@ class Block(nn.Module):
             and (self.deterministic or cfg.attn_drop_rate == 0)
         )
         if pallas_ok:
-            from devit_tpu.kernels.attention import fused_attention
-
             q = k = v = None
             head_out = None
-            attn_out = fused_attention(qkv_raw, head_gate, num_heads=H)
+            # custom-VJP kernel: forward is the fused kernel; backward
+            # recomputes the probabilities (flash-style), so this path is
+            # usable for training too and always differentiable.
+            from devit_tpu.kernels.attention import make_trainable_attention
+
+            attn_out = make_trainable_attention(H)(qkv_raw)
+            # head gate outside the kernel (fuses into the next elementwise)
+            attn_out = attn_out * jnp.repeat(
+                head_gate.astype(self.dtype), dh
+            )[None, None, :]
         else:
             qkv = qkv_raw.reshape(B, N, 3, H, dh).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]

@@ -95,3 +95,50 @@ def test_int8_compact_forward_consistency():
                                    use_pallas=False, fast_math=False, int8=True))
     rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
     assert rel < 0.1, rel
+
+
+def test_trainable_attention_gradients_match_reference():
+    """Custom-VJP fused attention: grads match autodiff of the XLA reference."""
+    from devit_tpu.kernels.attention import make_trainable_attention, reference_attention
+
+    B, N, H, dh = 3, 10, 2, 8
+    qkv = jax.random.normal(jax.random.key(0), (B, N, 3 * H * dh), jnp.float32)
+    attn = make_trainable_attention(H, block_b=2, interpret=True)
+
+    def loss_pal(x):
+        return jnp.sum(jnp.sin(attn(x)))
+
+    def loss_ref(x):
+        return jnp.sum(jnp.sin(reference_attention(x, None, num_heads=H)))
+
+    np.testing.assert_allclose(loss_pal(qkv), loss_ref(qkv), rtol=1e-5)
+    g_pal = jax.grad(loss_pal)(qkv)
+    g_ref = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), rtol=2e-4, atol=2e-5)
+
+
+def test_model_pallas_training_grads_match_xla():
+    """Full model: grads through the pallas training path == XLA path."""
+    from devit_tpu.configs import get_vit_config
+    from devit_tpu.models.vit import VisionTransformer
+
+    cfg = get_vit_config("dedeit", img_size=32, patch_size=8, embed_dim=64,
+                         depth=2, num_heads=4, num_classes=7)
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    m_xla = VisionTransformer(cfg, dtype=jnp.float32)
+    m_pal = VisionTransformer(cfg, dtype=jnp.float32, use_pallas=True)
+    v = m_xla.init(jax.random.key(1), x)
+
+    def loss(model, params):
+        out = model.apply({"params": params}, x, train=True,
+                          rngs={"dropout": jax.random.key(2)})
+        return jnp.mean(jnp.square(out.cls_logits))
+
+    from jax.flatten_util import ravel_pytree
+
+    g_xla = jax.grad(lambda p: loss(m_xla, p))(v["params"])
+    g_pal = jax.grad(lambda p: loss(m_pal, p))(v["params"])
+    flat_x, _ = ravel_pytree(g_xla)
+    flat_p, _ = ravel_pytree(g_pal)
+    np.testing.assert_allclose(np.asarray(flat_p), np.asarray(flat_x),
+                               rtol=2e-3, atol=2e-5)
