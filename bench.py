@@ -89,6 +89,9 @@ def measure(fwd, ens_vars, batch: int, iters: int = 5, repeats: int = 3) -> floa
 
 
 def main():
+    from devit_tpu.runtime import setup_runtime
+
+    setup_runtime()
     fwd, ens_vars = build()
     batch = 512
     ips = measure(fwd, ens_vars, batch)

@@ -248,6 +248,9 @@ def make_train_prepare(aug_cfg: AugmentConfig, dtype=jnp.bfloat16):
 
 
 def setup(args):
+    from devit_tpu.runtime import setup_runtime
+
+    setup_runtime()
     os.makedirs(args.output_dir, exist_ok=True)
     log = create_logger(args.output_dir)
     return log

@@ -196,7 +196,6 @@ class Block(nn.Module):
             attn_out = nn.Dropout(cfg.drop_rate, deterministic=False)(attn_out)
 
         x = x + self._drop_path(attn_out, dp_rate)
-        att_residual = x  # reference captures the post-attention output? see below
 
         # ---- MLP ----
         h = LayerNorm(eps=cfg.layer_norm_eps, stat_dtype=self.norm_dtype, name="norm2")(x)
@@ -228,7 +227,6 @@ class Block(nn.Module):
         if self.capture_rank_stats:
             outs["neuron_act"] = neuron_act
             outs["head_out"] = head_out
-        del att_residual
         return (x, qkv_slot), outs
 
     def _drop_path(self, x: Array, rate: Array) -> Array:
