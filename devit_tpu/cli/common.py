@@ -42,6 +42,8 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--embed-dim", type=int, default=None)
     p.add_argument("--depth", type=int, default=None)
     p.add_argument("--num-heads", type=int, default=None)
+    p.add_argument("--use-pallas", dest="use_pallas", action="store_true", default=None)
+    p.add_argument("--no-pallas", dest="use_pallas", action="store_false")
 
 
 def add_optim_args(p: argparse.ArgumentParser) -> None:
@@ -195,7 +197,12 @@ def build_model(name: str, num_classes: int, args, resize_dim=None) -> VisionTra
         v = getattr(args, flag, None)
         if v is not None:
             overrides[key] = v
-    return VisionTransformer(get_vit_config(name, **overrides))
+    # Pallas fused attention by default on real TPUs (1.6x train step, 1.56x
+    # eval forward); interpret-mode would slow CPU tests, so gate on backend.
+    use_pallas = getattr(args, "use_pallas", None)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    return VisionTransformer(get_vit_config(name, **overrides), use_pallas=use_pallas)
 
 
 def load_params_for(model: VisionTransformer, path: str, template_params):

@@ -187,7 +187,9 @@ def make_trainable_attention(num_heads: int, block_b: int = 8,
         return attn(qkv), qkv
 
     def bwd(qkv, g):
-        return (_attention_bwd_impl(qkv, g, num_heads, block_b, interpret),)
+        # the backward kernel holds ~2.5x the forward's VMEM working set
+        # (p, dp, ds in f32 plus dqkv) — halve the batch tile to fit
+        return (_attention_bwd_impl(qkv, g, num_heads, max(block_b // 2, 2), interpret),)
 
     attn.defvjp(fwd, bwd)
     return attn

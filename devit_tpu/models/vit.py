@@ -259,6 +259,11 @@ class VisionTransformer(nn.Module):
     # policy, which also kept softmax/LN in fp32).
     fast_math: bool = False
     use_pallas: bool = False  # fused attention kernel on the inference path
+    # Rematerialize block activations in the backward pass (jax.checkpoint on
+    # the scanned Block). Without it the full-size train step at bs256 needs
+    # ~21 GB of residuals and OOMs 16 GB HBM; with it, residuals are one
+    # (B,N,C) carry per layer. No effect on forward-only programs.
+    use_remat: bool = True
 
     @nn.compact
     def __call__(
@@ -323,8 +328,11 @@ class VisionTransformer(nn.Module):
         qkv_slot = jnp.zeros((3, B, cfg.num_heads, cfg.seq_len, cfg.head_dim), self.dtype)
 
         stat_dtype = self.dtype if self.fast_math else jnp.float32
+        BlockImpl = (
+            nn.remat(Block, prevent_cse=False) if (self.use_remat and train) else Block
+        )
         ScanBlocks = nn.scan(
-            Block,
+            BlockImpl,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=0,
