@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     ep.add_argument("--gates-path", type=str, default=None)
     ep.add_argument("--teacher-size", type=int, default=768)
     ep.add_argument("--ens-lr", type=float, default=None)
+    ep.add_argument("--compact-path", type=str, default=None,
+                    help="eval from deploy-stage compact artifacts (serving path)")
+    ep.add_argument("--ens-path", type=str, default=None,
+                    help="EnsMLP checkpoint for compact-path eval")
     ep.set_defaults(fn=stages.ensemble_main, model="dedeit")
 
     dep = sub.add_parser("deploy", help="compact division checkpoints into serving artifacts")

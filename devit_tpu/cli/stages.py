@@ -344,6 +344,53 @@ def distill_main(args) -> float:
 # ------------------------------------------------------------------ ensemble
 
 
+def _ensemble_eval_compact(args, log, val_ds, num_classes, D) -> float:
+    """Collaborative-inference eval straight from deploy-stage compact
+    artifacts (the serving path bench.py measures)."""
+    from devit_tpu.models.compact_vit import compact_forward, load_compact
+    from devit_tpu.models.ensemble import EnsMLP
+
+    cms = [load_compact(os.path.join(args.compact_path, f"sub-dataset{i}", "compact.msgpack"))
+           for i in range(D)]
+    sub_size = cms[0].embed["pos_embed"].shape[-1]
+    ens = EnsMLP(num_classes=num_classes, sub_size=sub_size, num_divisions=D,
+                 teacher_size=args.teacher_size, family="deit")
+    if args.ens_path:
+        ckpt = restore_pytree(args.ens_path, None)
+        ens_params = ckpt.get("ens_params", ckpt.get("params", ckpt))
+        ens_vars = {"params": ens_params}
+    else:
+        cls_t = jnp.zeros((D, 2, sub_size))
+        ens_vars = ens.init(jax.random.key(0), cls_t, cls_t)
+
+    prep_eval = C.make_eval_prepare(args.input_size)
+
+    @jax.jit
+    def fwd(ev, img):
+        cls_list, dist_list = [], []
+        for cm in cms:
+            c, d = compact_forward(cm, img, patch_size=args.patch_size,
+                                   features_only=True)
+            cls_list.append(c)
+            dist_list.append(d)
+        return ens.apply(ev, jnp.stack(cls_list), jnp.stack(dist_list)).logits
+
+    totals = {"top1": 0, "top5": 0, "count": 0}
+    for imgs, labels in BatchIterator(val_ds, args.eval_batch_size, shuffle=False,
+                                      drop_last=False):
+        logits = jax.device_get(fwd(ens_vars, prep_eval(imgs)))
+        pred = np.argsort(-logits, axis=-1)
+        labels = np.asarray(labels)
+        totals["top1"] += int((pred[:, 0] == labels).sum())
+        k = min(5, logits.shape[-1])
+        totals["top5"] += int((pred[:, :k] == labels[:, None]).any(-1).sum())
+        totals["count"] += len(labels)
+    n = max(totals["count"], 1)
+    acc1 = 100 * totals["top1"] / n
+    log.info(f"compact ensemble eval: acc1 {acc1:.2f} acc5 {100 * totals['top5'] / n:.2f}")
+    return acc1
+
+
 def ensemble_main(args) -> float:
     """Stage 5: token-fusion ensemble over N frozen-architecture backbones
     (ensemble.py:245-456). Sub-model checkpoints load by NAME into the stacked
@@ -358,6 +405,8 @@ def ensemble_main(args) -> float:
     else:
         manifest = DivisionManifest.create(num_classes, D, seed=42)
 
+    if args.compact_path:
+        return _ensemble_eval_compact(args, log, val_ds, num_classes, D)
     cct_family = C.is_cct(args.model)
     if cct_family:
         return _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D)

@@ -67,3 +67,33 @@ def test_deploy_cli(tmp_path):
     out = compact_forward(cm, x, patch_size=8, dtype=jnp.float32,
                           use_pallas=False, fast_math=False)
     assert out.shape == (2, 4)
+
+
+def test_ensemble_eval_from_compact_artifacts(tmp_path):
+    """deploy -> ensemble --eval --compact-path: the serving path end-to-end."""
+    from devit_tpu.io.checkpoint import save_pytree
+    from devit_tpu.models.compact_vit import compact_vit_ragged, save_compact
+
+    cfg = get_vit_config("dedeit", img_size=32, patch_size=8, embed_dim=32,
+                         depth=2, num_heads=2, num_classes=4)
+    model = VisionTransformer(cfg, dtype=jnp.float32)
+    x = jnp.zeros((2, 32, 32, 3))
+    for i in range(2):
+        params = model.init(jax.random.key(i), x, features_only=True)["params"]
+        gates = Gates(jnp.ones((2, 2)), jnp.ones((2, 128)))
+        cm = compact_vit_ragged(params, gates, cfg, neuron_multiple=8)
+        save_compact(str(tmp_path / f"sub-dataset{i}" / "compact.msgpack"), cm)
+
+    args = build_parser().parse_args([
+        "ensemble", "--model", "dedeit",
+        "--input-size", "32", "--patch-size", "8",
+        "--embed-dim", "32", "--depth", "2", "--num-heads", "2",
+        "--dataset", "synthetic:8:128:32", "--num_division", "2",
+        "--compact-path", str(tmp_path),
+        "--teacher-size", "48",
+        "--eval-batch-size", "64",
+        "--eval",
+        "--output_dir", str(tmp_path / "out"),
+    ])
+    acc1 = args.fn(args)
+    assert 0.0 <= acc1 <= 100.0
