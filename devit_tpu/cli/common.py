@@ -5,7 +5,6 @@ builders, and jitted preprocessing helpers."""
 from __future__ import annotations
 
 import argparse
-import functools
 import os
 from typing import Optional, Tuple
 
@@ -260,6 +259,16 @@ def setup(args):
     setup_runtime()
     os.makedirs(args.output_dir, exist_ok=True)
     log = create_logger(args.output_dir)
+    # record the full flag set (the reference pickles args into
+    # training_args.bin, train_subdata.py:481; json here)
+    import json
+
+    try:
+        with open(os.path.join(args.output_dir, "training_args.json"), "w") as f:
+            json.dump({k: v for k, v in vars(args).items() if k != "fn"},
+                      f, indent=1, default=str)
+    except Exception:
+        pass
     return log
 
 

@@ -9,10 +9,7 @@ result.txt, log_stats.txt), TPU-native execution.
 
 from __future__ import annotations
 
-import argparse
-import functools
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import pickle
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 

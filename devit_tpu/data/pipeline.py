@@ -15,8 +15,7 @@ RandAugment lives in devit_tpu/data/randaugment.py.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ dict_map) into our scan-stacked parameter pytree.
 from __future__ import annotations
 
 import os
-import pickle
 from typing import Any, Dict, Optional
 
 import jax

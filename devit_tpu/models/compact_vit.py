@@ -18,7 +18,7 @@ a stacked vmap; across chips each division lives on its own sub-mesh anyway).
 
 from __future__ import annotations
 
-from typing import Any, List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ teachers) as one functional flax model:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, NamedTuple, Optional
 
 import jax

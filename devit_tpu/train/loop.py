@@ -15,9 +15,7 @@ import time
 from typing import Callable, Dict, Iterable, Optional
 
 import jax
-import numpy as np
 
-from devit_tpu.io.checkpoint import save_checkpoint
 from devit_tpu.train.meters import MetricLogger
 
 

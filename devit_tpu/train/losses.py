@@ -11,7 +11,7 @@ All reductions are computed in fp32 regardless of compute dtype.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ from __future__ import annotations
 import collections
 import datetime
 import time
-from typing import Dict, Iterable, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -18,8 +18,7 @@ the loss in the metrics; the host-side loop decides (train/loop.py).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
