@@ -45,14 +45,18 @@ def build():
     gates_list = [build_gates(n_rank, h_rank, p[: cfg.depth], p[cfg.depth :])
                   for p in policies]
 
-    # init on host CPU — only the serving forward should compile on the TPU
+    # Throughput-only weights: build numpy params from the init SHAPES
+    # (jax.eval_shape — zero compiles). Only the serving forward compiles.
     sample = jnp.zeros((2, 224, 224, 3), jnp.bfloat16)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        params = [
-            jax.jit(model.init, backend="cpu")(jax.random.key(i), sample)["params"]
-            for i in range(num_div)
-        ]
+    shapes = jax.eval_shape(model.init, jax.random.key(0), sample)["params"]
+
+    def make_params(seed):
+        rng = np.random.default_rng(seed)
+        return jax.tree_util.tree_map(
+            lambda s: rng.normal(scale=0.02, size=s.shape).astype(np.float32), shapes
+        )
+
+    params = [make_params(i) for i in range(num_div)]
     cms = [compact_vit_ragged(p, g, cfg) for p, g in zip(params, gates_list)]
     # move arrays onto the default (TPU) device; keep static ints intact
     cms = jax.tree_util.tree_map(
