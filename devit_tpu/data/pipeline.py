@@ -58,16 +58,25 @@ def resize_bicubic(images: Array, size: int) -> Array:
 
 def eval_transform(images: Array, img_size: int = 224, dtype=jnp.bfloat16) -> Array:
     """Resize(int(256/224*size)) + CenterCrop(size) + normalize
-    (get_dataset.py:99-109). For inputs already at target size, just normalize."""
+    (get_dataset.py:99-109). For inputs already at target size, just normalize.
+
+    Matches torchvision semantics exactly: Resize with an int size scales the
+    SHORTER side to scale_size and preserves aspect ratio (the long side is
+    int-truncated), then CenterCrop takes top/left = int(round((dim-crop)/2)).
+    Shapes here are static per batch, so the target dims are Python ints and
+    XLA sees one fixed-shape program per source geometry."""
     B, H, W, C = images.shape
     if (H, W) == (img_size, img_size):
         return normalize(images, dtype)
     scale_size = int((256 / 224) * img_size)
-    x = resize_bicubic(images, scale_size)
-    off = (scale_size - img_size) // 2
-    x = jax.lax.dynamic_slice(
-        x, (0, off, off, 0), (B, img_size, img_size, C)
-    )
+    if H <= W:
+        nh, nw = scale_size, int(scale_size * W / H)
+    else:
+        nh, nw = int(scale_size * H / W), scale_size
+    x = jax.image.resize(images.astype(jnp.float32), (B, nh, nw, C), method="cubic")
+    top = int(round((nh - img_size) / 2.0))
+    left = int(round((nw - img_size) / 2.0))
+    x = x[:, top : top + img_size, left : left + img_size, :]
     return normalize(x, dtype)
 
 

@@ -78,6 +78,59 @@ def test_eval_transform_shapes_and_range():
     np.testing.assert_allclose(out32, normalize(jnp.asarray(imgs32), jnp.float32), rtol=1e-6)
 
 
+def test_eval_transform_aspect_preserving_matches_torchvision():
+    """Non-square input: the reference resizes the SHORTER side to 256/224*size
+    and center-crops (get_dataset.py:99-105); a square resize would squash
+    aspect and feed different pixels. Parity vs torchvision on a smooth image
+    (interpolation kernels differ slightly at hard edges, so use low-frequency
+    content and a loose-but-meaningful tolerance; the aspect-squash bug this
+    guards against produces errors ~100x larger)."""
+    import torch
+    import torch.nn.functional as TF
+
+    def tv_resize_center_crop(img_np, short=256, crop=224):
+        """torchvision Resize(int)+CenterCrop semantics via torch.interpolate
+        (torchvision's tensor backend calls exactly this with antialias)."""
+        h, w, _ = img_np.shape
+        if h <= w:
+            nh, nw = short, int(short * w / h)
+        else:
+            nh, nw = int(short * h / w), short
+        t = torch.from_numpy(img_np).permute(2, 0, 1)[None].float()
+        r = TF.interpolate(t, size=(nh, nw), mode="bicubic", antialias=True)
+        top = int(round((nh - crop) / 2.0))
+        left = int(round((nw - crop) / 2.0))
+        r = r[:, :, top : top + crop, left : left + crop]
+        return r[0].permute(1, 2, 0).numpy().astype(np.float32)
+
+    rng = np.random.default_rng(0)
+    # smooth non-square image: 300x500 gradient + low-freq noise
+    yy, xx = np.mgrid[0:300, 0:500]
+    base = (yy / 300 * 127 + xx / 500 * 127)[..., None].repeat(3, axis=2)
+    noise = rng.normal(0, 10, (10, 17, 3))
+    noise_up = np.kron(noise, np.ones((30, 30, 1)))[:300, :500]
+    img = np.clip(base + noise_up, 0, 255).astype(np.uint8)
+
+    ref = tv_resize_center_crop(img)
+    got = eval_transform(jnp.asarray(img[None]), img_size=224, dtype=jnp.float32)
+    # undo normalization to compare raw resampled pixels
+    mean = np.array([0.485, 0.456, 0.406]) * 255
+    std = np.array([0.229, 0.224, 0.225]) * 255
+    got_px = np.asarray(got[0]) * std + mean
+
+    assert got.shape == (1, 224, 224, 3)
+    err = np.abs(got_px - ref).mean()
+    assert err < 2.0, f"mean abs pixel error vs torchvision: {err}"
+
+    # portrait orientation: shorter side is W
+    img_p = np.ascontiguousarray(np.transpose(img, (1, 0, 2)))
+    got_p = eval_transform(jnp.asarray(img_p[None]), img_size=224, dtype=jnp.float32)
+    ref_p = tv_resize_center_crop(img_p)
+    got_p_px = np.asarray(got_p[0]) * std + mean
+    err_p = np.abs(got_p_px - ref_p).mean()
+    assert err_p < 2.0, f"portrait mean abs pixel error: {err_p}"
+
+
 def test_train_transform_jits_and_randomizes():
     cfg = AugmentConfig(img_size=32, randaugment=True, reprob=0.25)
     imgs = jnp.asarray(np.random.default_rng(0).integers(0, 256, (4, 48, 48, 3), np.uint8))
