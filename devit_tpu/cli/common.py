@@ -272,20 +272,70 @@ def setup(args):
     return log
 
 
-def make_data_parallel():
-    """Multi-chip data parallelism: returns a batch-placement fn. With one
-    device it's a no-op; with N devices batches are sharded over a ('data',)
-    mesh and jit propagates the sharding — the DDP replacement
-    (dist_utils.py:215-237 -> Mesh + NamedSharding, SURVEY.md §2.7)."""
+def data_parallel_context(log=None):
+    """The DDP replacement wired into the product stages (the reference trains
+    every stage under 8-GPU DDP, train_subdata.py:399-401 + README.md:50).
+
+    Returns (place_batch, place_replicated, mesh). With one device both
+    placers are identity and mesh is None. With N devices, batches shard
+    over a ('data',) mesh, state/teacher replicate, and XLA SPMD inserts the
+    gradient all-reduce over ICI (dist_utils.py:215-237 equivalent).
+
+    place_batch falls back to replication for a leading dim not divisible by
+    the device count (e.g. the last drop_last=False eval batch) — replicated
+    inputs compute the same answer, just without the speedup.
+    """
     from devit_tpu.parallel import mesh as M
 
-    if jax.device_count() <= 1:
-        return lambda tree: tree
+    n = jax.device_count()
+    if n <= 1:
+        ident = lambda tree: tree
+        return ident, ident, None
     mesh = M.data_mesh()
+    if log is not None:
+        log.info(f"data-parallel: batches sharded over {n} devices")
 
-    def place(tree):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, M.batch_sharding(mesh)), tree
-        )
+    def place_batch(tree):
+        def put(x):
+            x = jnp.asarray(x)
+            sh = (M.batch_sharding(mesh)
+                  if x.ndim >= 1 and x.shape[0] % n == 0 else M.replicated(mesh))
+            return jax.device_put(x, sh)
 
-    return place
+        return jax.tree_util.tree_map(put, tree)
+
+    return place_batch, (lambda tree: M.replicate_tree(tree, mesh)), mesh
+
+
+def ensemble_parallel_context(num_divisions: int, log=None):
+    """('div','data') mesh for stage 5: division-stacked params/gates shard
+    over 'div' (each sub-model on a sub-mesh), the batch shards over 'data',
+    the EnsMLP token fusion becomes an all-gather over ICI (SURVEY.md §2.7
+    "TPU mapping"). Returns (place_batch, place_replicated, place_division,
+    mesh); identities + None on a single device."""
+    from devit_tpu.parallel import mesh as M
+
+    n = jax.device_count()
+    if n <= 1:
+        ident = lambda tree: tree
+        return ident, ident, ident, None
+    mesh = M.ensemble_mesh(num_divisions)
+    data_n = mesh.shape[M.DATA_AXIS]
+    if log is not None:
+        log.info(f"ensemble mesh over {n} devices: {dict(mesh.shape)}")
+
+    def place_batch(tree):
+        def put(x):
+            x = jnp.asarray(x)
+            sh = (M.batch_sharding(mesh)
+                  if x.ndim >= 1 and x.shape[0] % data_n == 0 else M.replicated(mesh))
+            return jax.device_put(x, sh)
+
+        return jax.tree_util.tree_map(put, tree)
+
+    return (
+        place_batch,
+        (lambda tree: M.replicate_tree(tree, mesh)),
+        (lambda tree: M.shard_division_tree(tree, mesh, num_divisions)),
+        mesh,
+    )

@@ -54,6 +54,38 @@ def _try_resume(args, state, log):
     return state, start_epoch
 
 
+def _ensemble_ckpt_tree(bb_state, ens_state, epoch: int):
+    """Resumable stage-5 state: both param sets AND both optimizer states
+    (the reference saves optimizer+ens_optimizer+epoch, ensemble.py:390-402)."""
+    return {"backbone_params": bb_state.params, "ens_params": ens_state.params,
+            "bb_opt_state": bb_state.opt_state, "ens_opt_state": ens_state.opt_state,
+            "epoch": np.int32(epoch)}
+
+
+def _try_resume_ensemble(args, bb_state, ens_state, log):
+    """Restore both optimizers + epoch from --resume (ensemble.py:390-402).
+    Old/weights-only checkpoints (params + epoch, no opt states) still resume
+    the params. Returns (bb_state, ens_state, start_epoch)."""
+    if not getattr(args, "resume", None):
+        return bb_state, ens_state, 0
+    try:
+        ckpt = restore_pytree(args.resume, _ensemble_ckpt_tree(bb_state, ens_state, 0))
+        bb_state = bb_state.replace(params=ckpt["backbone_params"],
+                                    opt_state=ckpt["bb_opt_state"])
+        ens_state = ens_state.replace(params=ckpt["ens_params"],
+                                      opt_state=ckpt["ens_opt_state"])
+    except Exception:
+        raw = restore_pytree(args.resume, None)
+        bb_state = bb_state.replace(params=jax.tree_util.tree_map(
+            lambda t, n: jnp.asarray(n), bb_state.params, raw["backbone_params"]))
+        ens_state = ens_state.replace(params=jax.tree_util.tree_map(
+            lambda t, n: jnp.asarray(n), ens_state.params, raw["ens_params"]))
+        ckpt = raw
+    start_epoch = int(np.asarray(ckpt.get("epoch", -1))) + 1
+    log.info(f"resumed ensemble from {args.resume} at epoch {start_epoch}")
+    return bb_state, ens_state, start_epoch
+
+
 # ------------------------------------------------------------------ split
 
 
@@ -125,23 +157,29 @@ def train_sub_main(args) -> float:
     )
     jstep = jax.jit(raw_step)
 
+    place_batch, place_rep, _dp_mesh = C.data_parallel_context(log)
+
     def step_fn(state, images, labels, rng):
         r_aug, r_step = jax.random.split(rng)
-        x = prep_train(r_aug, images)
-        return jstep(state, t_vars, x, jnp.asarray(labels), r_step)
+        x = prep_train(r_aug, place_batch(jnp.asarray(images)))
+        return jstep(state, t_vars, x, place_batch(jnp.asarray(labels)), r_step)
 
     eval_step = jax.jit(S.make_eval_step(model))
 
     def eval_fn(state):
         variables = {"params": state.ema_params if state.ema_params is not None else state.params}
         batches = BatchIterator(val_ds, args.eval_batch_size, shuffle=False, drop_last=False)
-        return run_eval(eval_step, variables, None, batches, prepare=prep_eval)
+        return run_eval(eval_step, variables, None, batches,
+                        prepare=lambda im: prep_eval(place_batch(jnp.asarray(im))))
 
     def save_state(path, state, epoch):
         save_pytree(path, {"params": state.params, "ema_params": state.ema_params,
                            "opt_state": state.opt_state, "epoch": np.int32(epoch)})
 
     state, start_epoch = _try_resume(args, state, log)
+    state = place_rep(state)
+    if t_vars is not None:
+        t_vars = place_rep(t_vars)
 
     if args.eval:
         m = eval_fn(state)
@@ -301,17 +339,20 @@ def distill_main(args) -> float:
         distillation_tau=args.distillation_tau,
     ))
 
+    place_batch, place_rep, _dp_mesh = C.data_parallel_context(log)
+
     def step_fn(state, images, labels, rng):
         r_aug, r_step = jax.random.split(rng)
-        x = prep_train(r_aug, images)
-        return jstep(state, t_vars, gates, x, jnp.asarray(labels), r_step)
+        x = prep_train(r_aug, place_batch(jnp.asarray(images)))
+        return jstep(state, t_vars, gates, x, place_batch(jnp.asarray(labels)), r_step)
 
     eval_step = jax.jit(S.make_eval_step(student))
 
     def eval_fn(state):
         v = {"params": state.ema_params if state.ema_params is not None else state.params}
         batches = BatchIterator(val_ds, args.eval_batch_size, shuffle=False, drop_last=False)
-        return run_eval(eval_step, v, gates, batches, prepare=prep_eval)
+        return run_eval(eval_step, v, gates, batches,
+                        prepare=lambda im: prep_eval(place_batch(jnp.asarray(im))))
 
     def save_state(path, state, epoch):
         save_pytree(path, {"params": state.params, "ema_params": state.ema_params,
@@ -321,6 +362,9 @@ def distill_main(args) -> float:
                            "epoch": np.int32(epoch)})
 
     state, start_epoch = _try_resume(args, state, log)
+    state = place_rep(state)
+    t_vars = place_rep(t_vars)
+    gates = place_rep(gates)
 
     def train_batches(epoch):
         it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed,
@@ -465,12 +509,24 @@ def ensemble_main(args) -> float:
     ))
     ens_eval = jax.jit(S.make_ensemble_eval_step(backbone, ens))
 
+    bb_state, ens_state, start_epoch = _try_resume_ensemble(args, bb_state, ens_state, log)
+
+    # division+data parallel: stacked params/gates shard over 'div', batch
+    # over 'data', EnsMLP replicated — token fusion all-gathers over ICI
+    place_batch, place_rep, place_div, _ens_mesh = C.ensemble_parallel_context(D, log)
+    bb_state = place_div(bb_state)
+    ens_state = place_rep(ens_state)
+    if t_vars is not None:
+        t_vars = place_rep(t_vars)
+    if gates is not None:
+        gates = place_div(gates)
+
     def step_fn(carry, images, labels, rng):
         bb_state, ens_state = carry
         r_aug, r_step = jax.random.split(rng)
-        x = prep_train(r_aug, images)
+        x = prep_train(r_aug, place_batch(jnp.asarray(images)))
         bb_state, ens_state, metrics = jstep(
-            bb_state, ens_state, t_vars, gates, x, jnp.asarray(labels), r_step
+            bb_state, ens_state, t_vars, gates, x, place_batch(jnp.asarray(labels)), r_step
         )
         return (bb_state, ens_state), metrics
 
@@ -481,7 +537,8 @@ def ensemble_main(args) -> float:
                                           drop_last=False):
             out = jax.device_get(ens_eval({"params": bb_state.params},
                                           {"params": ens_state.params},
-                                          gates, prep_eval(imgs), jnp.asarray(labels)))
+                                          gates, prep_eval(place_batch(jnp.asarray(imgs))),
+                                          place_batch(jnp.asarray(labels))))
             for k in totals:
                 totals[k] += float(out[k])
         n = max(totals["count"], 1)
@@ -490,8 +547,7 @@ def ensemble_main(args) -> float:
 
     def save_state(path, carry, epoch):
         bb_state, ens_state = carry
-        save_pytree(path, {"backbone_params": bb_state.params,
-                           "ens_params": ens_state.params, "epoch": np.int32(epoch)})
+        save_pytree(path, _ensemble_ckpt_tree(bb_state, ens_state, epoch))
 
     def train_batches(epoch):
         it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed)
@@ -507,6 +563,7 @@ def ensemble_main(args) -> float:
         carry=(bb_state, ens_state), step_fn=step_fn, train_batches_fn=train_batches,
         eval_fn=eval_fn, epochs=args.epochs, rng=jax.random.key(args.seed + 2),
         output_dir=args.output_dir, log_fn=log.info, save_state_fn=save_state,
+        start_epoch=start_epoch,
     )
     log.info(f"ensemble best acc1: {best:.2f}")
     return best
@@ -574,12 +631,20 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
     ))
     ens_eval = jax.jit(S.make_cct_ensemble_eval_step(backbone, ens))
 
+    bb_state, ens_state, start_epoch = _try_resume_ensemble(args, bb_state, ens_state, log)
+
+    place_batch, place_rep, place_div, _ens_mesh = C.ensemble_parallel_context(D, log)
+    bb_state = place_div(bb_state)
+    ens_state = place_rep(ens_state)
+    if t_vars is not None:
+        t_vars = place_rep(t_vars)
+
     def step_fn(carry, images, labels, rng):
         bb_state, ens_state = carry
         r_aug, r_step = jax.random.split(rng)
-        x = prep_train(r_aug, images)
+        x = prep_train(r_aug, place_batch(jnp.asarray(images)))
         bb_state, ens_state, metrics = jstep(
-            bb_state, ens_state, t_vars, x, jnp.asarray(labels), r_step
+            bb_state, ens_state, t_vars, x, place_batch(jnp.asarray(labels)), r_step
         )
         return (bb_state, ens_state), metrics
 
@@ -590,7 +655,8 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
                                           drop_last=False):
             out = jax.device_get(ens_eval({"params": bb_state.params},
                                           {"params": ens_state.params},
-                                          prep_eval(imgs), jnp.asarray(labels)))
+                                          prep_eval(place_batch(jnp.asarray(imgs))),
+                                          place_batch(jnp.asarray(labels))))
             for k in totals:
                 totals[k] += float(out[k])
         n = max(totals["count"], 1)
@@ -599,8 +665,7 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
 
     def save_state(path, carry, epoch):
         bb_state, ens_state = carry
-        save_pytree(path, {"backbone_params": bb_state.params,
-                           "ens_params": ens_state.params, "epoch": np.int32(epoch)})
+        save_pytree(path, _ensemble_ckpt_tree(bb_state, ens_state, epoch))
 
     def train_batches(epoch):
         it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed)
@@ -616,6 +681,7 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
         carry=(bb_state, ens_state), step_fn=step_fn, train_batches_fn=train_batches,
         eval_fn=eval_fn, epochs=args.epochs, rng=jax.random.key(args.seed + 2),
         output_dir=args.output_dir, log_fn=log.info, save_state_fn=save_state,
+        start_epoch=start_epoch,
     )
     log.info(f"CCT ensemble best acc1: {best:.2f}")
     return best

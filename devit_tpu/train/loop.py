@@ -92,8 +92,11 @@ def fit(
         os.makedirs(output_dir, exist_ok=True)
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
-        carry, train_stats, rng = train_epoch(
-            step_fn, carry, train_batches_fn(epoch), rng, epoch=epoch, log_fn=log_fn
+        # per-epoch rng via fold_in (not threaded across epochs) so a resume
+        # from epoch k replays exactly the keys the uninterrupted run used
+        carry, train_stats, _ = train_epoch(
+            step_fn, carry, train_batches_fn(epoch),
+            jax.random.fold_in(rng, epoch), epoch=epoch, log_fn=log_fn
         )
         if output_dir and save_state_fn is not None:
             save_state_fn(os.path.join(output_dir, "checkpoint_temp.msgpack"), carry, epoch)
