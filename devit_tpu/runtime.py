@@ -17,6 +17,7 @@ def setup_runtime(cache_dir: str | None = None) -> None:
     if _DONE:
         return
     _DONE = True
+    _maybe_init_multihost()
     cache_dir = cache_dir or os.environ.get(
         "DEVIT_COMPILE_CACHE", os.path.expanduser("~/.cache/devit_tpu_xla")
     )
@@ -27,3 +28,35 @@ def setup_runtime(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # cache is an optimization; never fail startup over it
+
+
+def _maybe_init_multihost() -> None:
+    """Multi-host rendezvous — the TPU-native replacement for the reference's
+    env-var/SLURM NCCL process-group setup (utils/dist_utils.py:215-237).
+
+    Gated on env so single-host runs never try to rendezvous:
+    - DEVIT_MULTIHOST=1 -> jax.distributed.initialize() with auto-detection
+      (Cloud TPU pod metadata / SLURM env, jax's built-in discovery).
+    - DEVIT_COORDINATOR=<host:port> (+ DEVIT_NUM_PROCESSES, DEVIT_PROCESS_ID)
+      -> explicit rendezvous, mirroring the reference's RANK/WORLD_SIZE path.
+
+    After initialize(), jax.devices() spans all processes, so data_mesh() /
+    ensemble_mesh() (parallel/mesh.py) become pod-wide with no further code:
+    e.g. the ImageNet-1K 8-division config maps div=8 across hosts with the
+    data axis inside each slice — divisions ride ICI, only the EnsMLP token
+    all-gather may cross DCN if divisions span slices.
+
+    Cannot be hardware-tested here (single chip via tunnel); the code path is
+    exercised by tests/test_runtime.py via a mocked jax.distributed.
+    """
+    coord = os.environ.get("DEVIT_COORDINATOR")
+    if os.environ.get("DEVIT_MULTIHOST") != "1" and not coord:
+        return
+    kwargs = {}
+    if coord:
+        kwargs["coordinator_address"] = coord
+        if "DEVIT_NUM_PROCESSES" in os.environ:
+            kwargs["num_processes"] = int(os.environ["DEVIT_NUM_PROCESSES"])
+        if "DEVIT_PROCESS_ID" in os.environ:
+            kwargs["process_id"] = int(os.environ["DEVIT_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
