@@ -1,0 +1,32 @@
+import torch
+
+
+def accuracy(output, target, topk=(1,)):
+    """timm.utils.accuracy: top-k percentage."""
+    maxk = max(topk)
+    batch = target.size(0)
+    _, pred = output.topk(maxk, 1, True, True)
+    pred = pred.t()
+    correct = pred.eq(target.reshape(1, -1).expand_as(pred))
+    return [correct[:k].reshape(-1).float().sum(0) * 100.0 / batch for k in topk]
+
+
+class ModelEma:
+    """Minimal EMA-of-weights holder (timm legacy ModelEma contract)."""
+
+    def __init__(self, model, decay=0.9999, device="", resume=""):
+        import copy
+
+        self.ema = copy.deepcopy(model)
+        self.ema.eval()
+        self.decay = decay
+        for p in self.ema.parameters():
+            p.requires_grad_(False)
+
+    @torch.no_grad()
+    def update(self, model):
+        esd = self.ema.state_dict()
+        msd = model.state_dict()
+        for k, v in esd.items():
+            if v.dtype.is_floating_point:
+                v.copy_(v * self.decay + msd[k].detach() * (1.0 - self.decay))
