@@ -81,24 +81,48 @@ def eval_transform(images: Array, img_size: int = 224, dtype=jnp.bfloat16) -> Ar
 
 
 def _random_resized_crop(rng: Array, image: Array, cfg: AugmentConfig) -> Array:
-    """Single-image RRC: sample area/aspect (10 tries collapsed to one clipped
-    sample — a standard JAX-friendly approximation), crop, bicubic resize."""
+    """Single-image RRC with torchvision get_params semantics: 10 rejection
+    tries of (area, aspect) with integer crop sizes/offsets, first valid try
+    wins; on total rejection, the ratio-clamped center-crop fallback.
+    (timm create_transform's RandomResizedCropAndInterpolation has the same
+    sampling; reference get_dataset.py:80-91.) Vectorized: all 10 tries are
+    sampled at once and the first valid one is selected with argmax."""
     H, W, C = image.shape
     r_area, r_ratio, r_pos = jax.random.split(rng, 3)
-    area = H * W * jax.random.uniform(r_area, minval=cfg.rrc_scale[0], maxval=cfg.rrc_scale[1])
-    log_ratio = jax.random.uniform(
-        r_ratio, minval=jnp.log(cfg.rrc_ratio[0]), maxval=jnp.log(cfg.rrc_ratio[1])
+    area = H * W * jax.random.uniform(
+        r_area, (10,), minval=cfg.rrc_scale[0], maxval=cfg.rrc_scale[1]
     )
-    ratio = jnp.exp(log_ratio)
-    w = jnp.sqrt(area * ratio)
-    h = jnp.sqrt(area / ratio)
-    w = jnp.clip(w, 8.0, W).astype(jnp.float32)
-    h = jnp.clip(h, 8.0, H).astype(jnp.float32)
-    py, px = jax.random.uniform(r_pos, (2,))
-    y0 = py * (H - h)
-    x0 = px * (W - w)
-    # crop+resize in one scale_and_translate (bilinear, matching RRC interp default
-    # would be bicubic per --train-interpolation; use cubic)
+    ratio = jnp.exp(jax.random.uniform(
+        r_ratio, (10,), minval=jnp.log(cfg.rrc_ratio[0]),
+        maxval=jnp.log(cfg.rrc_ratio[1]),
+    ))
+    ws = jnp.round(jnp.sqrt(area * ratio))
+    hs = jnp.round(jnp.sqrt(area / ratio))
+    valid = (ws > 0) & (ws <= W) & (hs > 0) & (hs <= H)
+    idx = jnp.argmax(valid)  # first True (argmax returns first max)
+    any_valid = jnp.any(valid)
+
+    # torchvision fallback (static for a static source size): clamp aspect,
+    # center crop
+    in_ratio = W / H
+    if in_ratio < cfg.rrc_ratio[0]:
+        fw, fh = W, int(round(W / cfg.rrc_ratio[0]))
+    elif in_ratio > cfg.rrc_ratio[1]:
+        fh, fw = H, int(round(H * cfg.rrc_ratio[1]))
+    else:
+        fw, fh = W, H
+
+    w = jnp.where(any_valid, ws[idx], float(fw))
+    h = jnp.where(any_valid, hs[idx], float(fh))
+    # integer offsets: i ~ U{0, H-h}, j ~ U{0, W-w} (torchvision randint)
+    ki, kj = jax.random.split(r_pos)
+    i = jax.random.randint(ki, (), 0, (H - h + 1).astype(jnp.int32))
+    j = jax.random.randint(kj, (), 0, (W - w + 1).astype(jnp.int32))
+    y0 = jnp.where(any_valid, i.astype(jnp.float32), (H - fh) // 2)
+    x0 = jnp.where(any_valid, j.astype(jnp.float32), (W - fw) // 2)
+
+    # crop+resize in one scale_and_translate, bicubic (the reference's
+    # --train-interpolation default)
     scale = jnp.array([cfg.img_size / h, cfg.img_size / w])
     translation = -jnp.array([y0, x0]) * scale
     out = jax.image.scale_and_translate(

@@ -142,6 +142,39 @@ def test_train_transform_jits_and_randomizes():
     assert not np.allclose(a, b)
 
 
+def test_rrc_full_scale_is_identity_resize():
+    """scale=(1,1), ratio=(1,1) on a square image -> the crop is the whole
+    image; output must equal a plain bicubic resize."""
+    from devit_tpu.data.pipeline import _random_resized_crop
+
+    img = jnp.asarray(np.random.default_rng(0).normal(size=(48, 48, 3)).astype(np.float32))
+    cfg = AugmentConfig(img_size=32, rrc_scale=(1.0, 1.0), rrc_ratio=(1.0, 1.0))
+    out = _random_resized_crop(jax.random.key(0), img, cfg)
+    ref = jax.image.resize(img, (32, 32, 3), method="cubic")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_rrc_rejection_fallback_matches_torchvision_center_crop():
+    """All 10 tries invalid (requested aspect wider than the image) -> the
+    torchvision fallback: w=W, h=round(W/min_ratio), centered."""
+    from devit_tpu.data.pipeline import _random_resized_crop
+
+    H, W = 64, 32
+    img = jnp.asarray(np.random.default_rng(1).normal(size=(H, W, 3)).astype(np.float32))
+    cfg = AugmentConfig(img_size=16, rrc_scale=(0.9, 1.0), rrc_ratio=(4 / 3, 4 / 3 + 1e-6))
+    out = _random_resized_crop(jax.random.key(0), img, cfg)
+    fw, fh = W, int(round(W / (4 / 3)))  # 32, 24
+    y0, x0 = (H - fh) // 2, 0
+    # expected = the same fused crop+resize with the fallback geometry pinned
+    # (resize-of-a-crop differs at crop edges where the bicubic kernel spans
+    # the boundary; the property under test is the SELECTED geometry)
+    scale = jnp.array([16 / fh, 16 / fw])
+    ref = jax.image.scale_and_translate(
+        img, (16, 16, 3), (0, 1), scale, -jnp.array([y0, x0]) * scale,
+        method="cubic")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
 def test_train_transform_small_image_branch():
     cfg = AugmentConfig(img_size=32, small_image=True, randaugment=False, color_jitter=0.4)
     imgs = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 32, 32, 3), np.uint8))
