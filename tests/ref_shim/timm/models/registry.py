@@ -6,5 +6,7 @@ def register_model(fn):
     return fn
 
 
-def create_model(name, pretrained=False, **kwargs):
-    return _model_entrypoints[name](pretrained=pretrained, **kwargs)
+def create_model(model_name, pretrained=False, **kwargs):
+    # timm drops kwargs that are None (e.g. drop_block_rate=None)
+    kwargs = {k: v for k, v in kwargs.items() if v is not None}
+    return _model_entrypoints[model_name](pretrained=pretrained, **kwargs)

@@ -142,3 +142,76 @@ def test_model_pallas_training_grads_match_xla():
     flat_p, _ = ravel_pytree(g_pal)
     np.testing.assert_allclose(np.asarray(flat_p), np.asarray(flat_x),
                                rtol=2e-3, atol=2e-5)
+
+
+def test_fused_block_attention_matches_xla_composition():
+    """LN1+qkv+attention+proj+residual fused kernel vs the same ops in XLA
+    (the compact serving path, compact_vit.py layer loop)."""
+    from devit_tpu.kernels.attention import fused_block_attention
+
+    B, N, C, H, dh = 4, 18, 32, 3, 8
+    K = H * dh
+    key = jax.random.key(3)
+    ks = jax.random.split(key, 8)
+    t = jax.random.normal(ks[0], (B, N, C), jnp.float32)
+    ns = 1.0 + 0.1 * jax.random.normal(ks[1], (C,), jnp.float32)
+    nb = 0.1 * jax.random.normal(ks[2], (C,), jnp.float32)
+    qw = jax.random.normal(ks[3], (C, 3 * K), jnp.float32) * 0.1
+    qb = 0.1 * jax.random.normal(ks[4], (3 * K,), jnp.float32)
+    pw = jax.random.normal(ks[5], (K, C), jnp.float32) * 0.1
+    pb = 0.1 * jax.random.normal(ks[6], (C,), jnp.float32)
+    eps = 1e-6
+
+    out = fused_block_attention(t, ns, nb, qw, qb, pw, pb, num_heads=H,
+                                eps=eps, block_b=2, interpret=True)
+
+    mu = jnp.mean(t, axis=-1, keepdims=True)
+    var = jnp.var(t, axis=-1, keepdims=True)
+    h = (t - mu) / jnp.sqrt(var + eps) * ns + nb
+    qkv = h @ qw + qb
+    att = reference_attention(qkv, None, num_heads=H)
+    ref = t + att @ pw + pb
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_block_attention_no_bias_and_remainder_batch():
+    from devit_tpu.kernels.attention import fused_block_attention
+
+    B, N, C, H, dh = 5, 10, 16, 2, 8
+    K = H * dh
+    t = jax.random.normal(jax.random.key(4), (B, N, C), jnp.float32)
+    ns, nb = jnp.ones((C,)), jnp.zeros((C,))
+    qw = jax.random.normal(jax.random.key(5), (C, 3 * K), jnp.float32) * 0.1
+    pw = jax.random.normal(jax.random.key(6), (K, C), jnp.float32) * 0.1
+    pb = jnp.zeros((C,))
+    out = fused_block_attention(t, ns, nb, qw, None, pw, pb, num_heads=H,
+                                eps=1e-6, block_b=2, interpret=True)
+    mu = jnp.mean(t, axis=-1, keepdims=True)
+    h = (t - mu) / jnp.sqrt(jnp.var(t, axis=-1, keepdims=True) + 1e-6)
+    ref = t + reference_attention(h @ qw, None, num_heads=H) @ pw + pb
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_compact_forward_pallas_flag_parity_interpret():
+    """compact_forward(use_pallas=True) must equal use_pallas=False — on CPU
+    this exercises the fused kernel in interpret mode end to end."""
+    from devit_tpu.core.rank import build_gates
+    from devit_tpu.models.compact_vit import compact_forward, compact_vit_ragged
+
+    cfg = get_vit_config("dedeit", img_size=32, patch_size=8, embed_dim=64,
+                         depth=2, num_heads=4, num_classes=7)
+    m = VisionTransformer(cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(7), (3, 32, 32, 3), jnp.float32)
+    params = m.init(jax.random.key(8), x)["params"]
+    rng = np.random.default_rng(0)
+    n_rank = np.stack([rng.permutation(cfg.hidden_dim) for _ in range(cfg.depth)])
+    h_rank = np.stack([rng.permutation(cfg.num_heads) for _ in range(cfg.depth)])
+    gates = build_gates(n_rank, h_rank, [0.4, 0.2], [0.25, 0.5])
+    cm = compact_vit_ragged(params, gates, cfg)
+
+    # force_pallas=True drives the fused kernel (interpret mode off-TPU)
+    a = compact_forward(cm, x, patch_size=8, dtype=jnp.float32, use_pallas=True,
+                        force_pallas=True)
+    b = compact_forward(cm, x, patch_size=8, dtype=jnp.float32, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)

@@ -74,7 +74,7 @@ def _data():
 
 
 def _to_jax_params(torch_model, depth):
-    sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+    sd = {k: v.detach().numpy().copy() for k, v in torch_model.state_dict().items()}
     return torch_vit_to_params(sd, depth=depth)
 
 
@@ -177,3 +177,152 @@ def test_eval_matches_reference_engine(monkeypatch):
     assert abs(acc1 - float(ref_stats["acc1"])) < 1e-6
     assert abs(acc5 - float(ref_stats["acc5"])) < 1e-6
     assert abs(totals["loss_sum"] / totals["count"] - float(ref_stats["loss"])) < 1e-4
+
+
+# ------------------------------------------------- stage-5 ensemble parity
+
+
+def _ref_ensemble_models(monkeypatch):
+    """Reference MultiViT+EnsMLP at toy geometry: register a toy 'dedeit'
+    factory in the shim timm registry so MultiViT's hardcoded create_model
+    call (ensemble_models.py:22-27) builds small backbones."""
+    _, ref_de_vit, _, _ = load_reference()
+    import models.ensemble_models as ref_ens_models
+    from timm.models import registry as shim_registry
+
+    def toy_dedeit(pretrained=False, **kwargs):
+        kwargs.pop("drop_block_rate", None)
+        return ref_de_vit.VisionTransformer(
+            in_chans=3, distilled=True, attn_drop_rate=0.0,
+            **{**GEOM_S, "num_classes": kwargs.get("num_classes", 5),
+               "embed_dim": 64},
+            drop_rate=kwargs.get("drop_rate", 0.0),
+            drop_path_rate=kwargs.get("drop_path_rate", 0.0))
+
+    shim_registry._model_entrypoints["toy_dedeit"] = toy_dedeit
+    torch.manual_seed(1)
+    multi = ref_ens_models.MultiViT(model="toy_dedeit", drop=0, drop_path=0.0,
+                                    num_classes_list=[5, 5], num_div=2)
+    ens = ref_ens_models.EnsMLP(model="toy_dedeit", num_class=10, sub_size=64,
+                                num_classes_list=[5, 5], teacher_size=96)
+    return multi, ens
+
+
+def _our_ensemble_from_torch(multi_t, ens_t):
+    from devit_tpu.models.ensemble import EnsMLP as OurEnsMLP
+    from devit_tpu.models.ensemble import stack_division_params
+
+    cfg = get_vit_config("dedeit", drop_path_rate=0.0,
+                         **{**GEOM_S, "num_classes": 0})
+    backbone = VisionTransformer(cfg, dtype=jnp.float32)
+    div_params = []
+    for bb in multi_t.backbones:
+        sd = {k: v.detach().numpy().copy() for k, v in bb.state_dict().items()}
+        div_params.append(torch_vit_to_params(sd, depth=cfg.depth))
+    stacked = stack_division_params(div_params)
+
+    ens_j = OurEnsMLP(num_classes=10, sub_size=64, num_divisions=2,
+                      teacher_size=96, family="deit", dtype=jnp.float32)
+    esd = {k: v.detach().numpy().copy() for k, v in ens_t.state_dict().items()}
+    ens_params = {
+        name: {"kernel": esd[f"{name}.weight"].T, "bias": esd[f"{name}.bias"]}
+        for name in ("cls_mlp", "cls_classifier", "dist_mlp", "dist_classifier")
+    }
+    return backbone, stacked, ens_j, ens_params
+
+
+def test_ensemble_eval_matches_reference_engine(monkeypatch):
+    """evaluate_ens_disjoint — the north-star benchmark path — vs our
+    make_ensemble_eval_step on identical weights/data."""
+    ref_engine, _, _, _ = load_reference()
+    _patch_cpu(monkeypatch)
+    multi_t, ens_t = _ref_ensemble_models(monkeypatch)
+
+    images, _ = _data()
+    rng = np.random.default_rng(3)
+    labels10 = rng.integers(0, 10, size=(3, BATCH))
+    loader = [
+        (torch.from_numpy(images[i].transpose(0, 3, 1, 2)),
+         torch.from_numpy(labels10[i]))
+        for i in range(3)
+    ]
+    ref_stats = ref_engine.evaluate_ens_disjoint(loader, multi_t, ens_t,
+                                                 torch.device("cpu"))
+
+    backbone, stacked, ens_j, ens_params = _our_ensemble_from_torch(multi_t, ens_t)
+    step = jax.jit(S.make_ensemble_eval_step(backbone, ens_j))
+    totals = {"loss_sum": 0.0, "top1": 0, "top5": 0, "count": 0}
+    for i in range(3):
+        out = jax.device_get(step({"params": stacked}, {"params": ens_params},
+                                  None, jnp.asarray(images[i]),
+                                  jnp.asarray(labels10[i])))
+        for k in totals:
+            totals[k] += float(out[k])
+    acc1 = 100.0 * totals["top1"] / totals["count"]
+    acc5 = 100.0 * totals["top5"] / totals["count"]
+    assert abs(acc1 - float(ref_stats["acc1"])) < 1e-6
+    assert abs(acc5 - float(ref_stats["acc5"])) < 1e-6
+    assert abs(totals["loss_sum"] / totals["count"] - float(ref_stats["loss"])) < 1e-4
+
+
+def test_ensemble_train_trajectory_matches_reference(monkeypatch):
+    """train_1epoch_ens_disjoint (one backward, two optimizers) vs our
+    make_ensemble_train_step, distillation 'none', 6 steps."""
+    ref_engine, _, _, _ = load_reference()
+    _patch_cpu(monkeypatch)
+    multi_t, ens_t = _ref_ensemble_models(monkeypatch)
+    backbone, stacked, ens_j, ens_params = _our_ensemble_from_torch(multi_t, ens_t)
+
+    steps_n = 6
+    images, _ = _data()
+    rng = np.random.default_rng(4)
+    labels10 = rng.integers(0, 10, size=(steps_n, BATCH))
+    loader = [
+        (torch.from_numpy(images[i].transpose(0, 3, 1, 2)),
+         torch.from_numpy(labels10[i]))
+        for i in range(steps_n)
+    ]
+
+    class _Crit(torch.nn.Module):  # 'none' branch: criterion(samples, logits, targets)
+        def forward(self, inputs, outputs, labels):
+            return torch.nn.functional.cross_entropy(outputs, labels)
+
+    opt_bb = torch.optim.AdamW(multi_t.parameters(), lr=1e-3, betas=(0.9, 0.999),
+                               eps=1e-8, weight_decay=0.0)
+    opt_ens = torch.optim.AdamW(ens_t.parameters(), lr=3e-3, betas=(0.9, 0.999),
+                                eps=1e-8, weight_decay=0.0)
+    scaler = torch.amp.GradScaler("cuda", enabled=False)
+    ref_losses_rec = []
+    orig_scale = scaler.scale
+
+    def record_scale(loss):
+        ref_losses_rec.append(float(loss.detach()))
+        return orig_scale(loss)
+
+    scaler.scale = record_scale
+    args = types.SimpleNamespace(distillation_type="none")
+    log = types.SimpleNamespace(info=lambda *a, **k: None)
+    ref_engine.train_1epoch_ens_disjoint(
+        multi_t, ens_t, _Crit(), loader, opt_bb, opt_ens, torch.device("cpu"),
+        epoch=0, scaler=scaler, args=args, log=log, model_ema=None,
+        ens_model_ema=None, mixup_fn=None, max_norm=None)
+    assert len(ref_losses_rec) == steps_n
+
+    import optax
+
+    bb_state = TrainState.create(stacked, optax.adamw(1e-3, b1=0.9, b2=0.999,
+                                                      eps=1e-8, weight_decay=0.0))
+    ens_state = TrainState.create(ens_params, optax.adamw(3e-3, b1=0.9, b2=0.999,
+                                                          eps=1e-8, weight_decay=0.0))
+    step = jax.jit(S.make_ensemble_train_step(
+        backbone, ens_j, None, mixup=None, smoothing=0.0,
+        distillation_type="none"))
+    ours = []
+    for i in range(steps_n):
+        bb_state, ens_state, metrics = step(
+            bb_state, ens_state, None, None, jnp.asarray(images[i]),
+            jnp.asarray(labels10[i]), jax.random.key(i))
+        ours.append(float(metrics["loss"]))
+
+    assert abs(ours[0] - ref_losses_rec[0]) < 1e-4, (ours[0], ref_losses_rec[0])
+    np.testing.assert_allclose(ours, ref_losses_rec, rtol=5e-3, atol=5e-3)
