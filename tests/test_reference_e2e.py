@@ -326,3 +326,42 @@ def test_ensemble_train_trajectory_matches_reference(monkeypatch):
 
     assert abs(ours[0] - ref_losses_rec[0]) < 1e-4, (ours[0], ref_losses_rec[0])
     np.testing.assert_allclose(ours, ref_losses_rec, rtol=5e-3, atol=5e-3)
+
+
+# ------------------------------------------------- stage-3 ranking parity
+
+
+def test_hsic_ranks_match_reference_imp_rank(monkeypatch):
+    """The reference's own core/imp_rank.py (module discovery over the torch
+    model, HSIC relevance/redundancy, 0.1/0.9 blend, argsort) vs our
+    core/rank.py on identical weights and the same single batch."""
+    _, ref_de_vit, _, _ = load_reference()
+    _patch_cpu(monkeypatch)
+    # HSICLoss(...).cuda() is called unconditionally (imp_rank.py:17-18)
+    monkeypatch.setattr(torch.nn.Module, "cuda", lambda self, *a, **k: self)
+    import core.imp_rank as ref_rank
+
+    student_t, _ = _torch_models(ref_de_vit)
+    student_t.eval()
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 5, size=(8,))
+    loader = [(torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(y))]
+
+    ref_n = ref_rank.mlp_neuron_rank(student_t, loader, mode="cpu")
+    ref_h = ref_rank.attn_head_rank(student_t, loader, mode="cpu")
+
+    from devit_tpu.core.rank import attn_head_rank, mlp_neuron_rank
+
+    cfg_s = get_vit_config("dedeit", drop_path_rate=0.0, **GEOM_S)
+    student_j = VisionTransformer(cfg_s, dtype=jnp.float32)
+    params = _to_jax_params(student_t, cfg_s.depth)
+    rank_apply = jax.jit(
+        lambda v, xx, g, c: student_j.apply(v, xx, gates=g, capture_rank_stats=c),
+        static_argnums=(3,),
+    )
+    ours_n = mlp_neuron_rank(rank_apply, {"params": params}, jnp.asarray(x))
+    ours_h = attn_head_rank(rank_apply, {"params": params}, jnp.asarray(x))
+
+    np.testing.assert_array_equal(np.stack(ref_n), np.asarray(ours_n))
+    np.testing.assert_array_equal(np.stack(ref_h), np.asarray(ours_h))
