@@ -56,6 +56,7 @@ def fused_attention(
     *,
     num_heads: int,
     block_b: int = 8,
+    vmem_limit_mb: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> Array:
     """softmax(q k^T / sqrt(dh)) v * head_gate, fused.
@@ -71,6 +72,11 @@ def fused_attention(
     dh = C // num_heads
     block_b = min(block_b, B)
     grid = (pl.cdiv(B, block_b),)
+    params = {}
+    if vmem_limit_mb is not None and not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+        )
 
     out = pl.pallas_call(
         functools.partial(_attn_kernel, num_heads=num_heads, head_dim=dh,
@@ -84,6 +90,7 @@ def fused_attention(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
         interpret=interpret,
+        **params,
     )(qkv)
     if head_gate is not None:
         # Head gate applied outside the kernel (one fused elementwise pass) so
@@ -108,6 +115,117 @@ def reference_attention(qkv: Array, head_gate: Optional[Array] = None,
     if head_gate is not None:
         o = o * head_gate.astype(o.dtype)[None, :, None, None]
     return o.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+
+# ------------------------------------------------- fused serving block-half
+#
+# LN1 + qkv matmul + attention + proj + residual in ONE kernel. Removes four
+# HBM round-trips per layer vs the split path (LN write, qkv write+read, att
+# write+read): at bs512/N198/C384 that's ~0.4 ms/layer of pure bandwidth.
+# MLP half stays in XLA (LN+fc1+gelu+fc2 fuse well there; a fully fused block
+# kernel measured no better — CLAUDE.md perf notes).
+
+
+def _block_attn_kernel(t_ref, ns_ref, nb_ref, qw_ref, qb_ref, pw_ref, pb_ref,
+                       o_ref, *, num_heads: int, head_dim: int, scale: float,
+                       eps: float):
+    K = num_heads * head_dim
+    t = t_ref[...]  # (TB, N, C)
+    tf = t.astype(jnp.float32)
+    mu = jnp.mean(tf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(tf - mu), axis=-1, keepdims=True)
+    h = (tf - mu) * jax.lax.rsqrt(var + eps)
+    h = (h * ns_ref[0].astype(jnp.float32) + nb_ref[0].astype(jnp.float32)).astype(t.dtype)
+    qkv = jax.lax.dot_general(
+        h, qw_ref[...],
+        dimension_numbers=(((2,), (0,)), ((), ())),  # (TB, N, 3K)
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + qb_ref[0].astype(jnp.float32)).astype(t.dtype)
+    acc = tf  # residual accumulator in f32
+    for hd in range(num_heads):
+        lo = hd * head_dim
+        q = qkv[:, :, lo : lo + head_dim]
+        k = qkv[:, :, K + lo : K + lo + head_dim]
+        v = qkv[:, :, 2 * K + lo : 2 * K + lo + head_dim]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o = jax.lax.dot_general(
+            p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(v.dtype)
+        acc = acc + jax.lax.dot_general(
+            o, pw_ref[lo : lo + head_dim, :],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[...] = (acc + pb_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def fused_block_attention(
+    t: Array,
+    norm_scale: Array,
+    norm_bias: Array,
+    qkv_kernel: Array,
+    qkv_bias: Optional[Array],
+    proj_kernel: Array,
+    proj_bias: Array,
+    *,
+    num_heads: int,
+    eps: float = 1e-6,
+    block_b: int = 8,
+    vmem_limit_mb: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """t + proj(attention(qkv(LN(t)))) fused in one Pallas kernel.
+
+    t: (B, N, C); qkv_kernel: (C, 3*K) with K = num_heads*head_dim (the
+    compact ragged layout, compact_vit.py); proj_kernel: (K, C).
+    Replaces compact_forward's LN1->qkv->attention->proj->residual sequence
+    (the gated-attention semantics of reference de_vit.py:65-87 with the gate
+    baked into the compacted weights).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N, C = t.shape
+    threeK = qkv_kernel.shape[1]
+    K = threeK // 3
+    dh = K // num_heads
+    block_b = min(block_b, B)
+    if qkv_bias is None:
+        qkv_bias = jnp.zeros((threeK,), t.dtype)
+    # the default 16MB scoped-VMEM limit is conservative (physical VMEM is
+    # much larger); bigger batch tiles need it raised explicitly
+    params = {}
+    if vmem_limit_mb is not None and not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+        )
+
+    return pl.pallas_call(
+        functools.partial(_block_attn_kernel, num_heads=num_heads, head_dim=dh,
+                          scale=dh ** -0.5, eps=eps),
+        grid=(pl.cdiv(B, block_b),),
+        in_specs=[
+            pl.BlockSpec((block_b, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, threeK), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, threeK), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, N, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), t.dtype),
+        interpret=interpret,
+        **params,
+    )(t, norm_scale.reshape(1, C), norm_bias.reshape(1, C), qkv_kernel,
+      qkv_bias.reshape(1, threeK), proj_kernel, proj_bias.reshape(1, C))
 
 
 # ----------------------------------------------------------- training path

@@ -150,6 +150,7 @@ def compact_forward(
     fast_math: bool = True,
     features_only: bool = False,
     int8: bool = False,
+    force_pallas: bool = False,
 ):
     """Inference forward over ragged layers. Returns logits or (cls, dist) feats."""
     stat = dtype if fast_math else jnp.float32
@@ -171,7 +172,18 @@ def compact_forward(
     if int8:
         from devit_tpu.kernels.quant import dynamic_int8_matmul
 
+    # force_pallas drives the fused kernel in interpret mode off-TPU (tests)
+    # MEASURED (v5e, bs512): the split layout below — XLA weight matmuls +
+    # the Pallas attention kernel — beats a fully fused
+    # LN+qkv+attention+proj+residual kernel (fused_block_attention) at every
+    # feasible block size: 47.9 ms/division split vs 53.0/53.8/59.8 for fused
+    # block_b 4/8/16. XLA's one flat (B*N, C)x(C, 3K) matmul runs the MXU
+    # harder than the same matmul tiled per batch block inside the kernel.
+    # fused_block_attention is kept as a tested capability (test_kernels.py).
+    pallas_on = use_pallas and (jax.default_backend() == "tpu" or force_pallas)
+
     for lp in model.layers:
+        kh = lp["num_heads"]
         h = _layer_norm(t, lp["norm1"]["scale"], lp["norm1"]["bias"], model.eps, stat)
         if int8:
             qkv = dynamic_int8_matmul(h, lp["qkv_q"], dtype)
@@ -179,11 +191,11 @@ def compact_forward(
             qkv = jnp.dot(h, lp["qkv_kernel"].astype(dtype))
             if "qkv_bias" in lp:
                 qkv = qkv + lp["qkv_bias"].astype(dtype)
-        kh = lp["num_heads"]
-        if use_pallas and jax.default_backend() == "tpu":
+        if pallas_on and not int8:
             from devit_tpu.kernels.attention import fused_attention
 
-            att = fused_attention(qkv, None, num_heads=kh)
+            att = fused_attention(qkv, None, num_heads=kh,
+                                  interpret=None if not force_pallas else True)
         else:
             from devit_tpu.kernels.attention import reference_attention
 
