@@ -146,17 +146,43 @@ def _random_crop_pad4(rng: Array, image: Array, cfg: AugmentConfig) -> Array:
 
 
 def _color_jitter(rng: Array, image: Array, strength: float) -> Array:
-    """Brightness/contrast/saturation jitter in [1-s, 1+s] (timm default form)."""
-    rb, rc, rs = jax.random.split(rng, 3)
-    b = jax.random.uniform(rb, minval=1 - strength, maxval=1 + strength)
-    c = jax.random.uniform(rc, minval=1 - strength, maxval=1 + strength)
-    s = jax.random.uniform(rs, minval=1 - strength, maxval=1 + strength)
-    x = image * b
-    mean = jnp.mean(x, axis=(0, 1), keepdims=True)
-    x = (x - mean) * c + mean
-    gray = jnp.mean(x, axis=-1, keepdims=True)
-    x = (x - gray) * s + gray
-    return jnp.clip(x, 0.0, 255.0)
+    """torchvision ColorJitter(brightness=s, contrast=s, saturation=s):
+    factors ~ U[max(0, 1-s), 1+s], the three ops applied in a RANDOM ORDER
+    (torchvision shuffles per call), each clamping to the valid range.
+    Contrast blends toward the mean of the GRAYSCALE image (torchvision
+    F.adjust_contrast), saturation toward per-pixel grayscale. ITU-R 601
+    luma weights, matching torchvision rgb_to_grayscale."""
+    rb, rc, rs, rp = jax.random.split(rng, 4)
+    lo = max(0.0, 1.0 - strength)
+    b = jax.random.uniform(rb, minval=lo, maxval=1 + strength)
+    c = jax.random.uniform(rc, minval=lo, maxval=1 + strength)
+    s = jax.random.uniform(rs, minval=lo, maxval=1 + strength)
+    luma_w = jnp.asarray([0.299, 0.587, 0.114], image.dtype)
+
+    def brightness(x):
+        return jnp.clip(x * b, 0.0, 255.0)
+
+    def contrast(x):
+        gray_mean = jnp.mean(jnp.tensordot(x, luma_w, axes=(-1, 0)))
+        return jnp.clip(gray_mean + c * (x - gray_mean), 0.0, 255.0)
+
+    def saturation(x):
+        gray = jnp.tensordot(x, luma_w, axes=(-1, 0))[..., None]
+        return jnp.clip(gray + s * (x - gray), 0.0, 255.0)
+
+    ops = [brightness, contrast, saturation]
+    # all 6 permutations, selected uniformly (torchvision randperm(3))
+    perms = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]
+
+    def apply_perm(p):
+        def f(x):
+            for i in p:
+                x = ops[i](x)
+            return x
+        return f
+
+    k = jax.random.randint(rp, (), 0, len(perms))
+    return jax.lax.switch(k, [apply_perm(p) for p in perms], image)
 
 
 def _random_erase(rng: Array, image: Array, prob: float) -> Array:

@@ -142,6 +142,31 @@ def test_train_transform_jits_and_randomizes():
     assert not np.allclose(a, b)
 
 
+def test_color_jitter_matches_torch_adjust_ops():
+    """Pin each jitter op against torch's functional definitions (torchvision
+    absent; adjust_* are simple blends: out = mean + f*(x-mean), clamped)."""
+    from unittest import mock
+
+    import torch
+
+    from devit_tpu.data.pipeline import _color_jitter
+
+    img = np.random.default_rng(0).uniform(0, 255, (8, 8, 3)).astype(np.float32)
+    # force factors b, c, s and a fixed order (brightness, contrast, saturation)
+    with mock.patch("jax.random.uniform", side_effect=[jnp.float32(1.2), jnp.float32(0.7), jnp.float32(1.5)]), \
+         mock.patch("jax.random.randint", return_value=jnp.int32(0)):
+        out = _color_jitter(jax.random.key(0), jnp.asarray(img), 0.4)
+
+    t = torch.from_numpy(img)
+    w = torch.tensor([0.299, 0.587, 0.114])
+    x = torch.clamp(t * 1.2, 0, 255)
+    gm = (x * w).sum(-1).mean()
+    x = torch.clamp(gm + 0.7 * (x - gm), 0, 255)
+    g = (x * w).sum(-1, keepdim=True)
+    x = torch.clamp(g + 1.5 * (x - g), 0, 255)
+    np.testing.assert_allclose(np.asarray(out), x.numpy(), rtol=1e-5, atol=1e-3)
+
+
 def test_rrc_full_scale_is_identity_resize():
     """scale=(1,1), ratio=(1,1) on a square image -> the crop is the whole
     image; output must equal a plain bicubic resize."""
