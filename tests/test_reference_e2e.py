@@ -365,3 +365,78 @@ def test_hsic_ranks_match_reference_imp_rank(monkeypatch):
 
     np.testing.assert_array_equal(np.stack(ref_n), np.asarray(ours_n))
     np.testing.assert_array_equal(np.stack(ref_h), np.asarray(ours_h))
+
+
+# ------------------------------------------------- CCT family parity
+
+
+def test_cct_forward_matches_reference_model():
+    """Whole-model CCT parity vs the reference's own models/cct.py (conv
+    tokenizer + pre-norm encoder + seq-pool + head) on converted weights."""
+    load_reference()
+    import models.cct as ref_cct
+
+    from devit_tpu.configs import get_cct_config
+    from devit_tpu.io.checkpoint import torch_cct_to_params
+    from devit_tpu.models.cct import CCT
+
+    torch.manual_seed(2)
+    ref = ref_cct.CCT(
+        img_size=32, embedding_dim=64, n_conv_layers=2, kernel_size=3,
+        stride=1, padding=1, num_layers=2, num_heads=2, mlp_ratio=2.0,
+        num_classes=7, dropout=0.0, attention_dropout=0.0,
+        stochastic_depth=0.0, positional_embedding="learnable").eval()
+
+    cfg = get_cct_config(
+        "cct_2", img_size=32, embed_dim=64, n_conv_layers=2, kernel_size=3,
+        stride=1, padding=1, num_layers=2, num_heads=2, mlp_ratio=2.0,
+        num_classes=7, dropout=0.0, attention_dropout=0.0,
+        stochastic_depth=0.0, positional_embedding="learnable")
+    ours = CCT(cfg, dtype=jnp.float32)
+
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    params = torch_cct_to_params(sd, num_layers=2, n_conv_layers=2)
+
+    x = np.random.default_rng(5).normal(size=(3, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out = ours.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out.logits), ref_logits,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_cct_backbone_pooled_matches_reference():
+    """Headless CCTTransformer backbone (ensemble feature path) parity."""
+    load_reference()
+    import models.cct as ref_cct
+
+    from devit_tpu.configs import get_cct_config
+    from devit_tpu.io.checkpoint import torch_cct_to_params
+    from devit_tpu.models.cct import CCT
+
+    torch.manual_seed(3)
+    ref = ref_cct.CCT(
+        img_size=32, embedding_dim=64, n_conv_layers=1, kernel_size=3,
+        stride=1, padding=1, num_layers=2, num_heads=2, mlp_ratio=2.0,
+        num_classes=7, dropout=0.0, attention_dropout=0.0,
+        stochastic_depth=0.0, positional_embedding="sine",
+        backbone=True).eval()
+
+    cfg = get_cct_config(
+        "cct_2", img_size=32, embed_dim=64, n_conv_layers=1, kernel_size=3,
+        stride=1, padding=1, num_layers=2, num_heads=2, mlp_ratio=2.0,
+        num_classes=7, dropout=0.0, attention_dropout=0.0,
+        stochastic_depth=0.0, positional_embedding="sine", backbone=True)
+    ours = CCT(cfg, dtype=jnp.float32)
+
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    params = torch_cct_to_params(sd, num_layers=2, n_conv_layers=1)
+    params.pop("positional_emb", None)  # sine PE is computed, not a param
+
+    x = np.random.default_rng(6).normal(size=(3, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        ref_pooled = (ref_out[0] if isinstance(ref_out, tuple) else ref_out).numpy()
+    out = ours.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out.pooled), ref_pooled,
+                               rtol=2e-4, atol=2e-4)
