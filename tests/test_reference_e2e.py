@@ -440,3 +440,113 @@ def test_cct_backbone_pooled_matches_reference():
     out = ours.apply({"params": params}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out.pooled), ref_pooled,
                                rtol=2e-4, atol=2e-4)
+
+
+# ------------------------------------------------- loss & metric parity
+# (direct function-level checks against the reference's own code — the unit
+# suite pins these with handwritten fixtures; these pin them against the
+# genuine implementations)
+
+
+def test_losses_match_reference_functions():
+    load_reference()
+    import utils.losses as RL
+
+    from devit_tpu.train import losses as L
+
+    rng = np.random.default_rng(11)
+    B, H, N, dh_t, dh_s, K = 4, 3, 9, 16, 8, 7
+    tq = rng.normal(size=(B, H, N, dh_t)).astype(np.float32)
+    sq = rng.normal(size=(B, H, N, dh_s)).astype(np.float32)
+    frl_ref = float(RL.feature_relation_loss(torch.from_numpy(tq), torch.from_numpy(sq)))
+    frl_ours = float(L.feature_relation_loss(jnp.asarray(tq), jnp.asarray(sq)))
+    assert abs(frl_ref - frl_ours) < 1e-5, (frl_ref, frl_ours)
+
+    s_logits = rng.normal(size=(B, K)).astype(np.float32)
+    t_logits = rng.normal(size=(B, K)).astype(np.float32)
+    labels = rng.integers(0, K, size=(B,))
+    for dt, tau in (("hard", 1.0), ("soft", 2.5)):
+        dl = RL.DistillLoss(base_criterion=torch.nn.CrossEntropyLoss(),
+                            distillation_type=dt, alpha=0.3, tau=tau)
+        ref_v = float(dl(torch.from_numpy(s_logits), torch.from_numpy(t_logits),
+                         torch.from_numpy(labels)))
+        ours_v = float(L.distill_loss(
+            jnp.asarray(s_logits), jnp.asarray(s_logits), jnp.asarray(t_logits),
+            jnp.asarray(labels), L.cross_entropy,
+            distillation_type=dt, alpha=0.3, tau=tau))
+        assert abs(ref_v - ours_v) < 1e-5, (dt, ref_v, ours_v)
+
+    ls_ref = RL.LabelSmoothingCrossEntropy(smoothing=0.2)
+    ref_v = float(ls_ref(torch.from_numpy(s_logits), torch.from_numpy(labels)))
+    ours_v = float(L.label_smoothing_cross_entropy(jnp.asarray(s_logits),
+                                                   jnp.asarray(labels), 0.2))
+    assert abs(ref_v - ours_v) < 1e-5
+
+    ref_v = float(RL.soft_cross_entropy(torch.from_numpy(s_logits),
+                                        torch.from_numpy(t_logits)))
+    ours_v = float(L.soft_cross_entropy(jnp.asarray(s_logits), jnp.asarray(t_logits)))
+    assert abs(ref_v - ours_v) < 1e-5
+
+
+def test_ens_loss_matches_reference_class():
+    """EnsLoss deit branch (token MSE on cls+dist, blended cls loss) vs ours,
+    teacher outputs fed identically."""
+    load_reference()
+    import utils.losses as RL
+
+    from devit_tpu.train import losses as L
+
+    rng = np.random.default_rng(12)
+    B, C, K = 4, 16, 10
+    s_cls = rng.normal(size=(B, C)).astype(np.float32)
+    s_dist = rng.normal(size=(B, C)).astype(np.float32)
+    t_cls = rng.normal(size=(B, C)).astype(np.float32)
+    t_dist = rng.normal(size=(B, C)).astype(np.float32)
+    s_logits = rng.normal(size=(B, K)).astype(np.float32)
+    t_logits = rng.normal(size=(B, K)).astype(np.float32)
+    labels = rng.integers(0, K, size=(B,))
+
+    class _Teacher(torch.nn.Module):
+        def forward(self, x, distill_token=False):
+            return {"output": torch.from_numpy(t_logits),
+                    "last_tokens": (torch.from_numpy(t_cls), torch.from_numpy(t_dist))}
+
+    for loss_type in ("mse", "kldiv"):
+        ens = RL.EnsLoss(base_criterion=torch.nn.CrossEntropyLoss(),
+                         teacher_model=_Teacher(), model="dedeit",
+                         distillation_type="hard", alpha=0.4, tau=1.0,
+                         loss_type=loss_type)
+        tok_ref, cls_ref = ens(
+            torch.zeros(B, 3, 8, 8),
+            ((torch.from_numpy(s_cls), torch.from_numpy(s_dist)),
+             torch.from_numpy(s_logits)),
+            torch.from_numpy(labels))
+        tok_ours, cls_ours = L.ens_loss(
+            (jnp.asarray(s_cls), jnp.asarray(s_dist)), jnp.asarray(s_logits),
+            (jnp.asarray(t_cls), jnp.asarray(t_dist)), jnp.asarray(t_logits),
+            jnp.asarray(labels), L.cross_entropy,
+            model_family="deit", distillation_type="hard", alpha=0.4, tau=1.0,
+            token_loss_type=loss_type)
+        assert abs(float(tok_ref) - float(tok_ours)) < 1e-5, loss_type
+        assert abs(float(cls_ref) - float(cls_ours)) < 1e-5, loss_type
+
+
+def test_metrics_match_reference_compute_metric():
+    load_reference()
+    import core.compute_metric as RM
+
+    from devit_tpu.core import metrics as M
+
+    rng = np.random.default_rng(13)
+    for _ in range(5):
+        L_ = 12
+        n_sp = rng.uniform(0, 0.9, L_).tolist()
+        h_sp = rng.uniform(0, 0.9, L_).tolist()
+        kw = dict(emb=384, seq_length=197, mlp_ratio=4, head=6, layer=L_,
+                  num_class=100)
+        assert abs(RM.cal_shrink_paras(n_sp, h_sp, **kw)
+                   - M.cal_shrink_paras(n_sp, h_sp, **kw)) < 1e-9
+        assert abs(RM.cal_shrink_flops(n_sp, h_sp, **kw)
+                   - M.cal_shrink_flops(n_sp, h_sp, **kw)) < 1e-9
+        assert abs(RM.cal_shrink_macs(n_sp, h_sp, **kw)
+                   - M.cal_shrink_macs(n_sp, h_sp, **kw)) < 1e-9
