@@ -131,7 +131,7 @@ def main():
     numerics_ok = check_numerics(cms)
     result = {
         "metric": "images/sec/chip 4-division dedeit ensemble inference "
-                  "(deployed: shrink0.3+compact, pallas fused-block, bf16, bs=%d)" % batch,
+                  "(deployed: shrink0.3+compact, pallas attention, bf16, bs=%d)" % batch,
         "value": round(ips, 1),
         "unit": "img/s",
         "vs_baseline": round(ips / 10000.0, 4),

@@ -44,3 +44,13 @@ def test_stage2_step_data_parallel_matches_single_device():
         lambda a, b: float(jnp.max(jnp.abs(a - b))), s1_out.params, s2_out.params
     )
     assert max(jax.tree_util.tree_leaves(d)) < 1e-5
+
+
+def test_pod_layout_eight_divisions():
+    """The ImageNet-scale config (BASELINE.md row 5) maps 8 divisions across
+    the slice: ensemble_mesh(8) on 8 devices -> {'div': 8, 'data': 1}; with
+    fewer devices than divisions it degrades to a pure data mesh."""
+    m8 = M.ensemble_mesh(8)
+    assert dict(m8.shape) == {"div": 8, "data": 1}
+    m_fallback = M.ensemble_mesh(16)  # 16 divisions > 8 devices
+    assert dict(m_fallback.shape) == {"div": 1, "data": 8}
