@@ -163,7 +163,13 @@ def build_dataset(
 
 class BatchIterator:
     """Host-side batcher: shuffles indices per epoch, yields device-ready
-    uint8 numpy batches (drop_last for static shapes under jit)."""
+    uint8 numpy batches (drop_last for static shapes under jit).
+
+    The row gather uses the native multithreaded C++ gather (csrc/
+    devit_host.cpp via io/native.py — the DataLoader-worker replacement) and,
+    with prefetch > 0, a background thread assembles up to `prefetch` batches
+    ahead so host gather/copy overlaps device compute (the role of the
+    reference's num_workers CPU DataLoader processes, train_subdata.py:362)."""
 
     def __init__(
         self,
@@ -174,6 +180,7 @@ class BatchIterator:
         seed: int = 0,
         drop_last: bool = True,
         repeated_aug: int = 0,
+        prefetch: int = 2,
     ):
         self.ds = ds
         self.batch_size = batch_size
@@ -181,6 +188,7 @@ class BatchIterator:
         self.seed = seed
         self.drop_last = drop_last
         self.repeated_aug = repeated_aug
+        self.prefetch = prefetch
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -190,7 +198,7 @@ class BatchIterator:
         n = len(self.ds)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def _epoch_indices(self) -> np.ndarray:
         n = len(self.ds)
         rng = np.random.default_rng(self.seed + self.epoch)
         if self.repeated_aug > 0 and self.shuffle:
@@ -198,12 +206,66 @@ class BatchIterator:
             # `repeated_aug` times per epoch, epoch-seeded shuffle, truncated
             # to the original epoch length.
             idx = np.repeat(rng.permutation(n), self.repeated_aug)
-            idx = rng.permutation(idx)[:n]
-        elif self.shuffle:
-            idx = rng.permutation(n)
-        else:
-            idx = np.arange(n)
+            return rng.permutation(idx)[:n]
+        if self.shuffle:
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def _assemble(self, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        from devit_tpu.io.native import gather_rows
+
+        return gather_rows(self.ds.images, b), self.ds.labels[b]
+
+    def _batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        n = len(self.ds)
+        idx = self._epoch_indices()
         end = n - (n % self.batch_size) if self.drop_last else n
         for s in range(0, end, self.batch_size):
-            b = idx[s : s + self.batch_size]
-            yield self.ds.images[b], self.ds.labels[b]
+            yield self._assemble(idx[s : s + self.batch_size])
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        # bounded background assembly: the native gather releases the GIL, so
+        # the producer thread genuinely overlaps the consumer's device steps
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for item in self._batches():
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                q.put(_END)
+            except BaseException as e:  # surface errors at the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=2.0)

@@ -54,16 +54,32 @@ def train_epoch(
     nan_abort: bool = True,
 ):
     """One epoch. `step_fn(carry, images, labels, rng) -> (carry, metrics)`.
-    `carry` is whatever state tuple the stage threads through."""
+    `carry` is whatever state tuple the stage threads through.
+
+    The metrics device_get (and with it the NaN guard, engine.py:119-121)
+    lags ONE step behind the dispatch: step i+1 is enqueued before step i's
+    metrics are pulled, so host batch assembly and the augment dispatch
+    overlap device compute instead of serializing on the per-step sync. A
+    non-finite loss therefore aborts one step later than the reference —
+    same outcome, one extra (discarded) step of work."""
     logger = MetricLogger(log_fn=log_fn)
     header = f"Epoch: [{epoch}]"
-    for i, (images, labels) in enumerate(logger.log_every(batches, print_freq, header)):
-        rng, sub = jax.random.split(rng)
-        carry, metrics = step_fn(carry, images, labels, sub)
+
+    def pull(metrics):
         host = {k: float(v) for k, v in jax.device_get(metrics).items()}
         if nan_abort and not math.isfinite(host.get("loss", 0.0)):
             raise NonFiniteLossError(f"Loss is {host.get('loss')}, stopping training")
         logger.update(**host)
+
+    pending = None
+    for i, (images, labels) in enumerate(logger.log_every(batches, print_freq, header)):
+        rng, sub = jax.random.split(rng)
+        carry, metrics = step_fn(carry, images, labels, sub)
+        if pending is not None:
+            pull(pending)
+        pending = metrics
+    if pending is not None:
+        pull(pending)
     return carry, logger.averages(), rng
 
 
