@@ -97,6 +97,8 @@ def add_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--resume", default="", type=str)
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="write a jax.profiler trace of the first trained epoch")
 
 
 def parse_ra_string(aa: Optional[str]) -> Tuple[bool, int, float]:

@@ -196,6 +196,7 @@ def train_sub_main(args) -> float:
         carry=state, step_fn=step_fn, train_batches_fn=train_batches, eval_fn=eval_fn,
         epochs=args.epochs, rng=jax.random.key(args.seed + 1),
         output_dir=args.output_dir, log_fn=log.info, save_state_fn=save_state,
+        profile_dir=getattr(args, "profile_dir", None),
         start_epoch=start_epoch,
     )
     log.info(f"best acc1: {best:.2f}")
@@ -376,6 +377,7 @@ def distill_main(args) -> float:
         carry=state, step_fn=step_fn, train_batches_fn=train_batches, eval_fn=eval_fn,
         epochs=args.epochs, rng=jax.random.key(args.seed + 1),
         output_dir=args.output_dir, log_fn=log.info, save_state_fn=save_state,
+        profile_dir=getattr(args, "profile_dir", None),
         start_epoch=start_epoch,
     )
     log.info(f"DEKD best acc1: {best:.2f}")
@@ -563,6 +565,7 @@ def ensemble_main(args) -> float:
         carry=(bb_state, ens_state), step_fn=step_fn, train_batches_fn=train_batches,
         eval_fn=eval_fn, epochs=args.epochs, rng=jax.random.key(args.seed + 2),
         output_dir=args.output_dir, log_fn=log.info, save_state_fn=save_state,
+        profile_dir=getattr(args, "profile_dir", None),
         start_epoch=start_epoch,
     )
     log.info(f"ensemble best acc1: {best:.2f}")
@@ -681,6 +684,7 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
         carry=(bb_state, ens_state), step_fn=step_fn, train_batches_fn=train_batches,
         eval_fn=eval_fn, epochs=args.epochs, rng=jax.random.key(args.seed + 2),
         output_dir=args.output_dir, log_fn=log.info, save_state_fn=save_state,
+        profile_dir=getattr(args, "profile_dir", None),
         start_epoch=start_epoch,
     )
     log.info(f"CCT ensemble best acc1: {best:.2f}")

@@ -95,25 +95,39 @@ def fit(
     log_fn=print,
     save_state_fn: Optional[Callable] = None,
     start_epoch: int = 0,
+    profile_dir: Optional[str] = None,
 ):
     """Standard stage driver: epoch loop + eval + best checkpointing + stats.
 
     - train_batches_fn(epoch) -> iterable of (images, labels)
     - eval_fn(carry) -> metrics dict with 'acc1'
     - save_state_fn(path, carry, epoch) persists resumable state
+    - profile_dir: if set, the first trained epoch runs under a jax.profiler
+      trace (SURVEY.md §5.1) and HBM stats are logged after it
     """
+    import contextlib
+
+    from devit_tpu.utils_profile import device_memory_stats, trace
+
     best_acc = -1.0
     stats_path = os.path.join(output_dir, "log_stats.txt") if output_dir else None
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
+        profiling = profile_dir is not None and epoch == start_epoch
+        ctx = trace(profile_dir) if profiling else contextlib.nullcontext()
         # per-epoch rng via fold_in (not threaded across epochs) so a resume
         # from epoch k replays exactly the keys the uninterrupted run used
-        carry, train_stats, _ = train_epoch(
-            step_fn, carry, train_batches_fn(epoch),
-            jax.random.fold_in(rng, epoch), epoch=epoch, log_fn=log_fn
-        )
+        with ctx:
+            carry, train_stats, _ = train_epoch(
+                step_fn, carry, train_batches_fn(epoch),
+                jax.random.fold_in(rng, epoch), epoch=epoch, log_fn=log_fn
+            )
+        if profiling:
+            mem = device_memory_stats()
+            log_fn(f"profiler trace -> {profile_dir}" +
+                   (f" (HBM: {mem})" if mem else ""))
         if output_dir and save_state_fn is not None:
             save_state_fn(os.path.join(output_dir, "checkpoint_temp.msgpack"), carry, epoch)
         eval_stats = eval_fn(carry)

@@ -108,3 +108,18 @@ def test_stage5_ensemble(workdir):
     ])
     assert os.path.exists(os.path.join(out, "checkpoint.msgpack"))
     assert best >= 0.0
+
+
+def test_profile_flag_writes_trace(workdir):
+    out = os.path.join(workdir, "prof")
+    trace_dir = os.path.join(workdir, "trace")
+    run([
+        "train_sub", *TINY_MODEL, *TINY_OPT, *DATA,
+        "--start-division", "0", "--output_dir", out,
+        "--no-repeated-aug", "--aa", "", "--profile-dir", trace_dir,
+    ])
+    # jax.profiler writes plugins/profile/<ts>/*.xplane.pb under the logdir
+    found = []
+    for root, _dirs, files in os.walk(trace_dir):
+        found += [f for f in files if f.endswith(".xplane.pb") or f.endswith(".trace.json.gz")]
+    assert found, f"no profiler artifacts under {trace_dir}"
