@@ -99,6 +99,10 @@ def add_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--eval", action="store_true")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="write a jax.profiler trace of the first trained epoch")
+    p.add_argument("--ckpt-format", choices=["msgpack", "orbax"], default="msgpack",
+                   help="orbax = async directory checkpoints (training "
+                        "continues while the write flushes); --resume and "
+                        "--model-path auto-detect either format")
 
 
 def parse_ra_string(aa: Optional[str]) -> Tuple[bool, int, float]:
@@ -243,6 +247,22 @@ def load_params_for(model: VisionTransformer, path: str, template_params):
             np.asarray(params["pos_embed"]), cfg.seq_len, cfg.num_prefix_tokens
         )
     return merge(template_params, params)
+
+
+def make_saver(args):
+    """Stage checkpoint writer honoring --ckpt-format. For orbax the
+    '.msgpack' suffix becomes '.orbax' (a checkpoint directory); saves are
+    async — fit() waits for durability at the end of training."""
+    if getattr(args, "ckpt_format", "msgpack") == "orbax":
+        from devit_tpu.io.checkpoint import save_pytree_orbax
+
+        def save(path, tree):
+            if path.endswith(".msgpack"):
+                path = path[: -len(".msgpack")] + ".orbax"
+            save_pytree_orbax(path, tree)
+
+        return save
+    return save_pytree
 
 
 def make_eval_prepare(img_size: int, dtype=jnp.bfloat16):

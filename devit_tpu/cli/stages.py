@@ -173,7 +173,7 @@ def train_sub_main(args) -> float:
                         prepare=lambda im: prep_eval(place_batch(jnp.asarray(im))))
 
     def save_state(path, state, epoch):
-        save_pytree(path, {"params": state.params, "ema_params": state.ema_params,
+        C.make_saver(args)(path, {"params": state.params, "ema_params": state.ema_params,
                            "opt_state": state.opt_state, "epoch": np.int32(epoch)})
 
     state, start_epoch = _try_resume(args, state, log)
@@ -356,7 +356,7 @@ def distill_main(args) -> float:
                         prepare=lambda im: prep_eval(place_batch(jnp.asarray(im))))
 
     def save_state(path, state, epoch):
-        save_pytree(path, {"params": state.params, "ema_params": state.ema_params,
+        C.make_saver(args)(path, {"params": state.params, "ema_params": state.ema_params,
                            "opt_state": state.opt_state,
                            "gates": {"head": np.asarray(gates.head),
                                      "neuron": np.asarray(gates.neuron)},
@@ -549,7 +549,7 @@ def ensemble_main(args) -> float:
 
     def save_state(path, carry, epoch):
         bb_state, ens_state = carry
-        save_pytree(path, _ensemble_ckpt_tree(bb_state, ens_state, epoch))
+        C.make_saver(args)(path, _ensemble_ckpt_tree(bb_state, ens_state, epoch))
 
     def train_batches(epoch):
         it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed)
@@ -668,7 +668,7 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
 
     def save_state(path, carry, epoch):
         bb_state, ens_state = carry
-        save_pytree(path, _ensemble_ckpt_tree(bb_state, ens_state, epoch))
+        C.make_saver(args)(path, _ensemble_ckpt_tree(bb_state, ens_state, epoch))
 
     def train_batches(epoch):
         it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed)

@@ -33,12 +33,64 @@ def save_pytree(path: str, tree: Any) -> None:
 
 def restore_pytree(path: str, template: Any) -> Any:
     """Restore with a template (exact treedef) or, with template=None, as raw
-    nested dicts via msgpack_restore."""
+    nested dicts via msgpack_restore. Orbax checkpoint directories (written
+    by save_pytree_orbax) are detected and dispatched transparently, so
+    --resume works with either format."""
+    if os.path.isdir(path):
+        return restore_pytree_orbax(path, template)
     with open(path, "rb") as f:
         data = f.read()
     if template is None:
         return flax.serialization.msgpack_restore(data)
     return flax.serialization.from_bytes(template, data)
+
+
+# ------------------------------------------------------- orbax backend
+
+_ORBAX_CKPTR = None
+
+
+def _orbax():
+    global _ORBAX_CKPTR
+    if _ORBAX_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ORBAX_CKPTR = ocp.StandardCheckpointer()
+    return _ORBAX_CKPTR
+
+
+def save_pytree_orbax(path: str, tree: Any) -> None:
+    """Async Orbax save (production checkpointing: training continues while
+    the write flushes; call wait_for_checkpoints() before reading back or
+    exiting). `path` becomes a checkpoint DIRECTORY."""
+    import jax
+
+    path = os.path.abspath(path)
+    # orbax rejects half-written dirs from a previous crash; overwrite
+    tree = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if np.isscalar(x) or isinstance(x, (int, float)) else x,
+        tree,
+    )
+    _orbax().save(path, tree, force=True)
+
+
+def restore_pytree_orbax(path: str, template: Any = None) -> Any:
+    ckptr = _orbax()
+    ckptr.wait_until_finished()
+    if template is None:
+        return ckptr.restore(os.path.abspath(path))
+    import jax
+
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), template
+    )
+    return ckptr.restore(os.path.abspath(path), abstract)
+
+
+def wait_for_checkpoints() -> None:
+    """Block until pending async Orbax writes are durable."""
+    if _ORBAX_CKPTR is not None:
+        _ORBAX_CKPTR.wait_until_finished()
 
 
 def save_checkpoint(

@@ -148,4 +148,7 @@ def fit(
                 f.write(json.dumps(
                     {"epoch": epoch, **{f"train_{k}": v for k, v in train_stats.items()},
                      **{f"test_{k}": v for k, v in eval_stats.items()}}) + "\n")
+    from devit_tpu.io.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()  # async orbax saves must be durable before return
     return carry, best_acc

@@ -1,0 +1,66 @@
+"""Orbax checkpoint backend (SURVEY §5.4): async directory checkpoints with
+template and raw restore, transparent --resume format detection, and a CLI
+train_sub round trip with --ckpt-format orbax."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from devit_tpu.io.checkpoint import (
+    restore_pytree, restore_pytree_orbax, save_pytree_orbax,
+    wait_for_checkpoints,
+)
+
+
+def _tree():
+    return {
+        "params": {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+                   "b": jnp.ones((3,), jnp.float32)},
+        "epoch": np.int32(3),
+    }
+
+
+def test_orbax_roundtrip_raw_and_template(tmp_path):
+    path = str(tmp_path / "ckpt.orbax")
+    tree = _tree()
+    save_pytree_orbax(path, tree)
+    wait_for_checkpoints()
+
+    raw = restore_pytree_orbax(path)
+    np.testing.assert_array_equal(raw["params"]["w"], np.asarray(tree["params"]["w"]))
+    assert int(np.asarray(raw["epoch"])) == 3
+
+    tpl = {"params": {"w": jnp.zeros((2, 3)), "b": jnp.zeros((3,))},
+           "epoch": np.int32(0)}
+    restored = restore_pytree_orbax(path, tpl)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["b"]), np.ones((3,)))
+
+    # restore_pytree auto-detects the directory format
+    auto = restore_pytree(path, None)
+    np.testing.assert_array_equal(auto["params"]["w"], np.asarray(tree["params"]["w"]))
+
+
+def test_cli_orbax_checkpoint_and_resume(tmp_path):
+    from devit_tpu.cli.__main__ import build_parser
+
+    base = [
+        "train_sub", "--input-size", "32", "--patch-size", "8",
+        "--embed-dim", "32", "--depth", "2", "--num-heads", "2",
+        "--drop-path", "0.0", "--batch-size", "32", "--eval-batch-size", "64",
+        "--warmup-epochs", "0", "--cooldown-epochs", "0", "--lr", "1e-3",
+        "--dataset", "synthetic:4:64:32", "--num_division", "1",
+        "--no-repeated-aug", "--aa", "", "--start-division", "0",
+        "--ckpt-format", "orbax",
+    ]
+    out = str(tmp_path / "run")
+    args = build_parser().parse_args([*base, "--epochs", "1", "--output_dir", out])
+    args.fn(args)
+    ck = os.path.join(out, "checkpoint_temp.orbax")
+    assert os.path.isdir(ck), os.listdir(out)
+
+    args = build_parser().parse_args(
+        [*base, "--epochs", "2", "--output_dir", out, "--resume", ck])
+    args.fn(args)
+    raw = restore_pytree(ck, None)
+    assert int(np.asarray(raw["epoch"])) == 1  # resumed and ran epoch 1
