@@ -550,3 +550,81 @@ def test_metrics_match_reference_compute_metric():
                    - M.cal_shrink_flops(n_sp, h_sp, **kw)) < 1e-9
         assert abs(RM.cal_shrink_macs(n_sp, h_sp, **kw)
                    - M.cal_shrink_macs(n_sp, h_sp, **kw)) < 1e-9
+
+
+def test_masked_forward_matches_reference_gate_semantics(monkeypatch):
+    """Composed shrink semantics: rank -> mask (int-floor keep, top ranked) ->
+    gate -> forward, reference imp_rank machinery on the torch model vs our
+    build_gates on converted weights. Logits must match."""
+    _, ref_de_vit, _, _ = load_reference()
+    _patch_cpu(monkeypatch)
+    monkeypatch.setattr(torch.nn.Module, "cuda", lambda self, *a, **k: self)
+    import core.imp_rank as ref_rank
+
+    student_t, _ = _torch_models(ref_de_vit)
+    student_t.eval()
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 5, size=(8,))
+    loader = [(torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(y))]
+
+    n_rank = ref_rank.mlp_neuron_rank(student_t, loader, mode="cpu")
+    h_rank = ref_rank.attn_head_rank(student_t, loader, mode="cpu")
+    n_sp = [0.4, 0.7]
+    h_sp = [0.25, 0.5]
+    ref_rank.mlp_neuron_shrink(student_t, ref_rank.mlp_neuron_mask(student_t, n_sp, n_rank))
+    ref_rank.attn_head_shrink(student_t, ref_rank.attn_head_mask(student_t, h_sp, h_rank))
+    with torch.no_grad():
+        ref_logits = student_t(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    assert ref_rank.check_neuron_sparsity(student_t)[0] > 0  # masks applied
+
+    from devit_tpu.core.rank import build_gates
+
+    cfg_s = get_vit_config("dedeit", drop_path_rate=0.0, **GEOM_S)
+    student_j = VisionTransformer(cfg_s, dtype=jnp.float32)
+    params = _to_jax_params(student_t, cfg_s.depth)
+    gates = build_gates(np.stack(n_rank), np.stack(h_rank), n_sp, h_sp)
+    out = student_j.apply({"params": params}, jnp.asarray(x), gates=gates)
+    np.testing.assert_allclose(np.asarray(out.logits), ref_logits,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_stage2_distillation_loss_matches_reference(monkeypatch):
+    """DistillationLoss (stage-2 criterion incl. the distill-token MSE path,
+    losses.py:44-119) vs our stage-2 loss composition."""
+    ref_engine, ref_de_vit, ref_losses, _ = load_reference()
+    _patch_cpu(monkeypatch)
+
+    rng = np.random.default_rng(14)
+    B, K, C = 4, 5, 16
+    s_cls = rng.normal(size=(B, K)).astype(np.float32)
+    s_dist = rng.normal(size=(B, K)).astype(np.float32)
+    t_logits = rng.normal(size=(B, K)).astype(np.float32)
+    t_token = rng.normal(size=(B, C)).astype(np.float32)
+    s_token = rng.normal(size=(B, C)).astype(np.float32)
+    labels = rng.integers(0, K, size=(B,))
+
+    class _Teacher(torch.nn.Module):
+        def forward(self, x, distill_token=False):
+            if distill_token:
+                return torch.from_numpy(t_token), torch.from_numpy(t_logits)
+            return torch.from_numpy(t_logits)
+
+    from devit_tpu.train import losses as L
+
+    for dt, tau in (("hard", 1.0), ("soft", 3.0)):
+        # token-distillation variant
+        crit = ref_losses.DistillationLoss(
+            base_criterion=torch.nn.CrossEntropyLoss(), teacher_model=_Teacher(),
+            distillation_type=dt, alpha=0.5, tau=tau, distill_token=True)
+        cls_ref, tok_ref = crit(
+            torch.zeros(B, 3, 8, 8),
+            (torch.from_numpy(s_cls), torch.from_numpy(s_dist)),
+            torch.from_numpy(labels), token_outputs=torch.from_numpy(s_token))
+        cls_ours = float(L.distill_loss(
+            jnp.asarray(s_cls), jnp.asarray(s_dist), jnp.asarray(t_logits),
+            jnp.asarray(labels), L.cross_entropy,
+            distillation_type=dt, alpha=0.5, tau=tau))
+        tok_ours = float(L.mse_loss(jnp.asarray(s_token), jnp.asarray(t_token)))
+        assert abs(float(cls_ref) - cls_ours) < 1e-5, dt
+        assert abs(float(tok_ref) - tok_ours) < 1e-5, dt
