@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="EnsMLP checkpoint for compact-path eval")
     ep.set_defaults(fn=stages.ensemble_main, model="dedeit")
 
+    bp = sub.add_parser("bench", help="deployed-ensemble throughput benchmark "
+                                      "(same as `python bench.py`)")
+    bp.add_argument("--batch-size", type=int, default=512)
+    bp.set_defaults(fn=_bench_main)
+
     dep = sub.add_parser("deploy", help="compact division checkpoints into serving artifacts")
     C.add_model_args(dep)
     C.add_data_args(dep)
@@ -78,6 +83,15 @@ def build_parser() -> argparse.ArgumentParser:
     dep.set_defaults(fn=stages.deploy_main, model="dedeit")
 
     return p
+
+
+def _bench_main(args):
+    import os
+    import runpy
+
+    os.environ["DEVIT_BENCH_BATCH"] = str(args.batch_size)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    runpy.run_path(os.path.join(repo_root, "bench.py"), run_name="__main__")
 
 
 def main(argv=None) -> int:
