@@ -82,7 +82,16 @@ def build():
 def check_numerics(cms) -> bool:
     """On-chip Mosaic numerics assert (VERDICT r1 weak #5/#7): the fused
     Pallas serving path vs the XLA path, at serving feature shapes, on the
-    REAL backend — CI only exercises interpret mode. Fails loudly."""
+    REAL backend — CI only exercises interpret mode. Fails loudly (stderr;
+    the stdout JSON contract is preserved by the caller).
+
+    Note: `cm` is deliberately closed into the jits — CompactViT carries
+    static per-layer head counts (Python ints) that must be compile-time, and
+    the main serving fwd uses the same closure layout; measured compile cost
+    is the usual 30-90 s/program here, not the multi-minute stall the
+    big-TRAIN-pytree closure rule in CLAUDE.md refers to."""
+    import sys
+
     from devit_tpu.models.compact_vit import compact_forward
 
     img = jax.random.normal(jax.random.key(7), (16, 224, 224, 3), jnp.bfloat16)
@@ -102,7 +111,8 @@ def check_numerics(cms) -> bool:
     worst = max(diffs)
     ok = worst < 0.05  # bf16 path vs bf16 path; relative to feature scale
     if not ok:
-        print(f"NUMERICS FAILURE: pallas-vs-XLA relative max diff {worst:.4f}")
+        print(f"NUMERICS FAILURE: pallas-vs-XLA relative max diff {worst:.4f}",
+              file=sys.stderr)
     return ok
 
 
@@ -128,7 +138,13 @@ def main():
     fwd, ens_vars, cms = build()
     batch = int(os.environ.get("DEVIT_BENCH_BATCH", "512"))
     ips = measure(fwd, ens_vars, batch)
-    numerics_ok = check_numerics(cms)
+    try:
+        numerics_ok = check_numerics(cms)
+    except Exception as e:  # never suppress the measured JSON line
+        import sys
+
+        print(f"NUMERICS CHECK ERROR: {e}", file=sys.stderr)
+        numerics_ok = False
     result = {
         "metric": "images/sec/chip 4-division dedeit ensemble inference "
                   "(deployed: shrink0.3+compact, pallas attention, bf16, bs=%d)" % batch,

@@ -317,16 +317,38 @@ def data_parallel_context(log=None):
     if log is not None:
         log.info(f"data-parallel: batches sharded over {n} devices")
 
+    return (_make_place_batch(mesh, n, log),
+            (lambda tree: M.replicate_tree(tree, mesh)), mesh)
+
+
+def _make_place_batch(mesh, data_n: int, log):
+    """Batch placer: shard the leading dim over 'data'; a non-divisible batch
+    replicates instead (correct, no speedup). Intended for the drop_last=False
+    eval tail — a non-divisible TRAINING batch size would silently lose all
+    data parallelism, so the fallback warns once."""
+    from devit_tpu.parallel import mesh as M
+
+    warned = []
+
     def place_batch(tree):
         def put(x):
-            x = jnp.asarray(x)
-            sh = (M.batch_sharding(mesh)
-                  if x.ndim >= 1 and x.shape[0] % n == 0 else M.replicated(mesh))
+            leading = getattr(x, "shape", ())[:1]
+            if leading and leading[0] % data_n == 0:
+                sh = M.batch_sharding(mesh)
+            else:
+                sh = M.replicated(mesh)
+                if not warned and log is not None:
+                    warned.append(True)
+                    log.info(f"WARNING: batch dim {leading} not divisible by "
+                             f"{data_n} devices — replicating (no data-parallel "
+                             "speedup for such batches)")
+            # device_put places host numpy straight into each shard (no
+            # intermediate full copy on the default device)
             return jax.device_put(x, sh)
 
         return jax.tree_util.tree_map(put, tree)
 
-    return place_batch, (lambda tree: M.replicate_tree(tree, mesh)), mesh
+    return place_batch
 
 
 def ensemble_parallel_context(num_divisions: int, log=None):
@@ -346,17 +368,8 @@ def ensemble_parallel_context(num_divisions: int, log=None):
     if log is not None:
         log.info(f"ensemble mesh over {n} devices: {dict(mesh.shape)}")
 
-    def place_batch(tree):
-        def put(x):
-            x = jnp.asarray(x)
-            sh = (M.batch_sharding(mesh)
-                  if x.ndim >= 1 and x.shape[0] % data_n == 0 else M.replicated(mesh))
-            return jax.device_put(x, sh)
-
-        return jax.tree_util.tree_map(put, tree)
-
     return (
-        place_batch,
+        _make_place_batch(mesh, data_n, log),
         (lambda tree: M.replicate_tree(tree, mesh)),
         (lambda tree: M.shard_division_tree(tree, mesh, num_divisions)),
         mesh,

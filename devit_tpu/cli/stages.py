@@ -74,15 +74,24 @@ def _try_resume_ensemble(args, bb_state, ens_state, log):
                                     opt_state=ckpt["bb_opt_state"])
         ens_state = ens_state.replace(params=ckpt["ens_params"],
                                       opt_state=ckpt["ens_opt_state"])
-    except Exception:
+        log.info(f"resumed ensemble (params + both optimizer states) from {args.resume}")
+    except Exception as e:
         raw = restore_pytree(args.resume, None)
+        if "backbone_params" not in raw or "ens_params" not in raw:
+            raise RuntimeError(
+                f"{args.resume} is not an ensemble checkpoint "
+                f"(keys: {sorted(raw) if isinstance(raw, dict) else type(raw)})"
+            ) from e
         bb_state = bb_state.replace(params=jax.tree_util.tree_map(
             lambda t, n: jnp.asarray(n), bb_state.params, raw["backbone_params"]))
         ens_state = ens_state.replace(params=jax.tree_util.tree_map(
             lambda t, n: jnp.asarray(n), ens_state.params, raw["ens_params"]))
         ckpt = raw
+        log.info(f"WARNING: resumed PARAMS ONLY from {args.resume} — optimizer "
+                 f"states could not be restored ({type(e).__name__}: {e}); "
+                 "Adam moments and schedule restart from zero")
     start_epoch = int(np.asarray(ckpt.get("epoch", -1))) + 1
-    log.info(f"resumed ensemble from {args.resume} at epoch {start_epoch}")
+    log.info(f"resuming ensemble at epoch {start_epoch}")
     return bb_state, ens_state, start_epoch
 
 
@@ -161,8 +170,8 @@ def train_sub_main(args) -> float:
 
     def step_fn(state, images, labels, rng):
         r_aug, r_step = jax.random.split(rng)
-        x = prep_train(r_aug, place_batch(jnp.asarray(images)))
-        return jstep(state, t_vars, x, place_batch(jnp.asarray(labels)), r_step)
+        x = prep_train(r_aug, place_batch(images))
+        return jstep(state, t_vars, x, place_batch(labels), r_step)
 
     eval_step = jax.jit(S.make_eval_step(model))
 
@@ -170,7 +179,7 @@ def train_sub_main(args) -> float:
         variables = {"params": state.ema_params if state.ema_params is not None else state.params}
         batches = BatchIterator(val_ds, args.eval_batch_size, shuffle=False, drop_last=False)
         return run_eval(eval_step, variables, None, batches,
-                        prepare=lambda im: prep_eval(place_batch(jnp.asarray(im))))
+                        prepare=lambda im: prep_eval(place_batch(im)))
 
     def save_state(path, state, epoch):
         C.make_saver(args)(path, {"params": state.params, "ema_params": state.ema_params,
@@ -344,8 +353,8 @@ def distill_main(args) -> float:
 
     def step_fn(state, images, labels, rng):
         r_aug, r_step = jax.random.split(rng)
-        x = prep_train(r_aug, place_batch(jnp.asarray(images)))
-        return jstep(state, t_vars, gates, x, place_batch(jnp.asarray(labels)), r_step)
+        x = prep_train(r_aug, place_batch(images))
+        return jstep(state, t_vars, gates, x, place_batch(labels), r_step)
 
     eval_step = jax.jit(S.make_eval_step(student))
 
@@ -353,7 +362,7 @@ def distill_main(args) -> float:
         v = {"params": state.ema_params if state.ema_params is not None else state.params}
         batches = BatchIterator(val_ds, args.eval_batch_size, shuffle=False, drop_last=False)
         return run_eval(eval_step, v, gates, batches,
-                        prepare=lambda im: prep_eval(place_batch(jnp.asarray(im))))
+                        prepare=lambda im: prep_eval(place_batch(im)))
 
     def save_state(path, state, epoch):
         C.make_saver(args)(path, {"params": state.params, "ema_params": state.ema_params,
@@ -526,9 +535,9 @@ def ensemble_main(args) -> float:
     def step_fn(carry, images, labels, rng):
         bb_state, ens_state = carry
         r_aug, r_step = jax.random.split(rng)
-        x = prep_train(r_aug, place_batch(jnp.asarray(images)))
+        x = prep_train(r_aug, place_batch(images))
         bb_state, ens_state, metrics = jstep(
-            bb_state, ens_state, t_vars, gates, x, place_batch(jnp.asarray(labels)), r_step
+            bb_state, ens_state, t_vars, gates, x, place_batch(labels), r_step
         )
         return (bb_state, ens_state), metrics
 
@@ -539,8 +548,8 @@ def ensemble_main(args) -> float:
                                           drop_last=False):
             out = jax.device_get(ens_eval({"params": bb_state.params},
                                           {"params": ens_state.params},
-                                          gates, prep_eval(place_batch(jnp.asarray(imgs))),
-                                          place_batch(jnp.asarray(labels))))
+                                          gates, prep_eval(place_batch(imgs)),
+                                          place_batch(labels)))
             for k in totals:
                 totals[k] += float(out[k])
         n = max(totals["count"], 1)
@@ -645,9 +654,9 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
     def step_fn(carry, images, labels, rng):
         bb_state, ens_state = carry
         r_aug, r_step = jax.random.split(rng)
-        x = prep_train(r_aug, place_batch(jnp.asarray(images)))
+        x = prep_train(r_aug, place_batch(images))
         bb_state, ens_state, metrics = jstep(
-            bb_state, ens_state, t_vars, x, place_batch(jnp.asarray(labels)), r_step
+            bb_state, ens_state, t_vars, x, place_batch(labels), r_step
         )
         return (bb_state, ens_state), metrics
 
@@ -658,8 +667,8 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
                                           drop_last=False):
             out = jax.device_get(ens_eval({"params": bb_state.params},
                                           {"params": ens_state.params},
-                                          prep_eval(place_batch(jnp.asarray(imgs))),
-                                          place_batch(jnp.asarray(labels))))
+                                          prep_eval(place_batch(imgs)),
+                                          place_batch(labels)))
             for k in totals:
                 totals[k] += float(out[k])
         n = max(totals["count"], 1)

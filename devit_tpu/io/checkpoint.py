@@ -38,6 +38,12 @@ def restore_pytree(path: str, template: Any) -> Any:
     --resume works with either format."""
     if os.path.isdir(path):
         return restore_pytree_orbax(path, template)
+    if not os.path.exists(path) and path.endswith(".msgpack"):
+        # --ckpt-format orbax rewrites '.msgpack' -> '.orbax' on save; accept
+        # the documented .msgpack artifact name on restore too
+        sibling = path[: -len(".msgpack")] + ".orbax"
+        if os.path.isdir(sibling):
+            return restore_pytree_orbax(sibling, template)
     with open(path, "rb") as f:
         data = f.read()
     if template is None:

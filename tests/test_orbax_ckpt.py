@@ -59,6 +59,11 @@ def test_cli_orbax_checkpoint_and_resume(tmp_path):
     ck = os.path.join(out, "checkpoint_temp.orbax")
     assert os.path.isdir(ck), os.listdir(out)
 
+    # the documented artifact name (.msgpack) must also resolve to the orbax
+    # directory (restore_pytree sibling detection)
+    via_msgpack_name = restore_pytree(os.path.join(out, "checkpoint_temp.msgpack"), None)
+    assert int(np.asarray(via_msgpack_name["epoch"])) == 0
+
     args = build_parser().parse_args(
         [*base, "--epochs", "2", "--output_dir", out, "--resume", ck])
     args.fn(args)
