@@ -71,3 +71,61 @@ def test_load_pth_resizes_pos_embed(tmp_path):
     assert params["pos_embed"].shape == (1, 2 + 64, 64)
     out = model.apply({"params": params}, jnp.zeros((2, 64, 64, 3)))
     assert out.logits.shape == (2, 10)
+
+
+def test_load_flax_npz_vit(tmp_path):
+    """Google-Brain Flax .npz ViT ingestion (reference de_vit.py:372-449):
+    synthesize a checkpoint in that layout at toy geometry, load, verify key
+    mapping and a working forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from devit_tpu.configs import get_vit_config
+    from devit_tpu.io.checkpoint import load_flax_npz_vit
+    from devit_tpu.models.vit import VisionTransformer
+
+    rng = np.random.default_rng(0)
+    p, C, D, H, dh, depth, K = 8, 3, 32, 4, 8, 2, 5
+    n_tokens = 1 + (32 // p) ** 2
+
+    w = {}
+    w["embedding/kernel"] = rng.normal(size=(p, p, C, D)).astype(np.float32)
+    w["embedding/bias"] = rng.normal(size=(D,)).astype(np.float32)
+    w["cls"] = rng.normal(size=(1, 1, D)).astype(np.float32)
+    w["Transformer/posembed_input/pos_embedding"] = rng.normal(
+        size=(1, n_tokens, D)).astype(np.float32)
+    w["Transformer/encoder_norm/scale"] = np.ones(D, np.float32)
+    w["Transformer/encoder_norm/bias"] = np.zeros(D, np.float32)
+    for i in range(depth):
+        bp = f"Transformer/encoderblock_{i}/"
+        mha = bp + "MultiHeadDotProductAttention_1/"
+        for n in ("query", "key", "value"):
+            w[f"{mha}{n}/kernel"] = rng.normal(size=(D, H, dh)).astype(np.float32) * 0.05
+            w[f"{mha}{n}/bias"] = np.zeros((H, dh), np.float32)
+        w[f"{mha}out/kernel"] = rng.normal(size=(H, dh, D)).astype(np.float32) * 0.05
+        w[f"{mha}out/bias"] = np.zeros(D, np.float32)
+        for ln_name in ("LayerNorm_0", "LayerNorm_2"):
+            w[f"{bp}{ln_name}/scale"] = np.ones(D, np.float32)
+            w[f"{bp}{ln_name}/bias"] = np.zeros(D, np.float32)
+        w[f"{bp}MlpBlock_3/Dense_0/kernel"] = rng.normal(size=(D, 4 * D)).astype(np.float32) * 0.05
+        w[f"{bp}MlpBlock_3/Dense_0/bias"] = np.zeros(4 * D, np.float32)
+        w[f"{bp}MlpBlock_3/Dense_1/kernel"] = rng.normal(size=(4 * D, D)).astype(np.float32) * 0.05
+        w[f"{bp}MlpBlock_3/Dense_1/bias"] = np.zeros(D, np.float32)
+    w["head/kernel"] = rng.normal(size=(D, K)).astype(np.float32) * 0.05
+    w["head/bias"] = np.zeros(K, np.float32)
+
+    path = str(tmp_path / "vit.npz")
+    np.savez(path, **w)
+    params = load_flax_npz_vit(path, depth=depth)
+
+    # qkv concat is [q|k|v], head-major within each third
+    q_flat = w["Transformer/encoderblock_0/MultiHeadDotProductAttention_1/query/kernel"].reshape(D, -1)
+    np.testing.assert_array_equal(params["blocks"]["qkv"]["kernel"][0][:, :H * dh], q_flat)
+    assert params["patch_embed"]["kernel"].shape == (p * p * C, D)
+
+    cfg = get_vit_config("vit_base_patch16_224", img_size=32, patch_size=p,
+                         embed_dim=D, depth=depth, num_heads=H, num_classes=K)
+    model = VisionTransformer(cfg, dtype=jnp.float32)
+    out = model.apply({"params": params}, jnp.zeros((2, 32, 32, 3)))
+    assert out.logits.shape == (2, K)
+    assert np.isfinite(np.asarray(out.logits)).all()
