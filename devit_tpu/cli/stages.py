@@ -234,6 +234,10 @@ def shrink_main(args):
     variables = {"params": params}
 
     prep_eval = C.make_eval_prepare(args.input_size)
+    # data-parallel policy evaluation: replicate params, shard val batches
+    # (the reference wraps this stage in DDP too, shrink.py:337-339)
+    place_batch, place_rep, _dp_mesh = C.data_parallel_context(log)
+    variables = place_rep(variables)
 
     # one train batch for ranking (imp_rank.py:21-23)
     images, _ = next(iter(BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed)))
@@ -241,7 +245,7 @@ def shrink_main(args):
         lambda v, x, g, c: model.apply(v, x, gates=g, capture_rank_stats=c),
         static_argnums=(3,),
     )
-    x = prep_eval(images)
+    x = prep_eval(place_batch(images))
     neuron_rank = mlp_neuron_rank(rank_apply, variables, x)
     head_rank = attn_head_rank(rank_apply, variables, x)
     log.info(f"ranked {neuron_rank.shape} neurons, {head_rank.shape} heads")
@@ -252,7 +256,7 @@ def shrink_main(args):
     def val_batches():
         for imgs, labels in BatchIterator(val_ds, args.eval_batch_size, shuffle=False,
                                           drop_last=False):
-            yield prep_eval(imgs), jnp.asarray(labels)
+            yield prep_eval(place_batch(imgs)), place_batch(jnp.asarray(labels))
 
     # the reference 9.19 anchor only applies to the canonical dedeit geometry
     # (shrink_imp.py:144); other geometries derive their own full-model cost
