@@ -55,10 +55,12 @@ def _try_resume(args, state, log):
 
 
 def _ensemble_ckpt_tree(bb_state, ens_state, epoch: int):
-    """Resumable stage-5 state: both param sets AND both optimizer states
-    (the reference saves optimizer+ens_optimizer+epoch, ensemble.py:390-402)."""
+    """Resumable stage-5 state: both param sets, both optimizer states, and
+    both EMA trees (the reference saves optimizer+ens_optimizer+epoch and
+    maintains ModelEma on both models, ensemble.py:315-327, 390-402)."""
     return {"backbone_params": bb_state.params, "ens_params": ens_state.params,
             "bb_opt_state": bb_state.opt_state, "ens_opt_state": ens_state.opt_state,
+            "bb_ema": bb_state.ema_params, "ens_ema": ens_state.ema_params,
             "epoch": np.int32(epoch)}
 
 
@@ -71,10 +73,12 @@ def _try_resume_ensemble(args, bb_state, ens_state, log):
     try:
         ckpt = restore_pytree(args.resume, _ensemble_ckpt_tree(bb_state, ens_state, 0))
         bb_state = bb_state.replace(params=ckpt["backbone_params"],
-                                    opt_state=ckpt["bb_opt_state"])
+                                    opt_state=ckpt["bb_opt_state"],
+                                    ema_params=ckpt.get("bb_ema", bb_state.ema_params))
         ens_state = ens_state.replace(params=ckpt["ens_params"],
-                                      opt_state=ckpt["ens_opt_state"])
-        log.info(f"resumed ensemble (params + both optimizer states) from {args.resume}")
+                                      opt_state=ckpt["ens_opt_state"],
+                                      ema_params=ckpt.get("ens_ema", ens_state.ema_params))
+        log.info(f"resumed ensemble (params, optimizer states, EMA) from {args.resume}")
     except Exception as e:
         raw = restore_pytree(args.resume, None)
         if "backbone_params" not in raw or "ens_params" not in raw:
@@ -508,8 +512,11 @@ def ensemble_main(args) -> float:
     bb_args = C.optim_config_from_args(args, args.batch_size)
     ens_cfg = C.optim_config_from_args(args, args.batch_size)
     ens_cfg = type(ens_cfg)(**{**ens_cfg.__dict__, "lr": args.ens_lr or args.lr})
-    bb_state = TrainState.create(stacked["params"], make_optimizer(bb_args, steps_per_epoch))
-    ens_state = TrainState.create(ens_vars["params"], make_optimizer(ens_cfg, steps_per_epoch))
+    # EMA on both models, like the reference's dual ModelEma (ensemble.py:315-327)
+    bb_state = TrainState.create(stacked["params"], make_optimizer(bb_args, steps_per_epoch),
+                                 use_ema=args.model_ema, ema_decay=args.model_ema_decay)
+    ens_state = TrainState.create(ens_vars["params"], make_optimizer(ens_cfg, steps_per_epoch),
+                                  use_ema=args.model_ema, ema_decay=args.model_ema_decay)
 
     aug_cfg = C.augment_config_from_args(args, args.input_size, train_ds.images.shape[1])
     mix_cfg = C.mixup_config_from_args(args, num_classes)
@@ -631,8 +638,10 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
     bb_cfg = C.optim_config_from_args(args, args.batch_size)
     ens_cfg = type(bb_cfg)(**{**bb_cfg.__dict__, "lr": args.ens_lr or args.lr})
-    bb_state = TrainState.create(stacked["params"], make_optimizer(bb_cfg, steps_per_epoch))
-    ens_state = TrainState.create(ens_vars["params"], make_optimizer(ens_cfg, steps_per_epoch))
+    bb_state = TrainState.create(stacked["params"], make_optimizer(bb_cfg, steps_per_epoch),
+                                 use_ema=args.model_ema, ema_decay=args.model_ema_decay)
+    ens_state = TrainState.create(ens_vars["params"], make_optimizer(ens_cfg, steps_per_epoch),
+                                  use_ema=args.model_ema, ema_decay=args.model_ema_decay)
 
     aug_cfg = C.augment_config_from_args(args, args.input_size, train_ds.images.shape[1])
     mix_cfg = C.mixup_config_from_args(args, num_classes)
