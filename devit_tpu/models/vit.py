@@ -195,6 +195,11 @@ class Block(nn.Module):
             from devit_tpu.kernels.attention import make_trainable_attention
 
             attn_out = make_trainable_attention(H)(qkv_raw)
+            # named so remat_policy='dots_and_attn' can save it (pallas
+            # outputs are invisible to the dot-based checkpoint policies)
+            from jax.ad_checkpoint import checkpoint_name
+
+            attn_out = checkpoint_name(attn_out, "attn_out")
             # head gate outside the kernel (fuses into the next elementwise)
             attn_out = attn_out * jnp.repeat(
                 head_gate.astype(self.dtype), dh
@@ -289,6 +294,12 @@ class VisionTransformer(nn.Module):
     # ~21 GB of residuals and OOMs 16 GB HBM; with it, residuals are one
     # (B,N,C) carry per layer. No effect on forward-only programs.
     use_remat: bool = True
+    # Selective rematerialization: name of a jax.checkpoint_policies entry
+    # ('dots_saveable', 'dots_with_no_batch_dims_saveable', ...) or
+    # 'dots_and_attn' = dots_saveable + the fused-attention kernel output
+    # (which is a pallas_call, not a dot, so dot policies alone recompute
+    # it). None = full remat (save only the carry).
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -353,9 +364,19 @@ class VisionTransformer(nn.Module):
         qkv_slot = jnp.zeros((3, B, cfg.num_heads, cfg.seq_len, cfg.head_dim), self.dtype)
 
         stat_dtype = self.dtype if self.fast_math else jnp.float32
-        BlockImpl = (
-            nn.remat(Block, prevent_cse=False) if (self.use_remat and train) else Block
-        )
+        if self.use_remat and train:
+            if self.remat_policy == "dots_and_attn":
+                policy = jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_saveable,
+                    jax.checkpoint_policies.save_only_these_names("attn_out"),
+                )
+            elif self.remat_policy:
+                policy = getattr(jax.checkpoint_policies, self.remat_policy)
+            else:
+                policy = None
+            BlockImpl = nn.remat(Block, prevent_cse=False, policy=policy)
+        else:
+            BlockImpl = Block
         ScanBlocks = nn.scan(
             BlockImpl,
             variable_axes={"params": 0},
