@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
     bp = sub.add_parser("bench", help="deployed-ensemble throughput benchmark "
                                       "(same as `python bench.py`)")
     bp.add_argument("--batch-size", type=int, default=512)
+    bp.add_argument("--latency", type=str, default=None, metavar="BS,BS,...",
+                    help="latency mode: per-batch ms at these batch sizes "
+                         "(e.g. 1,16,256) instead of throughput")
     bp.set_defaults(fn=_bench_main)
 
     dep = sub.add_parser("deploy", help="compact division checkpoints into serving artifacts")
@@ -90,6 +93,8 @@ def _bench_main(args):
     import runpy
 
     os.environ["DEVIT_BENCH_BATCH"] = str(args.batch_size)
+    if args.latency:
+        os.environ["DEVIT_BENCH_LATENCY"] = args.latency
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     runpy.run_path(os.path.join(repo_root, "bench.py"), run_name="__main__")
 
