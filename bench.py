@@ -137,7 +137,7 @@ def latency_report(fwd, ens_vars, batch_sizes) -> dict:
     across iters, matching directly-attached-TPU behaviour."""
     out = {}
     for b in batch_sizes:
-        ms = 1e3 / (measure(fwd, ens_vars, b, iters=10) / b)
+        ms = 1e3 * b / measure(fwd, ens_vars, b, iters=10)
         out[f"bs{b}_ms"] = round(ms, 2)
     return out
 

@@ -95,6 +95,9 @@ def _bench_main(args):
     os.environ["DEVIT_BENCH_BATCH"] = str(args.batch_size)
     if args.latency:
         os.environ["DEVIT_BENCH_LATENCY"] = args.latency
+    else:
+        # a stale exported var must not flip the throughput contract
+        os.environ.pop("DEVIT_BENCH_LATENCY", None)
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     runpy.run_path(os.path.join(repo_root, "bench.py"), run_name="__main__")
 

@@ -183,6 +183,7 @@ def compact_forward(
     # harder than the same matmul tiled per batch block inside the kernel.
     # fused_block_attention is kept as a tested capability (test_kernels.py).
     pallas_on = use_pallas and (jax.default_backend() == "tpu" or force_pallas)
+    gelu = (lambda v: jax.nn.gelu(v, approximate=True)) if fast_math else fast_gelu
 
     for lp in model.layers:
         kh = lp["num_heads"]
@@ -216,7 +217,6 @@ def compact_forward(
         # deviation of ~2e-3·scale — below bf16 activation rounding (the
         # serving activations are bf16 anyway). fast_math=False keeps the
         # erf-exact form for strict reference comparisons.
-        gelu = (lambda v: jax.nn.gelu(v, approximate=True)) if fast_math else fast_gelu
         if int8:
             h = dynamic_int8_matmul(h, lp["fc1_q"], dtype)
             h = gelu(h)

@@ -161,6 +161,7 @@ class Block(nn.Module):
     softmax_dtype: Any = jnp.float32  # bf16 for inference-speed mode
     norm_dtype: Any = jnp.float32
     use_pallas: bool = False  # fused attention kernel (inference path)
+    fast_math: bool = False  # tanh GELU lowering (deviation < bf16 rounding)
 
     @nn.compact
     def __call__(self, carry, per_layer):
@@ -230,7 +231,9 @@ class Block(nn.Module):
         # ---- MLP ----
         h = LayerNorm(eps=cfg.layer_norm_eps, stat_dtype=self.norm_dtype, name="norm2")(x)
         h = nn.Dense(cfg.hidden_dim, dtype=self.dtype, kernel_init=trunc_init, name="fc1")(h)
-        h = fast_gelu(h)  # exact-erf GELU, fast lowering (see fast_erf)
+        # exact-erf GELU with the fast lowering (see fast_erf); inference
+        # fast-math uses the hardware tanh lowering like compact_forward does
+        h = jax.nn.gelu(h, approximate=True) if self.fast_math else fast_gelu(h)
         if cfg.drop_rate > 0 and not self.deterministic:
             h = nn.Dropout(cfg.drop_rate, deterministic=False)(h)
         neuron_act = h if self.capture_rank_stats else None
@@ -365,15 +368,27 @@ class VisionTransformer(nn.Module):
 
         stat_dtype = self.dtype if self.fast_math else jnp.float32
         if self.use_remat and train:
-            if self.remat_policy == "dots_and_attn":
+            # whitelist: jax.checkpoint_policies also exports FACTORIES
+            # (save_only_these_names, ...) which, passed bare, are truthy for
+            # every primitive — remat silently disables and the bs256 step
+            # reinflates to ~21 GB. Only plain policies are accepted here.
+            plain = {"dots_saveable", "dots_with_no_batch_dims_saveable",
+                     "checkpoint_dots", "checkpoint_dots_with_no_batch_dims",
+                     "everything_saveable", "nothing_saveable"}
+            if self.remat_policy is None:
+                policy = None
+            elif self.remat_policy == "dots_and_attn":
                 policy = jax.checkpoint_policies.save_from_both_policies(
                     jax.checkpoint_policies.dots_saveable,
                     jax.checkpoint_policies.save_only_these_names("attn_out"),
                 )
-            elif self.remat_policy:
+            elif self.remat_policy in plain:
                 policy = getattr(jax.checkpoint_policies, self.remat_policy)
             else:
-                policy = None
+                raise ValueError(
+                    f"remat_policy={self.remat_policy!r} is not a supported "
+                    f"checkpoint policy; choose from {sorted(plain)} or "
+                    "'dots_and_attn'")
             BlockImpl = nn.remat(Block, prevent_cse=False, policy=policy)
         else:
             BlockImpl = Block
@@ -396,6 +411,7 @@ class VisionTransformer(nn.Module):
             softmax_dtype=stat_dtype,
             norm_dtype=stat_dtype,
             use_pallas=self.use_pallas,
+            fast_math=self.fast_math,
             name="blocks",
         )((x, qkv_slot), (gates.head, gates.neuron, dp_rates, layer_ids))
 
@@ -468,5 +484,8 @@ def create_vit(name: str, **overrides) -> VisionTransformer:
     dtype = overrides.pop("dtype", jnp.bfloat16)
     fast_math = overrides.pop("fast_math", False)
     use_pallas = overrides.pop("use_pallas", False)
+    use_remat = overrides.pop("use_remat", True)
+    remat_policy = overrides.pop("remat_policy", None)
     return VisionTransformer(get_vit_config(name, **overrides), dtype=dtype,
-                             fast_math=fast_math, use_pallas=use_pallas)
+                             fast_math=fast_math, use_pallas=use_pallas,
+                             use_remat=use_remat, remat_policy=remat_policy)

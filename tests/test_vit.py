@@ -203,13 +203,21 @@ def test_remat_policy_grads_match_full_remat():
                           rngs={"dropout": jax.random.key(0)})
         return jnp.mean((out.cls_logits - jax.nn.one_hot(y, 10)) ** 2)
 
-    base = tiny_model()
+    # use_pallas=True so 'dots_and_attn' exercises checkpoint_name over the
+    # custom-vjp pallas output inside nn.scan+nn.remat (interpret mode on CPU)
+    cfg = get_vit_config("dedeit", **TINY)
+    base = VisionTransformer(cfg, dtype=jnp.float32, use_pallas=True)
     params = base.init(jax.random.key(0), x)["params"]
     g_base = jax.grad(loss_fn)(params, base)
     for policy in ("dots_and_attn", "dots_with_no_batch_dims_saveable"):
-        cfg = get_vit_config("dedeit", **TINY)
         g_pol = jax.grad(loss_fn)(
-            params, VisionTransformer(cfg, dtype=jnp.float32, remat_policy=policy))
+            params, VisionTransformer(cfg, dtype=jnp.float32, use_pallas=True,
+                                      remat_policy=policy))
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
             g_base, g_pol)
+    # factory names from jax.checkpoint_policies would silently disable remat
+    # if passed bare — they must be rejected
+    with pytest.raises(ValueError, match="remat_policy"):
+        jax.grad(loss_fn)(params, VisionTransformer(
+            cfg, dtype=jnp.float32, remat_policy="save_only_these_names"))
