@@ -425,15 +425,27 @@ def _ensemble_eval_compact(args, log, val_ds, num_classes, D) -> float:
 
     prep_eval = C.make_eval_prepare(args.input_size)
 
-    @jax.jit
-    def fwd(ev, img):
-        cls_list, dist_list = [], []
-        for cm in cms:
-            c, d = compact_forward(cm, img, patch_size=args.patch_size,
-                                   features_only=True)
-            cls_list.append(c)
-            dist_list.append(d)
-        return ens.apply(ev, jnp.stack(cls_list), jnp.stack(dist_list)).logits
+    if jax.device_count() > 1:
+        # deployment topology: each division committed to its own chip,
+        # tokens gathered to the fusion chip (parallel/serve.py)
+        from devit_tpu.parallel.serve import make_collaborative_server
+
+        serve = make_collaborative_server(
+            cms, lambda ev, c, t: ens.apply(ev, c, t), ens_vars,
+            patch_size=args.patch_size)
+        log.info(f"collaborative serving over {jax.device_count()} devices: "
+                 f"divisions on {[str(d) for d in serve.division_devices]}")
+        fwd = lambda ev, img: serve(img)
+    else:
+        @jax.jit
+        def fwd(ev, img):
+            cls_list, dist_list = [], []
+            for cm in cms:
+                c, d = compact_forward(cm, img, patch_size=args.patch_size,
+                                       features_only=True)
+                cls_list.append(c)
+                dist_list.append(d)
+            return ens.apply(ev, jnp.stack(cls_list), jnp.stack(dist_list)).logits
 
     totals = {"top1": 0, "top5": 0, "count": 0}
     for imgs, labels in BatchIterator(val_ds, args.eval_batch_size, shuffle=False,
