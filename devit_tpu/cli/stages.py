@@ -425,18 +425,20 @@ def _ensemble_eval_compact(args, log, val_ds, num_classes, D) -> float:
 
     prep_eval = C.make_eval_prepare(args.input_size)
 
-    if jax.device_count() > 1:
+    if len(jax.local_devices()) > 1:
         # deployment topology: each division committed to its own chip,
         # tokens gathered to the fusion chip (parallel/serve.py)
         from devit_tpu.parallel.serve import make_collaborative_server
 
-        serve = make_collaborative_server(
+        fwd = make_collaborative_server(
             cms, lambda ev, c, t: ens.apply(ev, c, t), ens_vars,
             patch_size=args.patch_size)
-        log.info(f"collaborative serving over {jax.device_count()} devices: "
-                 f"divisions on {[str(d) for d in serve.division_devices]}")
-        fwd = lambda ev, img: serve(img)
+        log.info(f"collaborative serving over {len(jax.local_devices())} devices: "
+                 f"divisions on {[str(d) for d in fwd.division_devices]}")
     else:
+        # single chip: one fused program, one dispatch per batch (over the
+        # tunnel each dispatch costs ~0.7 ms, so D+1 per-division dispatches
+        # would be pure overhead here; same math as serve.py on one device)
         @jax.jit
         def fwd(ev, img):
             cls_list, dist_list = [], []
@@ -445,12 +447,21 @@ def _ensemble_eval_compact(args, log, val_ds, num_classes, D) -> float:
                                        features_only=True)
                 cls_list.append(c)
                 dist_list.append(d)
-            return ens.apply(ev, jnp.stack(cls_list), jnp.stack(dist_list)).logits
+            dist = None if dist_list[0] is None else jnp.stack(dist_list)
+            return ens.apply(ev, jnp.stack(cls_list), dist).logits
 
     totals = {"top1": 0, "top5": 0, "count": 0}
     for imgs, labels in BatchIterator(val_ds, args.eval_batch_size, shuffle=False,
                                       drop_last=False):
-        logits = jax.device_get(fwd(ens_vars, prep_eval(imgs)))
+        n = len(labels)
+        imgs = prep_eval(imgs)
+        if n < args.eval_batch_size:
+            # pad the ragged tail batch to the steady shape: a new shape would
+            # recompile every division program (30-90 s each over the tunnel)
+            pad = args.eval_batch_size - n
+            imgs = jnp.concatenate([imgs, jnp.zeros((pad,) + imgs.shape[1:],
+                                                    imgs.dtype)])
+        logits = jax.device_get(fwd(ens_vars, imgs))[:n]
         pred = np.argsort(-logits, axis=-1)
         labels = np.asarray(labels)
         totals["top1"] += int((pred[:, 0] == labels).sum())

@@ -42,20 +42,23 @@ def make_collaborative_server(
     use_pallas: bool = True,
     fast_math: bool = True,
 ) -> Callable:
-    """Build `serve(images) -> logits` with division d committed to
+    """Build `serve(ens_vars, images) -> logits` with division d committed to
     devices[d % len(devices)] and EnsMLP fusion on devices[0].
 
     ens_apply: (ens_vars, cls_stack, dist_stack) -> output with .logits
-    (models/ensemble.py EnsMLP.apply wrapped accordingly).
+    (models/ensemble.py EnsMLP.apply wrapped accordingly). The `ens_vars`
+    build argument only sizes the fusion program; callers pass (possibly
+    updated) fusion weights on every call.
     """
-    devices = list(devices if devices is not None else jax.devices())
+    # local_devices, not jax.devices(): under multihost (DEVIT_MULTIHOST)
+    # device_put to another process's devices is not addressable.
+    devices = list(devices if devices is not None else jax.local_devices())
     fusion_dev = devices[0]
     placed = []
     for d, cm in enumerate(cms):
         dev = devices[d % len(devices)]
         placed.append(jax.tree_util.tree_map(
             lambda x: jax.device_put(x, dev) if hasattr(x, "shape") else x, cm))
-    ens_vars = jax.device_put(ens_vars, fusion_dev)
 
     def _division_fn(cm):
         def fn(images):
@@ -70,7 +73,7 @@ def make_collaborative_server(
     def _fuse(ev, cls_stack, dist_stack):
         return ens_apply(ev, cls_stack, dist_stack)
 
-    def serve(images) -> jax.Array:
+    def serve(ens_vars, images) -> jax.Array:
         # replicate the batch to every participating device; committed inputs
         # keep each division's program on its own chip, and async dispatch
         # lets the D programs run concurrently
@@ -90,8 +93,10 @@ def make_collaborative_server(
         else:
             dist_stack = jnp.stack(
                 [jax.device_put(t, fusion_dev) for _, t in feats])
-        return _fuse(ens_vars, cls_stack, dist_stack).logits
+        ev = jax.device_put(ens_vars, fusion_dev)
+        return _fuse(ev, cls_stack, dist_stack).logits
 
     serve.division_devices = [devices[d % len(devices)] for d in range(len(cms))]
     serve.fusion_device = fusion_dev
+    serve.placed_divisions = placed  # exposed so tests can assert real placement
     return serve

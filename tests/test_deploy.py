@@ -91,7 +91,9 @@ def test_ensemble_eval_from_compact_artifacts(tmp_path):
         "--dataset", "synthetic:8:128:32", "--num_division", "2",
         "--compact-path", str(tmp_path),
         "--teacher-size", "48",
-        "--eval-batch-size", "64",
+        # 128 val images / bs48 -> ragged 32-sample tail: exercises the
+        # pad-to-steady-shape path (no per-shape recompile of the D programs)
+        "--eval-batch-size", "48",
         "--eval",
         "--output_dir", str(tmp_path / "out"),
     ])

@@ -47,7 +47,7 @@ def test_collaborative_serve_matches_sequential():
     serve = make_collaborative_server(
         cms, lambda ev, c, t: ens.apply(ev, c, t), ens_vars,
         patch_size=8, dtype=jnp.float32, use_pallas=False, fast_math=False)
-    got = np.asarray(serve(images))
+    got = np.asarray(serve(ens_vars, images))
 
     # sequential single-device reference
     feats = [compact_forward(cm, images, patch_size=8, dtype=jnp.float32,
@@ -57,6 +57,20 @@ def test_collaborative_serve_matches_sequential():
                      jnp.stack([t for _, t in feats])).logits
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-5)
 
-    # the division programs really are committed to distinct devices
+    # the division params really ARE placed on distinct devices (assert actual
+    # array placement, not the arithmetic device list)
     assert len(set(serve.division_devices)) >= 4
     assert serve.fusion_device == jax.devices()[0]
+    for d, (cm, dev) in enumerate(zip(serve.placed_divisions,
+                                      serve.division_devices)):
+        leaves = [x for x in jax.tree_util.tree_leaves(cm) if hasattr(x, "devices")]
+        assert leaves, f"division {d} has no placed arrays"
+        for leaf in leaves:
+            assert leaf.devices() == {dev}, (
+                f"division {d} leaf on {leaf.devices()}, expected {dev}")
+
+    # a fresh ens_vars passed at call time is really used (not the build-time
+    # copy): zeroed fusion weights must change the logits
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, ens_vars)
+    got0 = np.asarray(serve(zeros, images))
+    assert not np.allclose(got0, got)
