@@ -66,3 +66,35 @@ def load_reference():
     _loaded.update(engine=ref_engine, de_vit=ref_de_vit, losses=ref_losses,
                    dist_utils=ref_dist_utils)
     return ref_engine, ref_de_vit, ref_losses, ref_dist_utils
+
+
+def load_reference_train_subdata():
+    """Import the reference's train_subdata.py (the stage-2 entry script) so
+    its own train_one_epoch/evaluate loops run under the shim. Its module-level
+    imports pull data.get_dataset -> torchvision, which is not installed; the
+    trajectory tests never touch the data builders, so a pre-registered
+    import-only stub module stands in (same technique as models.utils.config
+    above)."""
+    if "train_subdata" in _loaded:
+        return _loaded["train_subdata"]
+    load_reference()  # sys.path + models.utils.config registration
+
+    if "data.get_dataset" not in sys.modules:
+        import data as _data  # the real (header-only) reference package
+
+        gd = types.ModuleType("data.get_dataset")
+
+        def _unavailable(*a, **k):
+            raise NotImplementedError(
+                "ref_shim data.get_dataset is import-only (torchvision absent)")
+
+        gd.build_dataset = _unavailable
+        gd.build_division_dataset = _unavailable
+        gd.build_transform = _unavailable
+        sys.modules["data.get_dataset"] = gd
+        _data.get_dataset = gd
+
+    import train_subdata as ref_train
+
+    _loaded["train_subdata"] = ref_train
+    return ref_train

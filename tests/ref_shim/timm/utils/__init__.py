@@ -30,3 +30,21 @@ class ModelEma:
         for k, v in esd.items():
             if v.dtype.is_floating_point:
                 v.copy_(v * self.decay + msd[k].detach() * (1.0 - self.decay))
+
+
+class NativeScaler:
+    """CPU-functional NativeScaler (timm contract): no AMP scaling on CPU —
+    backward, optional clip, step. State dict round-trips as empty."""
+
+    def __call__(self, loss, optimizer, clip_grad=None, parameters=None,
+                 create_graph=False):
+        loss.backward(create_graph=create_graph)
+        if clip_grad:
+            torch.nn.utils.clip_grad_norm_(parameters, clip_grad)
+        optimizer.step()
+
+    def state_dict(self):
+        return {}
+
+    def load_state_dict(self, state):
+        pass

@@ -628,3 +628,74 @@ def test_stage2_distillation_loss_matches_reference(monkeypatch):
         tok_ours = float(L.mse_loss(jnp.asarray(s_token), jnp.asarray(t_token)))
         assert abs(float(cls_ref) - cls_ours) < 1e-5, dt
         assert abs(float(tok_ref) - tok_ours) < 1e-5, dt
+
+
+# ------------------------------------------------- stage-2 training parity
+
+
+def test_stage2_train_trajectory_matches_reference(monkeypatch):
+    """The reference's OWN stage-2 hot loop (train_subdata.train_one_epoch,
+    train_subdata.py:233-287, imported from /root/reference) vs our
+    make_stage2_step: identical initial weights (via the .pth converter),
+    identical batches, hard distillation from the same teacher — per-step
+    loss trajectories must track (composed forward + DistillationLoss +
+    AdamW dynamics)."""
+    from loader import load_reference_train_subdata
+
+    ref_engine, ref_de_vit, ref_losses, _ = load_reference()
+    ref_train = load_reference_train_subdata()
+    _patch_cpu(monkeypatch)
+
+    student_t, teacher_t = _torch_models(ref_de_vit)
+    images, labels = _data()
+
+    # ---- reference side: train_subdata's own loop + DistillationLoss
+    ref_train.args = types.SimpleNamespace(distillation_token=False)
+    criterion = ref_losses.DistillationLoss(
+        base_criterion=torch.nn.CrossEntropyLoss(), teacher_model=teacher_t,
+        distillation_type="hard", alpha=0.5, tau=1.0, distill_token=False)
+    opt = torch.optim.AdamW(student_t.parameters(), lr=LR, betas=(0.9, 0.999),
+                            eps=1e-8, weight_decay=0.0)
+    scaler = _RecordingScaler()
+    loader = [
+        (torch.from_numpy(images[i].transpose(0, 3, 1, 2)),
+         torch.from_numpy(labels[i]))
+        for i in range(STEPS)
+    ]
+    log = types.SimpleNamespace(info=lambda *a, **k: None)
+    ref_train.train_one_epoch(
+        student_t, criterion, loader, opt, torch.device("cpu"), epoch=0,
+        loss_scaler=scaler, log=log, max_norm=0, model_ema=None, mixup_fn=None)
+    assert len(scaler.losses) == STEPS
+
+    # ---- our side: same initial weights, same batches, same hyperparams
+    cfg_s = get_vit_config("dedeit", drop_path_rate=0.0, **GEOM_S)
+    cfg_t = get_vit_config("deit_base_distilled_patch16_224",
+                           drop_path_rate=0.0, **GEOM_T)
+    student_j = VisionTransformer(cfg_s, dtype=jnp.float32)
+    teacher_j = VisionTransformer(cfg_t, dtype=jnp.float32)
+
+    student_t2, teacher_t2 = _torch_models(ref_de_vit)
+    s_params = _to_jax_params(student_t2, cfg_s.depth)
+    t_params = _to_jax_params(teacher_t2, cfg_t.depth)
+
+    import optax
+
+    tx = optax.adamw(LR, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0)
+    state = TrainState.create(s_params, tx)
+    step = jax.jit(S.make_stage2_step(
+        student_j, teacher_j, mixup=None, smoothing=0.0,
+        distillation_type="hard", distillation_alpha=0.5,
+        distillation_tau=1.0, distill_token=False))
+
+    ours = []
+    for i in range(STEPS):
+        state, metrics = step(state, {"params": t_params},
+                              jnp.asarray(images[i]), jnp.asarray(labels[i]),
+                              jax.random.key(i))
+        ours.append(float(metrics["loss"]))
+
+    # step 0 pins the composed forward + DistillationLoss before divergence
+    assert abs(ours[0] - scaler.losses[0]) < 1e-4, (ours[0], scaler.losses[0])
+    # full trajectory: AdamW dynamics must track within float tolerance
+    np.testing.assert_allclose(ours, scaler.losses, rtol=5e-3, atol=5e-3)
