@@ -194,19 +194,33 @@ class BatchIterator:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
-    def __len__(self) -> int:
+    def _epoch_len(self) -> int:
         n = len(self.ds)
+        if self.repeated_aug > 0 and self.shuffle:
+            # RASampler truncation: floor(n/256)*256 (samplers.py:35). For
+            # n < 256 the reference degenerates to zero samples; fall back
+            # to n (a deliberate small-n fix, SURVEY.md §7 "reference bugs").
+            return (n // 256) * 256 or n
+        return n
+
+    def __len__(self) -> int:
+        n = self._epoch_len()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.ds)
         rng = np.random.default_rng(self.seed + self.epoch)
         if self.repeated_aug > 0 and self.shuffle:
-            # RASampler semantics (utils/samplers.py:8-58): each sample appears
-            # `repeated_aug` times per epoch, epoch-seeded shuffle, truncated
-            # to the original epoch length.
+            # RASampler semantics (utils/samplers.py:28-58): epoch-seeded
+            # shuffle, each sample repeated `repeated_aug` times ADJACENT —
+            # the copies land in the same global batch and receive
+            # independent augmentations (the DeiT repeated-augmentation
+            # property; the reference's rank-strided subsample reassembles to
+            # exactly this consecutive stream) — truncated to the RASampler
+            # epoch length, so each epoch sees ~n/repeats distinct samples,
+            # each exactly `repeated_aug` times.
             idx = np.repeat(rng.permutation(n), self.repeated_aug)
-            return rng.permutation(idx)[:n]
+            return idx[: self._epoch_len()]
         if self.shuffle:
             return rng.permutation(n)
         return np.arange(n)
@@ -217,8 +231,8 @@ class BatchIterator:
         return gather_rows(self.ds.images, b), self.ds.labels[b]
 
     def _batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        n = len(self.ds)
         idx = self._epoch_indices()
+        n = len(idx)
         end = n - (n % self.batch_size) if self.drop_last else n
         for s in range(0, end, self.batch_size):
             yield self._assemble(idx[s : s + self.batch_size])

@@ -699,3 +699,52 @@ def test_stage2_train_trajectory_matches_reference(monkeypatch):
     assert abs(ours[0] - scaler.losses[0]) < 1e-4, (ours[0], scaler.losses[0])
     # full trajectory: AdamW dynamics must track within float tolerance
     np.testing.assert_allclose(ours, scaler.losses, rtol=5e-3, atol=5e-3)
+
+
+# ------------------------------------------------- stage-2 RASampler parity
+
+
+def test_repeated_aug_matches_reference_rasampler():
+    """BatchIterator's repeated-aug index stream vs the reference's own
+    RASampler (utils/samplers.py:8-64): interleaving the per-rank streams of
+    an 8-way RASampler reconstructs one consecutive global stream; ours must
+    have the same composition — identical length, identical per-sample copy
+    multiset (each selected sample exactly `repeats` times), copies adjacent
+    so they land in the same global batch. (Permutations differ — torch vs
+    numpy generators — so composition, not raw order, is the contract.)"""
+    load_reference()
+    import utils.samplers as ref_samplers
+
+    from devit_tpu.data.datasets import BatchIterator, synthetic_dataset
+
+    n, world, repeats = 512, 8, 3
+    ds = synthetic_dataset(4, n, img_size=8)
+
+    ranks = [ref_samplers.RASampler(list(range(n)), num_replicas=world, rank=r,
+                                    shuffle=True, num_repeats=repeats)
+             for r in range(world)]
+    for s in ranks:
+        s.set_epoch(3)
+    streams = [list(iter(s)) for s in ranks]
+    # global stream: position i of rank r sits at interleaved index i*world+r
+    ref_global = np.empty(sum(len(s) for s in streams), dtype=np.int64)
+    for r, s in enumerate(streams):
+        ref_global[r::world] = s
+
+    it = BatchIterator(ds, 64, shuffle=True, seed=0, repeated_aug=repeats)
+    it.set_epoch(3)
+    ours = it._epoch_indices()
+
+    # identical epoch length: floor(n/256)*256
+    assert len(ours) == len(ref_global) == (n // 256) * 256
+    # identical copy-count multiset (each selected sample exactly 3 times,
+    # up to the one truncation-boundary sample)
+    ref_counts = sorted(np.unique(ref_global, return_counts=True)[1])
+    our_counts = sorted(np.unique(ours, return_counts=True)[1])
+    assert ref_counts == our_counts
+    # adjacency: the copies of each sample are consecutive, as in the
+    # reconstructed reference stream (repeat_interleave, samplers.py:48)
+    for k in range(0, len(ours) - repeats + 1, repeats):
+        assert len(set(ours[k : k + repeats])) == 1
+    for k in range(0, len(ref_global) - repeats + 1, repeats):
+        assert len(set(ref_global[k : k + repeats])) == 1
