@@ -180,7 +180,10 @@ def train_sub_main(args) -> float:
     eval_step = jax.jit(S.make_eval_step(model))
 
     def eval_fn(state):
-        variables = {"params": state.ema_params if state.ema_params is not None else state.params}
+        # raw params, not EMA: the reference's per-epoch eval and best-ckpt
+        # selection use the live model (train_subdata.py:468); the EMA is
+        # saved in checkpoints but never evaluated there.
+        variables = {"params": state.params}
         batches = BatchIterator(val_ds, args.eval_batch_size, shuffle=False, drop_last=False)
         return run_eval(eval_step, variables, None, batches,
                         prepare=lambda im: prep_eval(place_batch(im)))
@@ -367,7 +370,9 @@ def distill_main(args) -> float:
     eval_step = jax.jit(S.make_eval_step(student))
 
     def eval_fn(state):
-        v = {"params": state.ema_params if state.ema_params is not None else state.params}
+        # raw params, not EMA (distill_sub.py:435 evaluates the live model;
+        # EMA is checkpointed but never drives best-ckpt selection)
+        v = {"params": state.params}
         batches = BatchIterator(val_ds, args.eval_batch_size, shuffle=False, drop_last=False)
         return run_eval(eval_step, v, gates, batches,
                         prepare=lambda im: prep_eval(place_batch(im)))
@@ -756,7 +761,9 @@ def deploy_main(args):
     for i in range(args.num_division):
         path = os.path.join(args.sub_model_path, f"sub-dataset{i}", "checkpoint.msgpack")
         ckpt = restore_pytree(path, None)
-        params = ckpt.get("ema_params") or ckpt.get("params", ckpt)
+        # raw params: the reference's best checkpoint.pth is the live model
+        # state_dict (distill_sub.py:450) — EMA is never deployed there
+        params = ckpt.get("params", ckpt)
         if "gates" in ckpt and ckpt["gates"] is not None:
             g = ckpt["gates"]
             gates = Gates(jnp.asarray(g["head"]), jnp.asarray(g["neuron"]))

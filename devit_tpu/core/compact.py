@@ -35,7 +35,8 @@ def compact_vit_params(
     gates: Gates,
     cfg: ViTConfig,
     *,
-    head_multiple: int = 2,  # 2 heads x 64 dh = 128 lanes, one MXU tile
+    head_multiple: int = 1,  # alignment padding measured SLOWER (CLAUDE.md
+    # round-2b: head_multiple=2 190.7 ms vs 185.8 baseline) — keep (1, 128)
     neuron_multiple: int = 128,
     min_keep_heads: Optional[int] = None,
     min_keep_neurons: Optional[int] = None,
@@ -61,16 +62,6 @@ def compact_vit_params(
     keep_h = min(_round_up(keep_h, head_multiple), H)
     keep_n = min(_round_up(keep_n, neuron_multiple), hidden)
 
-    def head_indices(l: int) -> np.ndarray:
-        kept = np.nonzero(head[l])[0]
-        pad = np.zeros(keep_h - len(kept), dtype=np.int64)  # padded slots (zero weights)
-        return np.concatenate([kept, pad])
-
-    def neuron_indices(l: int) -> np.ndarray:
-        kept = np.nonzero(neuron[l])[0]
-        pad = np.zeros(keep_n - len(kept), dtype=np.int64)
-        return np.concatenate([kept, pad])
-
     p = jax.tree_util.tree_map(np.asarray, params)
     blocks = p["blocks"]
     new_blocks = dict(blocks)
@@ -92,19 +83,21 @@ def compact_vit_params(
     new_fc2_k = np.zeros((L, keep_n, C), fc2_k.dtype)
 
     for l in range(L):
-        hi = head_indices(l)
-        n_kept_h = int(head[l].sum())
-        new_qkv_k[l, :, :, :n_kept_h] = qkv_k[l][:, :, hi[:n_kept_h]]
+        # slots beyond the kept count stay zero in the pre-zeroed destination
+        # arrays (padding contributes nothing to the forward)
+        hi = np.nonzero(head[l])[0]
+        n_kept_h = len(hi)
+        new_qkv_k[l, :, :, :n_kept_h] = qkv_k[l][:, :, hi]
         if qkv_b is not None:
             b = qkv_b[l].reshape(3, H, dh)
-            new_qkv_b[l, :, :n_kept_h] = b[:, hi[:n_kept_h]]
-        new_proj_k[l, :n_kept_h] = proj_k[l][hi[:n_kept_h]]
+            new_qkv_b[l, :, :n_kept_h] = b[:, hi]
+        new_proj_k[l, :n_kept_h] = proj_k[l][hi]
 
-        ni = neuron_indices(l)
-        n_kept_n = int(neuron[l].sum())
-        new_fc1_k[l, :, :n_kept_n] = fc1_k[l][:, ni[:n_kept_n]]
-        new_fc1_b[l, :n_kept_n] = fc1_b[l][ni[:n_kept_n]]
-        new_fc2_k[l, :n_kept_n] = fc2_k[l][ni[:n_kept_n]]
+        ni = np.nonzero(neuron[l])[0]
+        n_kept_n = len(ni)
+        new_fc1_k[l, :, :n_kept_n] = fc1_k[l][:, ni]
+        new_fc1_b[l, :n_kept_n] = fc1_b[l][ni]
+        new_fc2_k[l, :n_kept_n] = fc2_k[l][ni]
 
     new_C = keep_h * dh
     new_blocks["qkv"] = {"kernel": new_qkv_k.reshape(L, C, 3 * new_C)}

@@ -75,10 +75,6 @@ def hsic(x: Array, y: Array, *, y_kernel: str = "linear", mean_sub: bool = False
     return jnp.sum(g_x * g_y.T)
 
 
-# vmapped variants over a leading candidate axis of x (neurons / heads).
-hsic_many = jax.vmap(hsic, in_axes=(0, None), out_axes=0, axis_name=None)
-
-
 def hsic_relevance_many(xs: Array, probs: Array) -> Array:
     """HSIC(x_i, softmax probs) for each candidate x_i: (C, B, F) x (B, K) -> (C,)."""
     return jax.vmap(lambda x: hsic(x, probs, y_kernel="linear", mean_sub=True))(xs)

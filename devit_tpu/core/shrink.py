@@ -125,17 +125,40 @@ def evaluate_policies(
     passes (shrink_imp.py:41-63, 149-174)."""
     step = make_batched_policy_eval(apply_logits)
     C = stacked_gates.head.shape[0]
-    correct = np.zeros(C, dtype=np.int64)
+    # pad the candidate axis to a chunk multiple: a ragged final chunk would
+    # compile a second program shape (30-90 s each over the tunnel); the
+    # padded rows reuse candidate 0's gates and their counts are sliced away
+    C_pad = -(-C // candidate_chunk) * candidate_chunk
+    head = stacked_gates.head
+    neuron = stacked_gates.neuron
+    if C_pad != C:
+        head = jnp.concatenate([head, jnp.broadcast_to(head[:1], (C_pad - C, *head.shape[1:]))])
+        neuron = jnp.concatenate(
+            [neuron, jnp.broadcast_to(neuron[:1], (C_pad - C, *neuron.shape[1:]))])
+    correct = np.zeros(C_pad, dtype=np.int64)
     total = 0
+    batch_size = None
     for images, labels in val_batches:
+        images = np.asarray(images)
+        labels = np.asarray(labels)
+        n = labels.shape[0]
+        total += int(n)
+        if batch_size is None:
+            batch_size = n
+        if n < batch_size:
+            # pad the ragged final val batch to the steady shape (second
+            # recompile source); padded labels are -1 so they never match
+            pad = batch_size - n
+            images = np.concatenate([images, np.zeros((pad,) + images.shape[1:],
+                                                      images.dtype)])
+            labels = np.concatenate([labels, np.full(pad, -1, labels.dtype)])
         images = jnp.asarray(images)
         labels = jnp.asarray(labels)
-        total += int(labels.shape[0])
-        for c0 in range(0, C, candidate_chunk):
-            sl = slice(c0, min(c0 + candidate_chunk, C))
-            out = step(variables, stacked_gates.head[sl], stacked_gates.neuron[sl], images, labels)
+        for c0 in range(0, C_pad, candidate_chunk):
+            sl = slice(c0, c0 + candidate_chunk)
+            out = step(variables, head[sl], neuron[sl], images, labels)
             correct[sl] += np.asarray(jax.device_get(out), dtype=np.int64)
-    return 100.0 * correct / max(total, 1)
+    return 100.0 * correct[:C] / max(total, 1)
 
 
 @dataclasses.dataclass

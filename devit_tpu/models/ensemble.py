@@ -55,18 +55,36 @@ def multivit_features(
     stacked_variables,
     x: Array,
     stacked_gates: Optional[Gates] = None,
+    *,
+    train: bool = False,
+    rng=None,
 ) -> Tuple[Array, Optional[Array]]:
     """All-division forward on the same batch (ensemble_models.py:32-40).
 
+    train=True enables dropout/stochastic depth in the backbones (the
+    reference trains stage 5 with model.train(True), engine.py:146, and
+    MultiViT builds its backbones with drop_path=args.drop_path,
+    ensemble_models.py:14) — each division gets an independent rng stream.
+
     Returns (cls_tokens (D,B,C), dist_tokens (D,B,C) or None).
     """
+    D = jax.tree_util.tree_leaves(stacked_variables)[0].shape[0]
     if stacked_gates is None:
-        D = jax.tree_util.tree_leaves(stacked_variables)[0].shape[0]
         g = full_gates(model.cfg)
         stacked_gates = Gates(
             head=jnp.broadcast_to(g.head, (D, *g.head.shape)),
             neuron=jnp.broadcast_to(g.neuron, (D, *g.neuron.shape)),
         )
+
+    if train:
+        def one_train(variables, gates, key):
+            out = model.apply(variables, x, gates=gates, features_only=True,
+                              train=True, rngs={"dropout": key})
+            return out.cls_feat, out.dist_feat
+
+        keys = jax.random.split(rng, D)
+        cls_t, dist_t = jax.vmap(one_train)(stacked_variables, stacked_gates, keys)
+        return cls_t, dist_t
 
     def one(variables, gates):
         out = model.apply(variables, x, gates=gates, features_only=True)
@@ -145,9 +163,20 @@ class EnsMLP(nn.Module):
         )
 
 
-def multicct_features(cct_model, stacked_variables, x: Array) -> Array:
+def multicct_features(cct_model, stacked_variables, x: Array, *,
+                      train: bool = False, rng=None) -> Array:
     """All-division CCT backbone forward -> pooled features (D, B, C)
-    (MultiCCT, ensemble_models.py:93-113)."""
+    (MultiCCT, ensemble_models.py:93-113). train=True enables the backbones'
+    dropout/stochastic depth (engine.py:146 model.train(True)), one rng
+    stream per division."""
+    if train:
+        D = jax.tree_util.tree_leaves(stacked_variables)[0].shape[0]
+
+        def one_train(variables, key):
+            return cct_model.apply(variables, x, train=True,
+                                   rngs={"dropout": key}).pooled
+
+        return jax.vmap(one_train)(stacked_variables, jax.random.split(rng, D))
 
     def one(variables):
         return cct_model.apply(variables, x).pooled

@@ -46,19 +46,31 @@ class OptimConfig:
 
 
 def cosine_schedule(cfg: OptimConfig, steps_per_epoch: int) -> optax.Schedule:
-    """Linear warmup (warmup_lr -> lr) then cosine decay (lr -> min_lr); the
-    cooldown tail holds min_lr, matching timm's cooldown_epochs semantics."""
-    peak = cfg.scaled_lr()
-    warmup_steps = max(cfg.warmup_epochs * steps_per_epoch, 1)
-    decay_epochs = max(cfg.epochs - cfg.warmup_epochs - cfg.cooldown_epochs, 1)
-    decay_steps = decay_epochs * steps_per_epoch
+    """timm-0.5.4 CosineLRScheduler semantics, as the reference builds it
+    (create_scheduler with sched='cosine', train_subdata.py:410): linear
+    warmup warmup_lr -> lr over warmup_epochs, then
+    min_lr + 0.5*(lr - min_lr)*(1 + cos(pi * t/epochs)) with t counting from
+    zero INCLUDING the warmup span (timm's warmup_prefix=False default),
+    floored at min_lr from t = epochs on. timm's cooldown_epochs only
+    extends the nominal run length PAST t_initial (held at min_lr) — the
+    reference loop runs range(args.epochs) (train_subdata.py:441) and never
+    enters it — so cooldown does NOT shrink the cosine window. Documented
+    deviation: per-STEP smooth schedule instead of the reference's
+    per-epoch staircase (and its step(epoch) one-epoch-lag quirk)."""
+    import jax.numpy as jnp
 
-    warmup = optax.linear_schedule(cfg.warmup_lr, peak, warmup_steps)
-    cosine = optax.cosine_decay_schedule(peak, decay_steps, alpha=cfg.min_lr / peak)
-    tail = optax.constant_schedule(cfg.min_lr)
-    return optax.join_schedules(
-        [warmup, cosine, tail], [warmup_steps, warmup_steps + decay_steps]
-    )
+    peak = cfg.scaled_lr()
+    warmup_steps = cfg.warmup_epochs * steps_per_epoch
+    total_steps = max(cfg.epochs * steps_per_epoch, warmup_steps + 1)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = cfg.warmup_lr + (peak - cfg.warmup_lr) * step / max(warmup_steps, 1)
+        progress = jnp.minimum(step / total_steps, 1.0)
+        cos = cfg.min_lr + 0.5 * (peak - cfg.min_lr) * (1.0 + jnp.cos(jnp.pi * progress))
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return schedule
 
 
 def _decay_mask(params):

@@ -35,23 +35,29 @@ Array = jax.Array
 # ---------------------------------------------------------------- evaluation
 
 
-def make_eval_step(model: VisionTransformer, *, use_pallas: bool = False):
+def eval_counters(logits, labels):
+    """Summed CE loss + top-1/top-5 correct counts for one batch — the shared
+    payload of every eval step (engine.py:17-45 accuracy/loss bookkeeping)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    _, pred5 = jax.lax.top_k(logits, min(5, logits.shape[-1]))
+    hit = pred5 == labels[:, None]
+    return {
+        "loss_sum": jnp.sum(nll),
+        "top1": jnp.sum(hit[:, 0].astype(jnp.int32)),
+        "top5": jnp.sum(jnp.any(hit, axis=-1).astype(jnp.int32)),
+        "count": jnp.array(labels.shape[0], jnp.int32),
+    }
+
+
+def make_eval_step(model: VisionTransformer):
     """Per-batch eval: returns summed loss and top-1/top-5 correct counts so
-    accuracy aggregates exactly over uneven final batches (engine.py:17-45)."""
+    accuracy aggregates exactly over uneven final batches (engine.py:17-45).
+    Kernel selection (pallas vs XLA) lives on the model instance."""
 
     def step(variables, gates: Optional[Gates], images, labels):
         out = model.apply(variables, images, gates=gates)
-        logits = out.logits
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-        _, pred5 = jax.lax.top_k(logits, min(5, logits.shape[-1]))
-        hit = pred5 == labels[:, None]
-        return {
-            "loss_sum": jnp.sum(nll),
-            "top1": jnp.sum(hit[:, 0].astype(jnp.int32)),
-            "top5": jnp.sum(jnp.any(hit, axis=-1).astype(jnp.int32)),
-            "count": jnp.array(labels.shape[0], jnp.int32),
-        }
+        return eval_counters(out.logits, labels)
 
     return step
 
@@ -215,7 +221,7 @@ def make_ensemble_train_step(
     family = "deit" if backbone.cfg.distilled else "vit"
 
     def step(backbone_state, ens_state, teacher_variables, stacked_gates, images, labels, rng):
-        rng_mix, _ = jax.random.split(rng)
+        rng_mix, rng_drop = jax.random.split(rng)
         if mixup_active:
             images_m, targets = mixup_cutmix(rng_mix, images, labels, mixup)
         else:
@@ -228,8 +234,12 @@ def make_ensemble_train_step(
             tea_logits = tea_tokens = None
 
         def loss_fn(bb_params, ens_params):
+            # train=True: the reference trains the backbones with stochastic
+            # depth active (engine.py:146 model.train(True); MultiViT builds
+            # them with drop_path=args.drop_path, ensemble_models.py:14)
             cls_t, dist_t = multivit_features(
-                backbone, {"params": bb_params}, images_m, stacked_gates
+                backbone, {"params": bb_params}, images_m, stacked_gates,
+                train=True, rng=rng_drop,
             )
             ens_out = ens_model.apply(
                 {"params": ens_params}, cls_t, dist_t, distill=True, train=True
@@ -264,17 +274,7 @@ def make_ensemble_eval_step(backbone: VisionTransformer, ens_model: EnsMLP):
     def step(stacked_variables, ens_variables, stacked_gates, images, labels):
         cls_t, dist_t = multivit_features(backbone, stacked_variables, images, stacked_gates)
         out = ens_model.apply(ens_variables, cls_t, dist_t)
-        logits = out.logits
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-        _, pred5 = jax.lax.top_k(logits, min(5, logits.shape[-1]))
-        hit = pred5 == labels[:, None]
-        return {
-            "loss_sum": jnp.sum(nll),
-            "top1": jnp.sum(hit[:, 0].astype(jnp.int32)),
-            "top5": jnp.sum(jnp.any(hit, axis=-1).astype(jnp.int32)),
-            "count": jnp.array(labels.shape[0], jnp.int32),
-        }
+        return eval_counters(out.logits, labels)
 
     return step
 
@@ -301,7 +301,7 @@ def make_cct_ensemble_train_step(
     base_criterion = L.make_base_criterion(mixup_active, smoothing)
 
     def step(backbone_state, ens_state, teacher_variables, images, labels, rng):
-        rng_mix, _ = jax.random.split(rng)
+        rng_mix, rng_drop = jax.random.split(rng)
         if mixup_active:
             images_m, targets = mixup_cutmix(rng_mix, images, labels, mixup)
         else:
@@ -314,7 +314,10 @@ def make_cct_ensemble_train_step(
             tea_logits = tea_token = None
 
         def loss_fn(bb_params, ens_params):
-            feats = multicct_features(backbone, {"params": bb_params}, images_m)
+            # train=True: backbones train with their dropout/drop-path active
+            # (engine.py:146 model.train(True))
+            feats = multicct_features(backbone, {"params": bb_params}, images_m,
+                                      train=True, rng=rng_drop)
             ens_out = ens_model.apply(
                 {"params": ens_params}, feats, distill=True, train=True
             )
@@ -345,16 +348,6 @@ def make_cct_ensemble_eval_step(backbone, ens_model):
     def step(stacked_variables, ens_variables, images, labels):
         feats = multicct_features(backbone, stacked_variables, images)
         out = ens_model.apply(ens_variables, feats)
-        logits = out.logits
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-        _, pred5 = jax.lax.top_k(logits, min(5, logits.shape[-1]))
-        hit = pred5 == labels[:, None]
-        return {
-            "loss_sum": jnp.sum(nll),
-            "top1": jnp.sum(hit[:, 0].astype(jnp.int32)),
-            "top5": jnp.sum(jnp.any(hit, axis=-1).astype(jnp.int32)),
-            "count": jnp.array(labels.shape[0], jnp.int32),
-        }
+        return eval_counters(out.logits, labels)
 
     return step

@@ -121,7 +121,7 @@ def test_ensemble_cli_division_mesh_matches_identity(tmp_path, monkeypatch):
     assert d < 5e-4, f"division-parallel ensemble diverged from single-device: {d}"
 
 
-def test_ensemble_resume_reproduces_uninterrupted_run(tmp_path):
+def test_ensemble_resume_reproduces_uninterrupted_run(tmp_path, monkeypatch):
     base = ["ensemble", *TINY_MODEL, *TINY_OPT[:-4], "--lr", "1e-3", *DATA,
             "--model", "dedeit", "--teacher-size", "48",
             "--distillation-type", "none"]
@@ -129,8 +129,22 @@ def test_ensemble_resume_reproduces_uninterrupted_run(tmp_path):
     out_full = str(tmp_path / "full")
     run([*base, "--epochs", "2", "--output_dir", out_full])
 
+    # Interrupted run: SAME --epochs 2 (the cosine schedule's t_initial is the
+    # total epoch count — timm semantics — so changing --epochs changes the
+    # epoch-0 LRs), crash simulated at the first epoch boundary by capping
+    # fit()'s epoch loop at 1; checkpoint_temp.msgpack is the per-epoch crash
+    # artifact the real failure path leaves behind (train/loop.py).
+    import devit_tpu.cli.stages as stages_mod
+    real_fit = stages_mod.fit
+
+    def fit_one_epoch(*args, **kw):
+        kw["epochs"] = 1
+        return real_fit(*args, **kw)
+
     out_part = str(tmp_path / "part")
-    run([*base, "--epochs", "1", "--output_dir", out_part])
+    monkeypatch.setattr(stages_mod, "fit", fit_one_epoch)
+    run([*base, "--epochs", "2", "--output_dir", out_part])
+    monkeypatch.setattr(stages_mod, "fit", real_fit)
     run([*base, "--epochs", "2", "--output_dir", out_part,
          "--resume", os.path.join(out_part, "checkpoint_temp.msgpack")])
 

@@ -170,8 +170,53 @@ def test_cosine_schedule_shape():
                       warmup_epochs=5, cooldown_epochs=10)
     sched = cosine_schedule(cfg, steps_per_epoch=10)
     assert abs(float(sched(0)) - 1e-6) < 1e-7
-    assert abs(float(sched(50)) - 5e-4) < 1e-5  # end of warmup
-    assert abs(float(sched(199)) - 1e-5) < 1e-6  # cooldown tail
+    # timm warmup_prefix=False: the cosine counts t from 0 INCLUDING warmup,
+    # so the first post-warmup step sits on the t/epochs cosine, not at peak
+    import math
+
+    def timm_cos(t, total=200):
+        return 1e-5 + 0.5 * (5e-4 - 1e-5) * (1 + math.cos(math.pi * t / total))
+
+    assert abs(float(sched(50)) - timm_cos(50)) < 1e-7
+    assert abs(float(sched(120)) - timm_cos(120)) < 1e-7
+    assert abs(float(sched(199)) - timm_cos(199)) < 1e-7
+    assert abs(float(sched(250)) - 1e-5) < 1e-9  # past t_initial: min_lr floor
+    # cooldown_epochs must NOT shrink the cosine window (the reference's loop
+    # never enters timm's appended cooldown): same schedule with cooldown 0
+    cfg_nc = OptimConfig(lr=5e-4, warmup_lr=1e-6, min_lr=1e-5, epochs=20,
+                         warmup_epochs=5, cooldown_epochs=0)
+    sched_nc = cosine_schedule(cfg_nc, steps_per_epoch=10)
+    assert abs(float(sched(120)) - float(sched_nc(120))) < 1e-12
     # LR scaling
     cfg2 = OptimConfig(lr=5e-4, scale_lr_by_batch=True, global_batch=1024)
     assert abs(cfg2.scaled_lr() - 1e-3) < 1e-9
+
+
+def test_ensemble_train_step_uses_stochastic_depth():
+    """Stage-5 backbones must train with drop-path ACTIVE (the reference sets
+    model.train(True) in train_1epoch_ens_disjoint, engine.py:146, on
+    backbones built with drop_path=args.drop_path, ensemble_models.py:14):
+    with a large drop-path rate, different rngs must give different losses,
+    and the eval-mode forward must differ from the train-mode one."""
+    from devit_tpu.models.ensemble import EnsMLP, init_multivit
+
+    model = tiny(drop_path_rate=0.9)
+    x = jnp.ones((4, 32, 32, 3))
+    stacked = init_multivit(model, jax.random.key(0), x, num_divisions=2)
+    ens = EnsMLP(num_classes=7, sub_size=model.cfg.embed_dim, num_divisions=2,
+                 teacher_size=None, family="deit", dtype=jnp.float32)
+    tok = jnp.zeros((2, 4, model.cfg.embed_dim))
+    ens_vars = ens.init(jax.random.key(9), tok, tok)
+    tx = make_optimizer(OptimConfig(lr=1e-3, epochs=2, warmup_epochs=0,
+                                    cooldown_epochs=0), 10)
+    bb_state = TrainState.create(stacked["params"], tx)
+    ens_state = TrainState.create(ens_vars["params"], tx)
+    step = jax.jit(S.make_ensemble_train_step(
+        model, ens, mixup=None, smoothing=0.0, distillation_type="none"))
+    labels = jnp.array([0, 1, 2, 3])
+    losses = []
+    for seed in (1, 2, 3):
+        _, _, m = step(bb_state, ens_state, None, None, x, labels,
+                       jax.random.key(seed))
+        losses.append(float(m["loss"]))
+    assert len(set(losses)) > 1, f"drop-path inactive: identical losses {losses}"
