@@ -151,7 +151,12 @@ def train_sub_main(args) -> float:
             if args.teacher_path else t_tpl["params"]
         t_vars = {"params": t_params}
 
-    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    # steps/epoch must match what BatchIterator actually yields (repeated
+    # augmentation truncates the epoch to floor(n/256)*256 samples), or the
+    # per-step schedule drifts from the reference's per-epoch stepping
+    steps_per_epoch = max(len(BatchIterator(
+        train_ds, args.batch_size, shuffle=True,
+        repeated_aug=3 if args.repeated_aug else 0)), 1)
     opt_cfg = C.optim_config_from_args(args, args.batch_size)
     tx = make_optimizer(opt_cfg, steps_per_epoch)
     state = TrainState.create(params, tx, use_ema=args.model_ema, ema_decay=args.model_ema_decay)
@@ -342,7 +347,9 @@ def distill_main(args) -> float:
     else:
         gates = full_gates(student.cfg)
 
-    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    steps_per_epoch = max(len(BatchIterator(
+        train_ds, args.batch_size, shuffle=True,
+        repeated_aug=3 if args.repeated_aug else 0)), 1)  # see stage-2 note
     tx = make_optimizer(C.optim_config_from_args(args, args.batch_size), steps_per_epoch)
     state = TrainState.create(s_params, tx, use_ema=args.model_ema,
                               ema_decay=args.model_ema_decay)
@@ -535,7 +542,9 @@ def ensemble_main(args) -> float:
             if args.teacher_path else t_tpl["params"]
         t_vars = {"params": t_params}
 
-    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    steps_per_epoch = max(len(BatchIterator(
+        train_ds, args.batch_size, shuffle=True,
+        repeated_aug=3 if args.repeated_aug else 0)), 1)  # see stage-2 note
     # two optimizers: backbone lr vs ens lr (ensemble.py:343-348)
     bb_args = C.optim_config_from_args(args, args.batch_size)
     ens_cfg = C.optim_config_from_args(args, args.batch_size)
@@ -600,7 +609,8 @@ def ensemble_main(args) -> float:
         C.make_saver(args)(path, _ensemble_ckpt_tree(bb_state, ens_state, epoch))
 
     def train_batches(epoch):
-        it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed)
+        it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed,
+                           repeated_aug=3 if args.repeated_aug else 0)
         it.set_epoch(epoch)
         return it
 
@@ -663,7 +673,9 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
             t_params = ckpt.get("params", ckpt) if isinstance(ckpt, dict) else ckpt
         t_vars = {"params": t_params}
 
-    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    steps_per_epoch = max(len(BatchIterator(
+        train_ds, args.batch_size, shuffle=True,
+        repeated_aug=3 if args.repeated_aug else 0)), 1)  # see stage-2 note
     bb_cfg = C.optim_config_from_args(args, args.batch_size)
     ens_cfg = type(bb_cfg)(**{**bb_cfg.__dict__, "lr": args.ens_lr or args.lr})
     bb_state = TrainState.create(stacked["params"], make_optimizer(bb_cfg, steps_per_epoch),
@@ -721,7 +733,8 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
         C.make_saver(args)(path, _ensemble_ckpt_tree(bb_state, ens_state, epoch))
 
     def train_batches(epoch):
-        it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed)
+        it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed,
+                           repeated_aug=3 if args.repeated_aug else 0)
         it.set_epoch(epoch)
         return it
 

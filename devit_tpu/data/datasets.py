@@ -196,7 +196,7 @@ class BatchIterator:
 
     def _epoch_len(self) -> int:
         n = len(self.ds)
-        if self.repeated_aug > 0 and self.shuffle:
+        if self.repeated_aug > 0:
             # RASampler truncation: floor(n/256)*256 (samplers.py:35). For
             # n < 256 the reference degenerates to zero samples; fall back
             # to n (a deliberate small-n fix, SURVEY.md §7 "reference bugs").
@@ -210,20 +210,19 @@ class BatchIterator:
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.ds)
         rng = np.random.default_rng(self.seed + self.epoch)
-        if self.repeated_aug > 0 and self.shuffle:
+        base = rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.repeated_aug > 0:
             # RASampler semantics (utils/samplers.py:28-58): epoch-seeded
-            # shuffle, each sample repeated `repeated_aug` times ADJACENT —
-            # the copies land in the same global batch and receive
-            # independent augmentations (the DeiT repeated-augmentation
-            # property; the reference's rank-strided subsample reassembles to
-            # exactly this consecutive stream) — truncated to the RASampler
-            # epoch length, so each epoch sees ~n/repeats distinct samples,
-            # each exactly `repeated_aug` times.
-            idx = np.repeat(rng.permutation(n), self.repeated_aug)
-            return idx[: self._epoch_len()]
-        if self.shuffle:
-            return rng.permutation(n)
-        return np.arange(n)
+            # shuffle (or arange when shuffle=False — the reference repeats
+            # and truncates either way), each sample repeated `repeated_aug`
+            # times ADJACENT — the copies land in the same global batch and
+            # receive independent augmentations (the DeiT repeated-
+            # augmentation property; the reference's rank-strided subsample
+            # reassembles to exactly this consecutive stream) — truncated to
+            # the RASampler epoch length, so each epoch sees ~n/repeats
+            # distinct samples, each exactly `repeated_aug` times.
+            return np.repeat(base, self.repeated_aug)[: self._epoch_len()]
+        return base
 
     def _assemble(self, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         from devit_tpu.io.native import gather_rows

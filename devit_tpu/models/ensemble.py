@@ -77,6 +77,11 @@ def multivit_features(
         )
 
     if train:
+        if rng is None:
+            raise ValueError(
+                "multivit_features(train=True) needs rng= for the backbones' "
+                "dropout/drop-path streams")
+
         def one_train(variables, gates, key):
             out = model.apply(variables, x, gates=gates, features_only=True,
                               train=True, rngs={"dropout": key})
@@ -170,6 +175,10 @@ def multicct_features(cct_model, stacked_variables, x: Array, *,
     dropout/stochastic depth (engine.py:146 model.train(True)), one rng
     stream per division."""
     if train:
+        if rng is None:
+            raise ValueError(
+                "multicct_features(train=True) needs rng= for the backbones' "
+                "dropout/drop-path streams")
         D = jax.tree_util.tree_leaves(stacked_variables)[0].shape[0]
 
         def one_train(variables, key):
@@ -221,8 +230,12 @@ def ensemble_forward(
     *,
     distill: bool = False,
     train: bool = False,
+    rng=None,
 ) -> EnsOutput:
     """The full collaborative-inference path: MultiViT -> EnsMLP
-    (engine.py:213-242 / the north-star benchmark path)."""
-    cls_t, dist_t = multivit_features(model, stacked_variables, x, stacked_gates)
+    (engine.py:213-242 / the north-star benchmark path). train=True enables
+    backbone dropout/stochastic depth too (rng required) — the composed path
+    must not silently drop the regularization the train steps apply."""
+    cls_t, dist_t = multivit_features(model, stacked_variables, x, stacked_gates,
+                                      train=train, rng=rng)
     return ens_model.apply(ens_variables, cls_t, dist_t, distill=distill, train=train)
