@@ -69,6 +69,10 @@ def fused_attention(
         interpret = jax.default_backend() != "tpu"
     B, N, threeC = qkv.shape
     C = threeC // 3
+    if threeC % (3 * num_heads) != 0:
+        # a non-dividing head count would leave the tail output channels
+        # unwritten — uninitialized VMEM on TPU (zeros only in interpret mode)
+        raise ValueError(f"num_heads={num_heads} must divide C={C}")
     dh = C // num_heads
     block_b = min(block_b, B)
     grid = (pl.cdiv(B, block_b),)
@@ -270,6 +274,8 @@ def _attention_bwd_impl(qkv: Array, g: Array, num_heads: int, block_b: int,
         interpret = jax.default_backend() != "tpu"
     B, N, threeC = qkv.shape
     C = threeC // 3
+    if threeC % (3 * num_heads) != 0:
+        raise ValueError(f"num_heads={num_heads} must divide C={C}")
     dh = C // num_heads
     block_b = min(block_b, B)
     return pl.pallas_call(

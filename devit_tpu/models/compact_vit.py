@@ -56,6 +56,16 @@ def compact_vit_ragged(
     """Gather kept heads/neurons per layer into exact-width weights."""
     head = np.asarray(jax.device_get(gates.head))
     neuron = np.asarray(jax.device_get(gates.neuron))
+    if not (np.isin(head, (0.0, 1.0)).all() and np.isin(neuron, (0.0, 1.0)).all()):
+        # compaction DROPS pruned slots; a fractional gate would multiply
+        # activations in the gated model but be rounded to keep/drop here —
+        # silently different math. Only binary masks are compactable.
+        raise ValueError("compact_vit_ragged requires binary (0/1) gates")
+    if getattr(cfg, "representation_size", None):
+        raise NotImplementedError(
+            "compact_vit_ragged does not carry the pre_logits "
+            "(representation_size) head; deploy such models via the gated "
+            "forward instead")
     p = jax.tree_util.tree_map(np.asarray, params)
     L, H = head.shape
     hidden = neuron.shape[1]
@@ -168,8 +178,6 @@ def compact_forward(
                                      (B, 1, t.shape[-1])))
     t = jnp.concatenate(toks + [t], axis=1)
     t = t + model.embed["pos_embed"].astype(dtype)
-    N = t.shape[1]
-    dh = model.head_dim
 
     if int8:
         from devit_tpu.kernels.quant import dynamic_int8_matmul
@@ -244,12 +252,18 @@ def compact_forward(
 
 def save_compact(path: str, model: CompactViT) -> None:
     """Serialize the deployment artifact (arrays via msgpack; static meta
-    alongside)."""
+    alongside). bf16/f32 models only — quantize_compact's QuantizedLinear
+    leaves don't round-trip msgpack; quantize AFTER load at serve time."""
+    from devit_tpu.kernels.quant import QuantizedLinear
     from devit_tpu.io.checkpoint import save_pytree
 
     layers = []
     heads = []
     for lp in model.layers:
+        if any(isinstance(v, QuantizedLinear) for v in lp.values()):
+            raise ValueError(
+                "save_compact cannot serialize a quantize_compact model; "
+                "save the bf16 artifact and quantize after load_compact")
         lp = dict(lp)
         heads.append(int(lp.pop("num_heads")))
         layers.append(lp)

@@ -71,3 +71,42 @@ def test_fast_math_gelu_deviation_is_sub_bf16():
     a, b = np.asarray(fast), np.asarray(exact)
     scale = np.abs(b).max()
     assert np.abs(a - b).max() / scale < 0.004  # bf16 eps = 0.0078
+
+
+def test_ragged_compact_padded_heads_and_dead_layer():
+    """The padded-head path (head_multiple > 1 rounds kept counts up with
+    zero-masked duplicate indices) and the all-heads-pruned fallback
+    (len(hi)==0 -> one zeroed head slot) must still match the gated model —
+    previously only the exact-width path had CI coverage."""
+    model = VisionTransformer(CFG, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(7), (2, 32, 32, 3))
+    params = model.init(jax.random.key(8), x)["params"]
+    head = np.zeros((3, 4), np.float32)
+    neuron = np.zeros((3, 256), np.float32)
+    head[0, [2]] = 1          # 1 kept -> padded to 2 with a zeroed slot
+    head[1, [0, 1, 3]] = 1    # 3 kept -> padded to 4
+    # layer 2: ALL heads pruned -> attention contributes only proj bias
+    neuron[0, :64] = 1
+    neuron[1, 100:164] = 1
+    neuron[2, ::4] = 1
+    gates = Gates(jnp.asarray(head), jnp.asarray(neuron))
+
+    ref = model.apply({"params": params}, x, gates=gates)
+    cm = compact_vit_ragged(params, gates, CFG, head_multiple=2,
+                            neuron_multiple=8)
+    assert [lp["num_heads"] for lp in cm.layers] == [2, 4, 1]
+    logits = compact_forward(cm, x, patch_size=8, dtype=jnp.float32,
+                             use_pallas=False, fast_math=False)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref.logits),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ragged_compact_rejects_fractional_gates():
+    import pytest
+
+    model = VisionTransformer(CFG, dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.key(9), x)["params"]
+    gates = Gates(jnp.full((3, 4), 0.5), jnp.ones((3, 256)))
+    with pytest.raises(ValueError, match="binary"):
+        compact_vit_ragged(params, gates, CFG)
