@@ -72,10 +72,36 @@ def load_cifar100(data_path: str, train: bool) -> ArrayDataset:
     return ArrayDataset(images=np.ascontiguousarray(images), labels=labels, num_classes=100)
 
 
+def ingest_resize(im, img_size: int):
+    """Aspect-PRESERVING ingest to a square uint8 cache: shorter side ->
+    S = round(img_size*256/224) (torchvision int-truncated long side), then
+    center-crop SxS. The eval path's Resize(256/224*size)+CenterCrop(size)
+    over this cache reproduces torchvision's transform of the ORIGINAL image
+    pixel-exactly (the two center crops compose: round((nh-S)/2) +
+    (S-size)/2 == round((nh-size)/2) since S-size is even). A plain
+    square resize here would squash aspect — different pixels from the
+    reference for every non-square photo (get_dataset.py:99-105). Train RRC
+    samples from this SxS cache (capped at S resolution — the in-memory
+    deviation from decoding originals per epoch; documented)."""
+    from PIL import Image
+
+    S = int(round(img_size * 256 / 224))
+    w, h = im.size
+    if w <= h:
+        nw, nh = S, int(S * h / w)
+    else:
+        nh, nw = S, int(S * w / h)
+    im = im.resize((nw, nh), Image.BICUBIC)
+    left = int(round((nw - S) / 2.0))
+    top = int(round((nh - S) / 2.0))
+    return im.crop((left, top, left + S, top + S))
+
+
 def load_image_folder(root: str, img_size: int = 224, cache: bool = True) -> ArrayDataset:
     """ImageFolder tree -> resized uint8 arrays (lexicographic class order,
     torchvision semantics). Decoded once and cached next to the tree."""
-    cache_path = os.path.join(root, f".devit_cache_{img_size}.npz")
+    # v2: aspect-preserving SxS ingest (ingest_resize) replaced the square squash
+    cache_path = os.path.join(root, f".devit_cache_v2_{img_size}.npz")
     if cache and os.path.exists(cache_path):
         z = np.load(cache_path)
         return ArrayDataset(z["images"], z["labels"], int(z["num_classes"]))
@@ -92,7 +118,7 @@ def load_image_folder(root: str, img_size: int = 224, cache: bool = True) -> Arr
             fpath = os.path.join(cdir, fname)
             try:
                 with Image.open(fpath) as im:
-                    im = im.convert("RGB").resize((img_size, img_size), Image.BICUBIC)
+                    im = ingest_resize(im.convert("RGB"), img_size)
                     images.append(np.asarray(im, dtype=np.uint8))
                     labels.append(li)
             except Exception:

@@ -18,7 +18,7 @@ from typing import List
 
 import numpy as np
 
-from devit_tpu.data.datasets import ArrayDataset
+from devit_tpu.data.datasets import ArrayDataset, ingest_resize
 
 
 def _decode(paths: List[str], labels: List[int], num_classes: int,
@@ -33,7 +33,7 @@ def _decode(paths: List[str], labels: List[int], num_classes: int,
     for p, l in zip(paths, labels):
         try:
             with Image.open(p) as im:
-                im = im.convert("RGB").resize((img_size, img_size), Image.BICUBIC)
+                im = ingest_resize(im.convert("RGB"), img_size)
                 images.append(np.asarray(im, dtype=np.uint8))
                 kept_labels.append(l)
         except Exception:
@@ -61,7 +61,7 @@ def load_flowers102(root: str, split: str, img_size: int = 224) -> ArrayDataset:
     paths = [os.path.join(base, "jpg", f"image_{i:05d}.jpg") for i in split_ids]
     labels = [int(labels_all[i - 1]) for i in split_ids]
     return _decode(paths, labels, 102, img_size,
-                   os.path.join(base, f".devit_{split}_{img_size}.npz"))
+                   os.path.join(base, f".devit_v2_{split}_{img_size}.npz"))
 
 
 def load_stanford_cars(root: str, split: str, img_size: int = 224) -> ArrayDataset:
@@ -81,7 +81,7 @@ def load_stanford_cars(root: str, split: str, img_size: int = 224) -> ArrayDatas
         labels.append(int(a["class"][0, 0]) - 1)
         paths.append(os.path.join(img_dir, str(a["fname"][0])))
     return _decode(paths, labels, 196, img_size,
-                   os.path.join(base, f".devit_{split}_{img_size}.npz"))
+                   os.path.join(base, f".devit_v2_{split}_{img_size}.npz"))
 
 
 def load_oxford_pets(root: str, split: str, img_size: int = 224) -> ArrayDataset:
@@ -97,7 +97,7 @@ def load_oxford_pets(root: str, split: str, img_size: int = 224) -> ArrayDataset
             paths.append(os.path.join(base, "images", name + ".jpg"))
             labels.append(int(class_id) - 1)
     return _decode(paths, labels, 37, img_size,
-                   os.path.join(base, f".devit_{split}_{img_size}.npz"))
+                   os.path.join(base, f".devit_v2_{split}_{img_size}.npz"))
 
 
 def load_inat(root: str, split: str, year: int = 2018, category: str = "name",
@@ -126,4 +126,4 @@ def load_inat(root: str, split: str, year: int = 2018, category: str = "name",
         paths.append(os.path.join(root, img_by_id[ann["image_id"]]))
         labels.append(targeter[cat[category]])
     return _decode(paths, labels, num_classes, img_size,
-                   os.path.join(root, f".devit_{split}{year}_{img_size}.npz"))
+                   os.path.join(root, f".devit_v2_{split}{year}_{img_size}.npz"))

@@ -186,23 +186,32 @@ def _color_jitter(rng: Array, image: Array, strength: float) -> Array:
 
 
 def _random_erase(rng: Array, image: Array, prob: float) -> Array:
-    """timm RandomErasing mode='pixel' (train_subdata.py:115-119): erase one
-    random box with gaussian noise, per sample."""
+    """timm RandomErasing mode='pixel' (train_subdata.py:115-119), applied in
+    the NORMALIZED domain (timm appends it after ToTensor+Normalize): erase
+    one box with standard-normal noise. Geometry is timm's 10-try rejection —
+    sample (area, log-uniform aspect), round, accept the first with h < H and
+    w < W; no valid try -> no erase (never clip an oversized box to fit)."""
     H, W, C = image.shape
     r_apply, r_area, r_ratio, r_pos, r_noise = jax.random.split(rng, 5)
-    area = H * W * jax.random.uniform(r_area, minval=0.02, maxval=1 / 3)
-    ratio = jnp.exp(jax.random.uniform(r_ratio, minval=jnp.log(0.3), maxval=jnp.log(10 / 3)))
-    eh = jnp.clip(jnp.sqrt(area * ratio), 1, H)
-    ew = jnp.clip(jnp.sqrt(area / ratio), 1, W)
+    area = H * W * jax.random.uniform(r_area, (10,), minval=0.02, maxval=1 / 3)
+    ratio = jnp.exp(jax.random.uniform(r_ratio, (10,), minval=jnp.log(0.3),
+                                       maxval=jnp.log(10 / 3)))
+    ehs = jnp.round(jnp.sqrt(area * ratio))
+    ews = jnp.round(jnp.sqrt(area / ratio))
+    valid = (ehs > 0) & (ehs < H) & (ews > 0) & (ews < W)
+    idx = jnp.argmax(valid)  # first valid try
+    eh = ehs[idx]
+    ew = ews[idx]
     py, px = jax.random.uniform(r_pos, (2,))
-    y0 = py * (H - eh)
-    x0 = px * (W - ew)
+    y0 = jnp.floor(py * (H - eh + 1))  # randint(0, H - h) inclusive
+    x0 = jnp.floor(px * (W - ew + 1))
     yy = jnp.arange(H)[:, None, None].astype(jnp.float32)
     xx = jnp.arange(W)[None, :, None].astype(jnp.float32)
     in_box = (yy >= y0) & (yy < y0 + eh) & (xx >= x0) & (xx < x0 + ew)
-    noise = jax.random.normal(r_noise, image.shape) * 64.0 + 128.0
+    noise = jax.random.normal(r_noise, image.shape, image.dtype)
     erased = jnp.where(in_box, noise, image)
-    return jnp.where(jax.random.uniform(r_apply) < prob, erased, image)
+    apply = (jax.random.uniform(r_apply) < prob) & jnp.any(valid)
+    return jnp.where(apply, erased, image)
 
 
 def train_transform(
@@ -228,9 +237,13 @@ def train_transform(
         elif cfg.color_jitter > 0:
             # timm applies color-jitter only when no AA policy is set
             img = _color_jitter(ks[3], img, cfg.color_jitter)
-        if cfg.reprob > 0:
-            img = _random_erase(ks[4], img, cfg.reprob)
         return img
 
     out = jax.vmap(per_sample)(keys, images)
-    return normalize(out, dtype)
+    out = normalize(out, jnp.float32)
+    if cfg.reprob > 0:
+        # timm appends RandomErasing AFTER normalization: the 'pixel' fill is
+        # N(0,1) in the normalized domain, not pixel-space noise
+        out = jax.vmap(lambda k, im: _random_erase(k, im, cfg.reprob))(
+            keys[:, 4], out)
+    return out.astype(dtype)

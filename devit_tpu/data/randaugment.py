@@ -26,21 +26,31 @@ _MAX_MAG = 10.0
 # ---------------------------------------------------------------- geometry
 
 
-def _affine(image: Array, matrix: Array) -> Array:
-    """Apply inverse affine [a b tx; c d ty] around the image center,
-    bilinear, zero fill (torchvision/timm fillcolor default is gray 128 —
-    use 128 fill)."""
+# timm aa_params fillcolor: per-channel rounded IMAGENET mean (124,116,104)
+# (timm transforms_factory img_mean), NOT gray 128.
+_FILL = (124.0, 116.0, 104.0)
+
+
+def _affine(image: Array, matrix: Array, center: bool = True) -> Array:
+    """Apply inverse affine [a b ty; c d tx]; `center=True` anchors at the
+    image center (PIL.rotate), `center=False` at the top-left origin
+    (PIL ImageTransform.AffineTransform, used by timm's shear/translate).
+    Bilinear (documented deviation: timm uses the train interpolation,
+    bicubic — jax map_coordinates supports order <= 1)."""
     H, W, C = image.shape
-    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    # PIL samples at continuous pixel centers: src = A*(out + 0.5) - 0.5
+    # (Geometry.c affine_transform); center anchor is (H/2, W/2) continuous
+    cy, cx = (H / 2.0, W / 2.0) if center else (0.0, 0.0)
     yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                           jnp.arange(W, dtype=jnp.float32), indexing="ij")
-    y = yy - cy
-    x = xx - cx
-    src_y = matrix[0] * y + matrix[1] * x + matrix[2] + cy
-    src_x = matrix[3] * y + matrix[4] * x + matrix[5] + cx
+    y = yy + 0.5 - cy
+    x = xx + 0.5 - cx
+    src_y = matrix[0] * y + matrix[1] * x + matrix[2] + cy - 0.5
+    src_x = matrix[3] * y + matrix[4] * x + matrix[5] + cx - 0.5
     out = jnp.stack(
         [
-            map_coordinates(image[..., c], [src_y, src_x], order=1, mode="constant", cval=128.0)
+            map_coordinates(image[..., c], [src_y, src_x], order=1,
+                            mode="constant", cval=_FILL[c])
             for c in range(3)
         ],
         axis=-1,
@@ -49,36 +59,43 @@ def _affine(image: Array, matrix: Array) -> Array:
 
 
 def _rotate(image: Array, mag: Array) -> Array:
+    # PIL img.rotate(deg) is counterclockwise; inverse map verified vs PIL
     deg = mag / _MAX_MAG * 30.0
     rad = jnp.deg2rad(deg)
     c, s = jnp.cos(rad), jnp.sin(rad)
-    return _affine(image, jnp.array([c, -s, 0.0, s, c, 0.0]) * 1.0)
+    return _affine(image, jnp.stack([c, s, jnp.zeros(()), -s, c, jnp.zeros(())]))
 
 
 def _shear_x(image: Array, mag: Array) -> Array:
+    # PIL AffineTransform (1, sh, 0, 0, 1, 0): src_x = x + sh*y, origin anchor
     sh = mag / _MAX_MAG * 0.3
-    return _affine(image, jnp.stack([jnp.array(1.0), -sh, jnp.array(0.0),
-                                     jnp.array(0.0), jnp.array(1.0), jnp.array(0.0)]))
+    return _affine(image, jnp.stack([jnp.array(1.0), jnp.array(0.0), jnp.array(0.0),
+                                     sh, jnp.array(1.0), jnp.array(0.0)]),
+                   center=False)
 
 
 def _shear_y(image: Array, mag: Array) -> Array:
+    # PIL AffineTransform (1, 0, 0, sh, 1, 0): src_y = y + sh*x, origin anchor
     sh = mag / _MAX_MAG * 0.3
-    return _affine(image, jnp.stack([jnp.array(1.0), jnp.array(0.0), jnp.array(0.0),
-                                     -sh, jnp.array(1.0), jnp.array(0.0)]))
+    return _affine(image, jnp.stack([jnp.array(1.0), sh, jnp.array(0.0),
+                                     jnp.array(0.0), jnp.array(1.0), jnp.array(0.0)]),
+                   center=False)
 
 
 def _translate_x(image: Array, mag: Array) -> Array:
     W = image.shape[1]
     t = mag / _MAX_MAG * 0.45 * W
     return _affine(image, jnp.stack([jnp.array(1.0), jnp.array(0.0), jnp.array(0.0),
-                                     jnp.array(0.0), jnp.array(1.0), -t]))
+                                     jnp.array(0.0), jnp.array(1.0), t]),
+                   center=False)
 
 
 def _translate_y(image: Array, mag: Array) -> Array:
     H = image.shape[0]
     t = mag / _MAX_MAG * 0.45 * H
-    return _affine(image, jnp.stack([jnp.array(1.0), jnp.array(0.0), -t,
-                                     jnp.array(0.0), jnp.array(1.0), jnp.array(0.0)]))
+    return _affine(image, jnp.stack([jnp.array(1.0), jnp.array(0.0), t,
+                                     jnp.array(0.0), jnp.array(1.0), jnp.array(0.0)]),
+                   center=False)
 
 
 # ---------------------------------------------------------------- intensity
@@ -93,18 +110,20 @@ def _autocontrast(image: Array, mag: Array) -> Array:
 
 
 def _equalize(image: Array, mag: Array) -> Array:
-    """Per-channel histogram equalization (PIL semantics, approximated)."""
+    """Per-channel histogram equalization, PIL ImageOps.equalize EXACT:
+    step = (total - count_of_last_nonzero_bin) // 255; lut[i] =
+    (step//2 + exclusive_cdf[i]) // step; step == 0 -> identity."""
 
     def eq_channel(ch):
         ints = jnp.clip(jnp.round(ch), 0, 255).astype(jnp.int32)
         hist = jnp.zeros(256, jnp.int32).at[ints.reshape(-1)].add(1)
-        cdf = jnp.cumsum(hist)
-        # PIL: step = (total - last nonzero bin count) / 255
-        nz_min = jnp.min(jnp.where(hist > 0, cdf, jnp.iinfo(jnp.int32).max))
-        total = cdf[-1]
-        denom = jnp.maximum(total - nz_min, 1)
-        lut = jnp.clip(jnp.round((cdf - nz_min) * 255.0 / denom), 0, 255)
-        return lut[ints].astype(jnp.float32)
+        nz = hist > 0
+        last_idx = 255 - jnp.argmax(nz[::-1])  # index of last nonzero bin
+        step = (jnp.sum(hist) - hist[last_idx]) // 255
+        cdf_excl = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                    jnp.cumsum(hist)[:-1]])
+        lut = jnp.clip((step // 2 + cdf_excl) // jnp.maximum(step, 1), 0, 255)
+        return jnp.where(step == 0, ints, lut[ints]).astype(jnp.float32)
 
     out = jnp.stack([eq_channel(image[..., c]) for c in range(3)], axis=-1)
     return out
@@ -115,21 +134,22 @@ def _invert(image: Array, mag: Array) -> Array:
 
 
 def _posterize(image: Array, mag: Array) -> Array:
-    # increasing: more magnitude -> fewer bits (4 -> 0 removed from 8)
-    bits = 8 - jnp.round(mag / _MAX_MAG * 4).astype(jnp.int32)
+    # timm PosterizeIncreasing: keep 4 - int(4*m/10) bits (m=9 -> 1 bit,
+    # m=10 -> 0 bits -> black), a far stronger op than an 8-bit baseline
+    bits = 4 - jnp.floor(mag / _MAX_MAG * 4).astype(jnp.int32)
     shift = (8 - bits).astype(jnp.float32)
     q = jnp.exp2(shift)
     return jnp.floor(image / q) * q
 
 
 def _solarize(image: Array, mag: Array) -> Array:
-    # increasing: threshold 256 -> 0
-    thresh = 256.0 - mag / _MAX_MAG * 256.0
+    # timm SolarizeIncreasing: threshold 256 - int(256*m/10)
+    thresh = 256.0 - jnp.floor(mag / _MAX_MAG * 256.0)
     return jnp.where(image >= thresh, 255.0 - image, image)
 
 
 def _solarize_add(image: Array, mag: Array) -> Array:
-    add = mag / _MAX_MAG * 110.0
+    add = jnp.floor(mag / _MAX_MAG * 110.0)
     return jnp.where(image < 128.0, jnp.clip(image + add, 0, 255), image)
 
 
@@ -138,15 +158,22 @@ def _blend_factor(mag: Array) -> Array:
     return mag / _MAX_MAG * 0.9
 
 
+_LUMA = (0.299, 0.587, 0.114)  # ITU-R 601, PIL convert('L')
+
+
 def _color(image: Array, mag: Array) -> Array:
+    # PIL ImageEnhance.Color blends toward the LUMA grayscale, not the
+    # channel mean (blue would otherwise weigh 2x too much)
     f = 1.0 + _blend_factor(mag)
-    gray = jnp.mean(image, axis=-1, keepdims=True)
+    gray = jnp.tensordot(image, jnp.asarray(_LUMA), axes=(-1, 0))[..., None]
     return jnp.clip(gray + (image - gray) * f, 0, 255)
 
 
 def _contrast(image: Array, mag: Array) -> Array:
+    # PIL ImageEnhance.Contrast blends toward int(mean_of_luma + 0.5)
     f = 1.0 + _blend_factor(mag)
-    mean = jnp.mean(image)
+    mean = jnp.floor(
+        jnp.mean(jnp.tensordot(image, jnp.asarray(_LUMA), axes=(-1, 0))) + 0.5)
     return jnp.clip(mean + (image - mean) * f, 0, 255)
 
 
@@ -164,6 +191,10 @@ def _sharpness(image: Array, mag: Array) -> Array:
         (1, 1),
         "SAME",
     )[:, 0].transpose(1, 2, 0)
+    # PIL's 3x3 filter leaves the 1-px border unfiltered — without this the
+    # zero-padded SAME conv darkens borders and the blend paints a halo
+    blurred = blurred.at[0, :].set(image[0, :]).at[-1, :].set(image[-1, :])
+    blurred = blurred.at[:, 0].set(image[:, 0]).at[:, -1].set(image[:, -1])
     return jnp.clip(blurred + (image - blurred) * f, 0, 255)
 
 

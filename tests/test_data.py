@@ -235,3 +235,39 @@ def test_rand_augment_pipeline():
     img = jnp.asarray(np.random.default_rng(2).integers(0, 256, (32, 32, 3)).astype(np.float32))
     out = rand_augment(jax.random.key(0), img, magnitude=9, mag_std=0.5, num_ops=2)
     assert out.shape == img.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_ingest_plus_eval_matches_torchvision_resize_centercrop():
+    """The composed path for ImageFolder data — aspect-preserving ingest cache
+    (ingest_resize: PIL shorter-side-256 + center-crop 256) then
+    eval_transform (identity resize + CenterCrop 224) — must equal
+    torchvision's Resize(256, bicubic) + CenterCrop(224) applied directly to
+    the ORIGINAL image (reference get_dataset.py:99-105), because the two
+    center crops compose exactly. The old square-squash ingest failed this
+    for every non-square photo."""
+    from PIL import Image
+
+    from devit_tpu.data.datasets import ingest_resize
+    from devit_tpu.data.pipeline import eval_transform, normalize
+
+    rng = np.random.default_rng(11)
+    for (w, h) in [(300, 200), (200, 300), (375, 500)]:
+        src = Image.fromarray(rng.integers(0, 256, (h, w, 3), np.uint8))
+
+        # torchvision reference: shorter side -> 256 (long side int-truncated,
+        # PIL bicubic), then center-crop 224
+        if w <= h:
+            nw, nh = 256, int(256 * h / w)
+        else:
+            nh, nw = 256, int(256 * w / h)
+        ref = src.resize((nw, nh), Image.BICUBIC)
+        left = int(round((nw - 224) / 2.0))
+        top = int(round((nh - 224) / 2.0))
+        ref = np.asarray(ref.crop((left, top, left + 224, top + 224)))
+        want = np.asarray(normalize(jnp.asarray(ref[None]), jnp.float32))[0]
+
+        cached = np.asarray(ingest_resize(src, 224))  # the uint8 cache entry
+        assert cached.shape == (256, 256, 3)
+        got = np.asarray(eval_transform(jnp.asarray(cached[None]),
+                                        img_size=224, dtype=jnp.float32))[0]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
