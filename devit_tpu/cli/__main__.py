@@ -51,7 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
     dp.add_argument("--policy-path", type=str, default=None,
                     help="dir with shrinked_policy.npy/shrinked_accuracy.npy")
     dp.add_argument("--distillation-inter", action="store_true", default=True)
-    dp.set_defaults(fn=stages.distill_main, model="dedeit", distillation_type="hard")
+    # reference distill_sub.py default: clip-grad 1.0 (:69). Its parser also
+    # defaults teacher-model to vit_large (:141) but that is incompatible
+    # with the dedeit student (197 vs 198 tokens breaks the relation loss in
+    # both frameworks) and the canonical command always passes the DeiT
+    # teacher (README.md:62) — keep the working default.
+    dp.set_defaults(fn=stages.distill_main, model="dedeit", distillation_type="hard",
+                    clip_grad=1.0)
 
     ep = sub.add_parser("ensemble", help="stage 5: token-fusion ensemble")
     for add in (C.add_model_args, C.add_optim_args, C.add_aug_args,
@@ -66,7 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="eval from deploy-stage compact artifacts (serving path)")
     ep.add_argument("--ens-path", type=str, default=None,
                     help="EnsMLP checkpoint for compact-path eval")
-    ep.set_defaults(fn=stages.ensemble_main, model="dedeit")
+    # reference ensemble.py defaults: lr 1e-5 (:77), weight-decay 0.05 (:72)
+    # — materially different from the stage-2 recipe (teacher stays DeiT: the
+    # canonical command overrides the parser's vit_large, README.md:68)
+    ep.set_defaults(fn=stages.ensemble_main, model="dedeit",
+                    lr=1e-5, weight_decay=0.05)
 
     bp = sub.add_parser("bench", help="deployed-ensemble throughput benchmark "
                                       "(same as `python bench.py`)")

@@ -15,7 +15,9 @@ import numpy as np
 from devit_tpu.configs import get_vit_config
 from devit_tpu.data.datasets import ArrayDataset, BatchIterator, build_dataset
 from devit_tpu.data.mixup import MixupConfig
-from devit_tpu.data.pipeline import AugmentConfig, eval_transform, train_transform
+from devit_tpu.data.pipeline import (
+    AugmentConfig, eval_transform, finish_transform, train_transform,
+)
 from devit_tpu.data.splitter import DivisionManifest
 from devit_tpu.io.checkpoint import (
     load_torch_state_dict, resize_pos_embed, restore_pytree, save_pytree,
@@ -47,7 +49,7 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
 
 def add_optim_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch-size", default=64, type=int)
-    p.add_argument("--eval-batch-size", default=256, type=int)
+    p.add_argument("--eval-batch-size", default=512, type=int)  # reference default
     p.add_argument("--epochs", default=5, type=int)
     p.add_argument("--opt-eps", default=1e-8, type=float)
     p.add_argument("--clip-grad", type=float, default=None)
@@ -70,6 +72,12 @@ def add_aug_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--repeated-aug", action="store_true", default=True)
     p.add_argument("--no-repeated-aug", action="store_false", dest="repeated_aug")
     p.add_argument("--reprob", type=float, default=0.25)
+    p.add_argument("--aug-backend", choices=["auto", "host", "device"],
+                   default="auto",
+                   help="where train augmentation runs: host = PIL in the "
+                        "prefetch workers (reference CPU-worker split; auto "
+                        "picks this for RandAugment training), device = the "
+                        "pure-JAX pipeline compiled into the step")
     p.add_argument("--mixup", type=float, default=0.8)
     p.add_argument("--cutmix", type=float, default=1.0)
     p.add_argument("--mixup-prob", type=float, default=1.0)
@@ -120,16 +128,20 @@ def parse_ra_string(aa: Optional[str]) -> Tuple[bool, int, float]:
 
 def augment_config_from_args(args, img_size: int, source_size: int) -> AugmentConfig:
     ra, mag, std = parse_ra_string(getattr(args, "aa", None))
+    reprob = args.reprob
     if getattr(args, "no_aug", False):
+        # reference no_aug (get_dataset.py:74-78 -> timm create_transform
+        # defaults): both auto-augment AND random erasing off
         ra = False
+        reprob = 0.0
     return AugmentConfig(
         img_size=img_size,
         color_jitter=args.color_jitter,
-        reprob=args.reprob,
+        reprob=reprob,
         randaugment=ra,
         ra_magnitude=mag,
         ra_std=std,
-        small_image=source_size <= img_size and source_size <= 64 and img_size == source_size,
+        small_image=img_size == source_size and source_size <= 64,
     )
 
 
@@ -157,7 +169,10 @@ def build_division_data(args) -> Tuple[ArrayDataset, ArrayDataset, DivisionManif
     """Full train/val sets + manifest; callers take division views."""
     train_ds = build_dataset(args.dataset, args.data_path, train=True, img_size=args.input_size)
     val_ds = build_dataset(args.dataset, args.data_path, train=False, img_size=args.input_size)
-    if args.manifest and os.path.exists(args.manifest):
+    if args.manifest:
+        if not os.path.exists(args.manifest):
+            # a typo'd path must not silently train on a regenerated split
+            raise FileNotFoundError(f"--manifest {args.manifest} does not exist")
         manifest = DivisionManifest.load(args.manifest)
     else:
         manifest = DivisionManifest.create(train_ds.num_classes, args.num_division, seed=42)
@@ -217,7 +232,13 @@ def load_params_for(model: VisionTransformer, path: str, template_params):
     cfg = model.cfg
     if path.endswith(".pth") or path.endswith(".pt"):
         sd = load_torch_state_dict(path)
-        params = torch_vit_to_params(sd, depth=cfg.depth)
+        if hasattr(cfg, "num_layers"):  # CCT family (configs.CCTConfig)
+            from devit_tpu.io.checkpoint import torch_cct_to_params
+
+            params = torch_cct_to_params(sd, num_layers=cfg.num_layers,
+                                         n_conv_layers=cfg.n_conv_layers)
+        else:
+            params = torch_vit_to_params(sd, depth=cfg.depth)
     else:
         restored = restore_pytree(path, None)
         params = restored.get("params", restored) if isinstance(restored, dict) else restored
@@ -273,6 +294,28 @@ def make_eval_prepare(img_size: int, dtype=jnp.bfloat16):
 def make_train_prepare(aug_cfg: AugmentConfig, dtype=jnp.bfloat16):
     fn = jax.jit(lambda r, x: train_transform(r, x, aug_cfg, dtype=dtype))
     return lambda rng, images: fn(rng, jnp.asarray(images))
+
+
+def make_train_pipeline(args, aug_cfg: AugmentConfig, dtype=jnp.bfloat16):
+    """(prep_fn, host_transform) — pick where train augmentation runs.
+
+    auto: RandAugment training uses the HOST PIL pipeline in the prefetch
+    workers (data/host_augment.py — the reference's own CPU-worker split;
+    measured on v5e bs256 224^2 the device pipeline's geometric RA ops cost
+    ~21 s/batch because per-sample warp grids become unshared-index gathers
+    under the vmapped op switch, vs 30 ms for the intensity ops), with the
+    device doing normalize + random-erasing (finish_transform). Non-RA and
+    small-image training keeps the cheap all-device path."""
+    backend = getattr(args, "aug_backend", "auto")
+    use_host = backend == "host" or (
+        backend == "auto" and aug_cfg.randaugment and not aug_cfg.small_image)
+    if use_host:
+        from devit_tpu.data.host_augment import make_host_train_augment
+
+        host_tf = make_host_train_augment(aug_cfg, seed=args.seed)
+        fn = jax.jit(lambda r, x: finish_transform(r, x, aug_cfg, dtype=dtype))
+        return (lambda rng, images: fn(rng, jnp.asarray(images))), host_tf
+    return make_train_prepare(aug_cfg, dtype=dtype), None
 
 
 def setup(args):

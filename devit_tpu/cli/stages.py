@@ -34,14 +34,20 @@ from devit_tpu.train.state import TrainState
 
 
 
-def _try_resume(args, state, log):
+def _try_resume(args, state, log, extra_template=None):
     """Restore {params, ema, opt_state, epoch} from --resume (the
     checkpoint_temp.msgpack written every epoch — train_subdata.py:450-459
-    semantics). Returns (state, start_epoch)."""
+    semantics). Returns (state, start_epoch).
+
+    extra_template: template entries for any EXTRA keys the stage's
+    save_state writes (e.g. distill's gates) — the orbax restorer rejects a
+    template whose structure doesn't match the checkpoint (msgpack merely
+    drops unknown keys)."""
     if not args.resume:
         return state, 0
     tpl = {"params": state.params, "ema_params": state.ema_params,
-           "opt_state": state.opt_state, "epoch": np.int32(0)}
+           "opt_state": state.opt_state, "epoch": np.int32(0),
+           **(extra_template or {})}
     ckpt = restore_pytree(args.resume, tpl)
     state = state.replace(
         params=ckpt["params"],
@@ -163,7 +169,7 @@ def train_sub_main(args) -> float:
 
     aug_cfg = C.augment_config_from_args(args, args.input_size, train_ds.images.shape[1])
     mix_cfg = C.mixup_config_from_args(args, num_classes)
-    prep_train = C.make_train_prepare(aug_cfg)
+    prep_train, host_tf = C.make_train_pipeline(args, aug_cfg)
     prep_eval = C.make_eval_prepare(args.input_size)
 
     raw_step = S.make_stage2_step(
@@ -209,7 +215,8 @@ def train_sub_main(args) -> float:
 
     def train_batches(epoch):
         it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed,
-                           repeated_aug=3 if args.repeated_aug else 0)
+                           repeated_aug=3 if args.repeated_aug else 0,
+                           host_transform=host_tf)
         it.set_epoch(epoch)
         return it
 
@@ -356,7 +363,7 @@ def distill_main(args) -> float:
 
     aug_cfg = C.augment_config_from_args(args, args.input_size, train_ds.images.shape[1])
     mix_cfg = C.mixup_config_from_args(args, num_classes)
-    prep_train = C.make_train_prepare(aug_cfg)
+    prep_train, host_tf = C.make_train_pipeline(args, aug_cfg)
     prep_eval = C.make_eval_prepare(args.input_size)
 
     jstep = jax.jit(S.make_dekd_step(
@@ -391,14 +398,18 @@ def distill_main(args) -> float:
                                      "neuron": np.asarray(gates.neuron)},
                            "epoch": np.int32(epoch)})
 
-    state, start_epoch = _try_resume(args, state, log)
+    state, start_epoch = _try_resume(
+        args, state, log,
+        extra_template={"gates": {"head": np.asarray(gates.head),
+                                  "neuron": np.asarray(gates.neuron)}})
     state = place_rep(state)
     t_vars = place_rep(t_vars)
     gates = place_rep(gates)
 
     def train_batches(epoch):
         it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed,
-                           repeated_aug=3 if args.repeated_aug else 0)
+                           repeated_aug=3 if args.repeated_aug else 0,
+                           host_transform=host_tf)
         it.set_epoch(epoch)
         return it
 
@@ -557,7 +568,7 @@ def ensemble_main(args) -> float:
 
     aug_cfg = C.augment_config_from_args(args, args.input_size, train_ds.images.shape[1])
     mix_cfg = C.mixup_config_from_args(args, num_classes)
-    prep_train = C.make_train_prepare(aug_cfg)
+    prep_train, host_tf = C.make_train_pipeline(args, aug_cfg)
     prep_eval = C.make_eval_prepare(args.input_size)
 
     jstep = jax.jit(S.make_ensemble_train_step(
@@ -610,7 +621,8 @@ def ensemble_main(args) -> float:
 
     def train_batches(epoch):
         it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed,
-                           repeated_aug=3 if args.repeated_aug else 0)
+                           repeated_aug=3 if args.repeated_aug else 0,
+                           host_transform=host_tf)
         it.set_epoch(epoch)
         return it
 
@@ -685,7 +697,7 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
 
     aug_cfg = C.augment_config_from_args(args, args.input_size, train_ds.images.shape[1])
     mix_cfg = C.mixup_config_from_args(args, num_classes)
-    prep_train = C.make_train_prepare(aug_cfg)
+    prep_train, host_tf = C.make_train_pipeline(args, aug_cfg)
     prep_eval = C.make_eval_prepare(args.input_size)
 
     jstep = jax.jit(S.make_cct_ensemble_train_step(
@@ -734,7 +746,8 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
 
     def train_batches(epoch):
         it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed,
-                           repeated_aug=3 if args.repeated_aug else 0)
+                           repeated_aug=3 if args.repeated_aug else 0,
+                           host_transform=host_tf)
         it.set_epoch(epoch)
         return it
 

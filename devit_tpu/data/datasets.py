@@ -207,6 +207,7 @@ class BatchIterator:
         drop_last: bool = True,
         repeated_aug: int = 0,
         prefetch: int = 2,
+        host_transform=None,
     ):
         self.ds = ds
         self.batch_size = batch_size
@@ -215,6 +216,7 @@ class BatchIterator:
         self.drop_last = drop_last
         self.repeated_aug = repeated_aug
         self.prefetch = prefetch
+        self.host_transform = host_transform
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -250,17 +252,23 @@ class BatchIterator:
             return np.repeat(base, self.repeated_aug)[: self._epoch_len()]
         return base
 
-    def _assemble(self, b: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    def _assemble(self, b: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         from devit_tpu.io.native import gather_rows
 
-        return gather_rows(self.ds.images, b), self.ds.labels[b]
+        imgs = gather_rows(self.ds.images, b)
+        if self.host_transform is not None:
+            # host-side PIL augmentation (data/host_augment.py) runs HERE, in
+            # the prefetch thread, so it overlaps the consumer's device steps
+            # exactly like the reference's DataLoader workers
+            imgs = self.host_transform(imgs, self.epoch, k)
+        return imgs, self.ds.labels[b]
 
     def _batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         idx = self._epoch_indices()
         n = len(idx)
         end = n - (n % self.batch_size) if self.drop_last else n
-        for s in range(0, end, self.batch_size):
-            yield self._assemble(idx[s : s + self.batch_size])
+        for k, s in enumerate(range(0, end, self.batch_size)):
+            yield self._assemble(idx[s : s + self.batch_size], k)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         if self.prefetch <= 0:

@@ -214,6 +214,20 @@ def _random_erase(rng: Array, image: Array, prob: float) -> Array:
     return jnp.where(apply, erased, image)
 
 
+def finish_transform(
+    rng: Array, images: Array, cfg: AugmentConfig, dtype=jnp.bfloat16
+) -> Array:
+    """Device-side tail for HOST-augmented batches (data/host_augment.py):
+    normalize + random erasing only — RRC/flip/RandAugment already happened
+    in the prefetch workers, mirroring the reference's CPU/GPU split (timm
+    transforms in DataLoader workers; RandomErasing after Normalize)."""
+    out = normalize(images, jnp.float32)
+    if cfg.reprob > 0:
+        keys = jax.random.split(rng, images.shape[0])
+        out = jax.vmap(lambda k, im: _random_erase(k, im, cfg.reprob))(keys, out)
+    return out.astype(dtype)
+
+
 def train_transform(
     rng: Array, images: Array, cfg: AugmentConfig, dtype=jnp.bfloat16
 ) -> Array:

@@ -99,30 +99,6 @@ def wait_for_checkpoints() -> None:
         _ORBAX_CKPTR.wait_until_finished()
 
 
-def save_checkpoint(
-    path: str,
-    *,
-    params: Any,
-    opt_state: Any = None,
-    ema_params: Any = None,
-    epoch: int = 0,
-    extra: Optional[Dict] = None,
-) -> None:
-    """Epoch checkpoint with the reference's logical contents."""
-    tree = {
-        "params": params,
-        "opt_state": opt_state,
-        "ema_params": ema_params,
-        "epoch": np.int32(epoch),
-        "extra": extra or {},
-    }
-    save_pytree(path, tree)
-
-
-def restore_checkpoint(path: str, template: Dict) -> Dict:
-    return restore_pytree(path, template)
-
-
 # ------------------------------------------------------- torch ingestion
 
 
@@ -145,7 +121,7 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def torch_vit_to_params(
-    sd: Dict[str, np.ndarray], depth: int, *, strict_heads: bool = True
+    sd: Dict[str, np.ndarray], depth: int
 ) -> Dict:
     """Reference-layout ViT state_dict -> our scan-stacked param pytree.
 
@@ -200,8 +176,6 @@ def torch_vit_to_params(
     for name in ("head", "head_dist", "resize_mlp", "resize_att_mlp", "resize_encoder_mlp"):
         if f"{name}.weight" in sd:
             params[name] = lin(name)
-        elif strict_heads and name in ("head",):
-            pass
     return params
 
 

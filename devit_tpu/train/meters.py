@@ -110,17 +110,25 @@ def create_logger(output_dir: Optional[str] = None, name: str = "devit_tpu"):
     import os
 
     logger = logging.getLogger(name)
-    if logger.handlers:
-        return logger
-    logger.setLevel(logging.INFO)
     fmt = logging.Formatter("[%(asctime)s] %(message)s", datefmt="%H:%M:%S")
-    sh = logging.StreamHandler()
-    sh.setFormatter(fmt)
-    logger.addHandler(sh)
+    if not logger.handlers:
+        logger.setLevel(logging.INFO)
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        logger.propagate = False
     if output_dir:
+        # re-point the file handler when the output dir changes (several
+        # stage mains can run in one process; each must log to ITS log.txt)
         os.makedirs(output_dir, exist_ok=True)
-        fh = logging.FileHandler(os.path.join(output_dir, "log.txt"))
-        fh.setFormatter(fmt)
-        logger.addHandler(fh)
-    logger.propagate = False
+        target = os.path.abspath(os.path.join(output_dir, "log.txt"))
+        file_handlers = [h for h in logger.handlers
+                         if isinstance(h, logging.FileHandler)]
+        if not any(os.path.abspath(h.baseFilename) == target for h in file_handlers):
+            for h in file_handlers:
+                logger.removeHandler(h)
+                h.close()
+            fh = logging.FileHandler(target)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
     return logger

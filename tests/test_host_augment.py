@@ -1,0 +1,66 @@
+"""Host-side PIL augmentation pipeline (data/host_augment.py): the
+reference's CPU-worker architecture — RRC + hflip + timm RandAugment with
+literal PIL calls, threaded in BatchIterator's prefetch workers."""
+
+import numpy as np
+
+from devit_tpu.data.datasets import BatchIterator, synthetic_dataset
+from devit_tpu.data.host_augment import make_host_train_augment
+from devit_tpu.data.pipeline import AugmentConfig
+
+
+CFG = AugmentConfig(img_size=32)
+
+
+def _batch(n=8, s=48):
+    return np.random.default_rng(0).integers(0, 256, (n, s, s, 3), np.uint8)
+
+
+def test_shapes_and_dtype():
+    tf = make_host_train_augment(CFG, seed=0)
+    out = tf(_batch(), epoch=0, batch_index=0)
+    assert out.shape == (8, 32, 32, 3) and out.dtype == np.uint8
+
+
+def test_deterministic_per_epoch_and_batch():
+    tf = make_host_train_augment(CFG, seed=0)
+    a = tf(_batch(), 3, 7)
+    b = tf(_batch(), 3, 7)
+    np.testing.assert_array_equal(a, b)  # resumable epochs need this
+    c = tf(_batch(), 4, 7)
+    d = tf(_batch(), 3, 8)
+    assert not np.array_equal(a, c) and not np.array_equal(a, d)
+
+
+def test_per_sample_independent_streams():
+    tf = make_host_train_augment(CFG, seed=0)
+    imgs = np.repeat(_batch(1), 8, axis=0)  # identical inputs
+    out = tf(imgs, 0, 0)
+    # independent rng per sample -> the augmented copies differ
+    assert any(not np.array_equal(out[0], out[k]) for k in range(1, 8))
+
+
+def test_batch_iterator_applies_host_transform_in_prefetch():
+    ds = synthetic_dataset(4, 64, img_size=48)
+    seen = []
+
+    def tf(imgs, epoch, k):
+        seen.append((epoch, k, imgs.shape))
+        return np.zeros((len(imgs), 32, 32, 3), np.uint8)
+
+    it = BatchIterator(ds, 16, shuffle=True, seed=0, host_transform=tf)
+    it.set_epoch(2)
+    batches = list(it)
+    assert len(batches) == 4
+    for imgs, labels in batches:
+        assert imgs.shape == (16, 32, 32, 3) and (imgs == 0).all()
+        assert labels.shape == (16,)
+    assert sorted(k for _e, k, _s in seen) == [0, 1, 2, 3]
+    assert all(e == 2 for e, _k, _s in seen)
+
+
+def test_no_randaugment_variant_still_crops():
+    cfg = AugmentConfig(img_size=32, randaugment=False)
+    tf = make_host_train_augment(cfg, seed=1)
+    out = tf(_batch(), 0, 0)
+    assert out.shape == (8, 32, 32, 3)
