@@ -436,8 +436,11 @@ def _ensemble_eval_compact(args, log, val_ds, num_classes, D) -> float:
     cms = [load_compact(os.path.join(args.compact_path, f"sub-dataset{i}", "compact.msgpack"))
            for i in range(D)]
     sub_size = cms[0].embed["pos_embed"].shape[-1]
+    # family from the artifact, not hardcoded: undistilled backbones emit no
+    # dist tokens and need the single-token 'vit' fusion head
+    family = "deit" if cms[0].distilled else "vit"
     ens = EnsMLP(num_classes=num_classes, sub_size=sub_size, num_divisions=D,
-                 teacher_size=args.teacher_size, family="deit")
+                 teacher_size=args.teacher_size, family=family)
     if args.ens_path:
         ckpt = restore_pytree(args.ens_path, None)
         ens_params = ckpt.get("ens_params", ckpt.get("params", ckpt))

@@ -49,8 +49,9 @@ def linear_gram(x: Array) -> Array:
 def _mean_sub(x: Array) -> Array:
     """The reference's mean_sub expression, reproduced verbatim for ranking
     parity (imp_rank.py:227: x - mean(x,0)/(std(x,0)+1e-12) — note the division
-    binds to the mean term only)."""
-    return x - jnp.mean(x, axis=0) / (jnp.std(x, axis=0) + 1e-12)
+    binds to the mean term only, and torch.std defaults to the UNBIASED
+    estimator, hence ddof=1)."""
+    return x - jnp.mean(x, axis=0) / (jnp.std(x, axis=0, ddof=1) + 1e-12)
 
 
 def hsic(x: Array, y: Array, *, y_kernel: str = "linear", mean_sub: bool = False) -> Array:

@@ -25,7 +25,9 @@ import flax.linen as nn
 import numpy as np
 
 from devit_tpu.configs import CCTConfig, get_cct_config
-from devit_tpu.models.vit import Gates, LayerNorm, fast_gelu, trunc_init
+from devit_tpu.models.vit import (
+    Gates, LayerNorm, drop_path, fast_gelu, trunc_init,
+)
 
 Array = jax.Array
 
@@ -36,6 +38,8 @@ class CCTOutput(NamedTuple):
     attn: Optional[Array] = None  # (L, B, N, D or resize_dim) per-layer attention outputs
     hidden: Optional[Array] = None  # (L+1, B, N, D or resize_dim) hidden states
     qkv: Optional[Array] = None  # (3,B,H,N,dh) middle-layer capture for DEKD
+    neuron_act: Optional[Array] = None  # (L,B,N,hidden) post-GELU pre-gate
+    head_out: Optional[Array] = None  # (L,B,N,H,dh) pre-gate head outputs
 
     # API compatibility with ViTOutput so the DEKD/stage-2 steps work on CCT
     # students/teachers unchanged (CCT has a single head; no dist logits).
@@ -102,6 +106,7 @@ class CCTLayer(nn.Module):
     capture_qkv: str = "none"
     capture_layer: int = -1
     capture_outputs: bool = False
+    capture_rank_stats: bool = False  # neuron_act/head_out for HSIC ranking
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -125,6 +130,9 @@ class CCTLayer(nn.Module):
         if cfg.attention_dropout > 0 and not self.deterministic:
             probs = nn.Dropout(cfg.attention_dropout, deterministic=False)(probs)
         att = jnp.einsum("bhnm,bhmd->bhnd", probs, v)
+        # PRE-gate head outputs, (B,N,H,dh) — the HSIC ranking statistic
+        # (imp_rank.py:108; same capture point as vit.Block)
+        head_out = att.transpose(0, 2, 1, 3) if self.capture_rank_stats else None
         att = att * head_gate.astype(self.dtype)[None, :, None, None]
         att = att.transpose(0, 2, 1, 3).reshape(B, N, D)
         att = nn.Dense(D, dtype=self.dtype, kernel_init=trunc_init, name="proj")(att)
@@ -137,6 +145,7 @@ class CCTLayer(nn.Module):
         h = fast_gelu(h)  # exact-erf GELU, fast lowering (vit.fast_erf)
         if cfg.dropout > 0 and not self.deterministic:
             h = nn.Dropout(cfg.dropout, deterministic=False)(h)
+        neuron_act = h if self.capture_rank_stats else None  # pre-gate
         h = h * neuron_gate.astype(self.dtype)[None, None, :]
         h = nn.Dense(D, dtype=self.dtype, kernel_init=trunc_init, name="linear2")(h)
         if cfg.dropout > 0 and not self.deterministic:
@@ -152,16 +161,15 @@ class CCTLayer(nn.Module):
         if self.capture_outputs:
             outs["attn"] = att
             outs["hidden"] = x
+        if self.capture_rank_stats:
+            outs["neuron_act"] = neuron_act
+            outs["head_out"] = head_out
         return (x, qkv_slot), outs
 
     def _drop_path(self, x: Array, rate: Array) -> Array:
         if self.deterministic:
             return x
-        B = x.shape[0]
-        rng = self.make_rng("dropout")
-        keep = 1.0 - rate
-        mask = jax.random.bernoulli(rng, keep, (B, 1, 1)).astype(x.dtype)
-        return x * mask / jnp.maximum(keep, 1e-8).astype(x.dtype)
+        return drop_path(x, rate, self.make_rng("dropout"))
 
 
 class CCT(nn.Module):
@@ -182,6 +190,7 @@ class CCT(nn.Module):
         capture_qkv: str = "none",
         capture_layer: Optional[int] = None,
         capture_outputs: bool = False,
+        capture_rank_stats: bool = False,
         distill_token: bool = False,  # accepted for step-API parity; the
         # pooled feature doubles as the distillation token (CCTOutput.last_tokens)
     ) -> CCTOutput:
@@ -200,12 +209,20 @@ class CCT(nn.Module):
             N += 1
 
         if cfg.positional_embedding == "learnable":
-            pe = self.param("positional_emb",
-                            nn.initializers.truncated_normal(stddev=0.2),
+            from devit_tpu.models.vit import _torch_trunc_normal
+
+            pe = self.param("positional_emb", _torch_trunc_normal(0.2),
                             (1, N, D), jnp.float32)
             x = x + pe.astype(self.dtype)
         elif cfg.positional_embedding == "sine":
             x = x + jnp.asarray(sinusoidal_embedding(N, D), self.dtype)
+        elif cfg.positional_embedding != "none":
+            # the reference coerces unknown values to 'sine'
+            # (transformers.py:159-160); a typo must not silently build a
+            # PE-free model
+            raise ValueError(
+                f"positional_embedding={cfg.positional_embedding!r} "
+                "(expected 'learnable', 'sine', or 'none')")
 
         if cfg.dropout > 0 and train:
             x = nn.Dropout(cfg.dropout, deterministic=False)(x)
@@ -223,9 +240,11 @@ class CCT(nn.Module):
             split_rngs={"params": True, "dropout": True},
             in_axes=0, out_axes=0, length=L,
         )
+        x_emb = x  # post-PE, post-dropout embedding = reference hidden[0]
         (x, qkv_slot), layer_outs = ScanLayers(
             cfg=cfg, deterministic=not train, capture_qkv=capture_qkv,
             capture_layer=capture_layer, capture_outputs=capture_outputs,
+            capture_rank_stats=capture_rank_stats,
             dtype=self.dtype, name="blocks",
         )((x, qkv_slot), (gates.head, gates.neuron, dp_rates, layer_ids))
 
@@ -243,7 +262,9 @@ class CCT(nn.Module):
         attn = hidden_states = None
         if capture_outputs:
             attn = layer_outs["attn"]
-            hidden_states = layer_outs["hidden"]
+            # (L+1, ...): the reference seeds hidden states with the post-PE
+            # embedding before the per-block appends (transformers.py:214)
+            hidden_states = jnp.concatenate([x_emb[None], layer_outs["hidden"]])
             if cfg.resize_dim is not None:
                 resize = nn.Dense(cfg.resize_dim, dtype=self.dtype,
                                   kernel_init=trunc_init, name="resize")
@@ -253,14 +274,19 @@ class CCT(nn.Module):
             qkv_slot if capture_qkv == "middle" else None
         )
 
+        neuron_act = layer_outs.get("neuron_act") if capture_rank_stats else None
+        head_out = layer_outs.get("head_out") if capture_rank_stats else None
+
         if cfg.backbone:
             return CCTOutput(logits=None, pooled=pooled, attn=attn,
-                             hidden=hidden_states, qkv=qkv)
+                             hidden=hidden_states, qkv=qkv,
+                             neuron_act=neuron_act, head_out=head_out)
 
         logits = nn.Dense(cfg.num_classes, dtype=self.dtype,
                           kernel_init=trunc_init, name="fc")(pooled)
         return CCTOutput(logits=logits.astype(jnp.float32), pooled=pooled,
-                         attn=attn, hidden=hidden_states, qkv=qkv)
+                         attn=attn, hidden=hidden_states, qkv=qkv,
+                         neuron_act=neuron_act, head_out=head_out)
 
 
 def create_cct(name: str, **overrides) -> CCT:

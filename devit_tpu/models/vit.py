@@ -31,7 +31,29 @@ from devit_tpu.configs import ViTConfig, get_vit_config
 
 Array = jax.Array
 
-trunc_init = nn.initializers.truncated_normal(stddev=0.02)
+def _torch_trunc_normal(stddev: float):
+    """torch.nn.init.trunc_normal_(std=s) semantics: the truncation bounds
+    a=-2, b=2 are ABSOLUTE (i.e. ±2/s sigmas — effectively untruncated for
+    s << 1), unlike jax truncated_normal whose ±2 are in sigma units and
+    shrink the effective std to ~0.88s. Matches de_vit.py:214-216 init."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.clip(stddev * jax.random.normal(key, shape, dtype), -2.0, 2.0)
+
+    return init
+
+
+trunc_init = _torch_trunc_normal(0.02)
+
+
+def drop_path(x: Array, rate: Array, rng) -> Array:
+    """Stochastic depth on a residual branch (timm DropPath semantics,
+    reference models/utils/stochastic_depth.py:8-39). `rate` is a traced
+    per-layer scalar (linspace over depth). Shared by ViT Block and CCTLayer."""
+    B = x.shape[0]
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (B, 1, 1)).astype(x.dtype)
+    return x * mask / jnp.maximum(keep, 1e-8).astype(x.dtype)
 
 
 class Gates(NamedTuple):
@@ -263,16 +285,9 @@ class Block(nn.Module):
         return (x, qkv_slot), outs
 
     def _drop_path(self, x: Array, rate: Array) -> Array:
-        """Stochastic depth on the residual branch (timm DropPath semantics,
-        reference models/utils/stochastic_depth.py:8-39). `rate` is a traced
-        per-layer scalar (linspace over depth)."""
         if self.deterministic:
             return x
-        B = x.shape[0]
-        rng = self.make_rng("dropout")
-        keep = 1.0 - rate
-        mask = jax.random.bernoulli(rng, keep, (B, 1, 1)).astype(x.dtype)
-        return x * mask / jnp.maximum(keep, 1e-8).astype(x.dtype)
+        return drop_path(x, rate, self.make_rng("dropout"))
 
 
 class VisionTransformer(nn.Module):

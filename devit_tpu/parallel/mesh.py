@@ -87,12 +87,9 @@ def replicate_tree(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
-def shard_batch(batch, mesh: Mesh):
-    sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
-
-
-def psum_metrics(metrics, axis_name: str = DATA_AXIS):
-    """Cross-device metric reduction — the psum replacing
-    SmoothedValue.synchronize_between_processes (dist_utils.py:35-46)."""
-    return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, axis_name), metrics)
+# NOTE on metric sync: the reference all_reduces SmoothedValue counters
+# across ranks (dist_utils.py:35-46). Here eval steps return summed counters
+# computed under SPMD over the sharded batch — XLA already inserts the
+# cross-device reduction for the jnp.sum, so the host-side aggregation in
+# train/loop.run_eval sees globally-correct counts and no explicit psum
+# helper is needed.

@@ -297,6 +297,16 @@ def make_cct_ensemble_train_step(
     """CCT collaborative-ensemble step (MultiCCT + EnsembleCCT,
     ensemble_models.py:93-151): single pooled token per division, 'vit'-style
     EnsLoss (one token, one classifier)."""
+    if distillation_type != "none" and teacher is not None:
+        from devit_tpu.models.cct import CCT
+
+        if not isinstance(teacher, CCT):
+            # the token loss consumes the teacher's POOLED feature; a ViT
+            # teacher (the CLI default) has no pooled output — fail at build
+            # time with a clear message, not at trace time on .pooled
+            raise ValueError(
+                "CCT ensemble distillation requires a CCT teacher "
+                f"(--teacher-model cct_*); got {type(teacher).__name__}")
     mixup_active = mixup is not None and mixup.active
     base_criterion = L.make_base_criterion(mixup_active, smoothing)
 

@@ -137,7 +137,10 @@ def test_cct_layer_parity_with_torch():
     with torch.no_grad():
         t_tokens = tm(torch.tensor(x8.transpose(0, 3, 1, 2))).numpy()
 
-    # capture our final hidden states (pre-final-norm) via capture_outputs
+    # hidden is (L+1, ...) with the post-PE embedding first (reference
+    # transformers.py:214 seeds all_output_hidden_states with x); the final
+    # pre-norm block output is hidden[-1]
     out = model.apply({"params": jax.tree_util.tree_map(jnp.asarray, p)},
                       jnp.asarray(x8), capture_outputs=True)
-    np.testing.assert_allclose(np.asarray(out.hidden[0]), t_tokens, rtol=2e-4, atol=2e-5)
+    assert out.hidden.shape[0] == 2  # embedding + 1 block
+    np.testing.assert_allclose(np.asarray(out.hidden[-1]), t_tokens, rtol=2e-4, atol=2e-5)

@@ -16,7 +16,9 @@ from devit_tpu.train.optim import OptimConfig, make_optimizer
 from devit_tpu.train.state import TrainState
 
 TINY = [
-    "--input-size", "32", "--embed-dim", "64", "--depth", "2", "--num-heads", "2",
+    # 4 heads: the shrink stage's 2%-window rejection sampling needs finer
+    # head-keep quantization than 2 heads allows at this tiny geometry
+    "--input-size", "32", "--embed-dim", "64", "--depth", "2", "--num-heads", "4",
     "--drop-path", "0.0",
 ]
 OPT = [
@@ -80,3 +82,35 @@ def test_cct_ensemble_stage(workdir):
     ])
     assert os.path.exists(os.path.join(out, "checkpoint.msgpack"))
     assert best >= 0.0
+
+
+def test_cct_shrink_stage(workdir):
+    """Stage 3 on a CCT model: capture_rank_stats drives the HSIC ranking
+    exactly like the ViT path (cct.py:14-15's shrink claim, previously a
+    TypeError because CCT lacked the capture)."""
+    out = os.path.join(workdir, "cct_shrink0")
+    result = run([
+        "shrink", *TINY, *OPT, *DATA,
+        "--model", "cct_2_3x1_32",
+        "--model-path", os.path.join(workdir, "sub-dataset0", "checkpoint.msgpack"),
+        "--start-division", "0", "--output_dir", out,
+        "--population", "3", "--shrink-ratio", "0.3", "--ub", "0.8",
+        "--candidate-chunk", "2",
+    ])
+    pols = np.load(os.path.join(out, "shrinked_policy.npy"))
+    accs = np.load(os.path.join(out, "shrinked_accuracy.npy"))
+    assert pols.shape == (3, 4) and accs.shape == (3,)  # 2 layers -> 4 dims
+    assert np.isfinite(accs).all()
+
+
+def test_cct_rank_capture_shapes():
+    model = create_cct("cct_2_3x1_32", img_size=32, embed_dim=64, num_heads=2,
+                       num_classes=5, dtype=jnp.float32)
+    x = jnp.zeros((2, 32, 32, 3))
+    v = model.init(jax.random.key(0), x)
+    out = model.apply(v, x, capture_rank_stats=True)
+    L, H, D = 2, 2, 64
+    hid = int(D * model.cfg.mlp_ratio)
+    N = out.neuron_act.shape[2]
+    assert out.neuron_act.shape == (L, 2, N, hid)
+    assert out.head_out.shape == (L, 2, N, H, D // H)
