@@ -80,7 +80,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     bp = sub.add_parser("bench", help="deployed-ensemble throughput benchmark "
                                       "(same as `python bench.py`)")
-    bp.add_argument("--batch-size", type=int, default=512)
+    bp.add_argument("--batch-size", type=int, default=256)  # measured optimum
+    # (batch sweep in bench.py: 256 gives 4730 img/s vs 4089 at 512)
     bp.add_argument("--latency", type=str, default=None, metavar="BS,BS,...",
                     help="latency mode: per-batch ms at these batch sizes "
                          "(e.g. 1,16,256) instead of throughput")

@@ -291,6 +291,20 @@ def make_eval_prepare(img_size: int, dtype=jnp.bfloat16):
     return lambda images: fn(jnp.asarray(images))
 
 
+def train_steps_per_epoch(train_ds, args) -> int:
+    """Steps the train BatchIterator will actually yield per epoch (repeated
+    augmentation truncates the epoch — the schedule must match). A division
+    smaller than the batch size would silently train ZERO steps per epoch
+    under drop_last; fail loudly instead."""
+    n = len(BatchIterator(train_ds, args.batch_size, shuffle=True,
+                          repeated_aug=3 if args.repeated_aug else 0))
+    if n == 0:
+        raise ValueError(
+            f"division has {len(train_ds)} samples — fewer than one "
+            f"drop_last batch of {args.batch_size}; lower --batch-size")
+    return n
+
+
 def make_train_prepare(aug_cfg: AugmentConfig, dtype=jnp.bfloat16):
     fn = jax.jit(lambda r, x: train_transform(r, x, aug_cfg, dtype=dtype))
     return lambda rng, images: fn(rng, jnp.asarray(images))
@@ -309,6 +323,16 @@ def make_train_pipeline(args, aug_cfg: AugmentConfig, dtype=jnp.bfloat16):
     backend = getattr(args, "aug_backend", "auto")
     use_host = backend == "host" or (
         backend == "auto" and aug_cfg.randaugment and not aug_cfg.small_image)
+    if backend == "host" and aug_cfg.small_image:
+        raise ValueError(
+            "--aug-backend host has no small-image RandomCrop(pad4) path "
+            "(get_dataset.py:92-96); use the device pipeline for <=64px "
+            "inputs (auto does)")
+    if backend == "host" and not aug_cfg.randaugment and aug_cfg.color_jitter > 0:
+        raise ValueError(
+            "--aug-backend host implements the RandAugment policy only; "
+            "color-jitter training (--aa '') uses the device pipeline "
+            "(auto does)")
     if use_host:
         from devit_tpu.data.host_augment import make_host_train_augment
 

@@ -20,10 +20,9 @@ from devit_tpu.core.rank import attn_head_rank, build_gates, mlp_neuron_rank
 from devit_tpu.core.shrink import model_shrink
 from devit_tpu.data.datasets import BatchIterator, build_dataset
 from devit_tpu.data.splitter import DivisionManifest
-from devit_tpu.io.checkpoint import restore_pytree, save_pytree
+from devit_tpu.io.checkpoint import restore_pytree
 from devit_tpu.models.ensemble import (
-    EnsMLP, init_multivit, multivit_features, stack_division_gates,
-    stack_division_params,
+    EnsMLP, init_multivit, stack_division_gates, stack_division_params,
 )
 from devit_tpu.models.vit import Gates, full_gates
 from devit_tpu.train import steps as S
@@ -157,12 +156,7 @@ def train_sub_main(args) -> float:
             if args.teacher_path else t_tpl["params"]
         t_vars = {"params": t_params}
 
-    # steps/epoch must match what BatchIterator actually yields (repeated
-    # augmentation truncates the epoch to floor(n/256)*256 samples), or the
-    # per-step schedule drifts from the reference's per-epoch stepping
-    steps_per_epoch = max(len(BatchIterator(
-        train_ds, args.batch_size, shuffle=True,
-        repeated_aug=3 if args.repeated_aug else 0)), 1)
+    steps_per_epoch = C.train_steps_per_epoch(train_ds, args)
     opt_cfg = C.optim_config_from_args(args, args.batch_size)
     tx = make_optimizer(opt_cfg, steps_per_epoch)
     state = TrainState.create(params, tx, use_ema=args.model_ema, ema_decay=args.model_ema_decay)
@@ -354,9 +348,7 @@ def distill_main(args) -> float:
     else:
         gates = full_gates(student.cfg)
 
-    steps_per_epoch = max(len(BatchIterator(
-        train_ds, args.batch_size, shuffle=True,
-        repeated_aug=3 if args.repeated_aug else 0)), 1)  # see stage-2 note
+    steps_per_epoch = C.train_steps_per_epoch(train_ds, args)
     tx = make_optimizer(C.optim_config_from_args(args, args.batch_size), steps_per_epoch)
     state = TrainState.create(s_params, tx, use_ema=args.model_ema,
                               ema_decay=args.model_ema_decay)
@@ -369,7 +361,7 @@ def distill_main(args) -> float:
     jstep = jax.jit(S.make_dekd_step(
         student, teacher, gamma=tuple(args.gama),
         mixup=mix_cfg, smoothing=args.smoothing,
-        distillation_type=args.distillation_type or "hard",
+        distillation_type=args.distillation_type,
         distillation_alpha=args.distillation_alpha,
         distillation_tau=args.distillation_tau,
     ))
@@ -509,10 +501,9 @@ def ensemble_main(args) -> float:
     val_ds = build_dataset(args.dataset, args.data_path, train=False, img_size=args.input_size)
     num_classes = train_ds.num_classes
     D = args.num_division
-    if args.manifest and os.path.exists(args.manifest):
-        manifest = DivisionManifest.load(args.manifest)
-    else:
-        manifest = DivisionManifest.create(num_classes, D, seed=42)
+    # no manifest needed: stage 5 trains the fusion over the FULL label set
+    # (ensemble.py:261 builds the undivided dataset); divisions enter only
+    # through the per-division checkpoints/gates loaded below
 
     if args.compact_path:
         return _ensemble_eval_compact(args, log, val_ds, num_classes, D)
@@ -522,14 +513,22 @@ def ensemble_main(args) -> float:
     backbone = C.build_model(args.model, 0, args)  # heads never materialised
     sample = jnp.zeros((2, args.input_size, args.input_size, 3), jnp.bfloat16)
 
+    ckpt_gates = []
     if args.sub_model_path:
         div_params = []
         tpl = backbone.init(jax.random.key(0), sample, features_only=True)["params"]
         for i in range(D):
             p = os.path.join(args.sub_model_path, f"sub-dataset{i}", "checkpoint.msgpack")
-            if not os.path.exists(p):
-                p = os.path.join(args.sub_model_path, f"sub-dataset{i}", "checkpoint.pth")
+            pth = os.path.join(args.sub_model_path, f"sub-dataset{i}", "checkpoint.pth")
+            # prefer .pth only when it actually exists; otherwise keep the
+            # .msgpack name so restore_pytree's .orbax sibling auto-detect works
+            if not os.path.exists(p) and os.path.exists(pth):
+                p = pth
             div_params.append(C.load_params_for(backbone, p, tpl))
+            if p.endswith((".msgpack", ".orbax")) or os.path.isdir(p):
+                raw = restore_pytree(p, None)
+                g = raw.get("gates") if isinstance(raw, dict) else None
+                ckpt_gates.append(g)
         stacked = {"params": stack_division_params(div_params)}
     else:
         stacked = init_multivit(backbone, jax.random.key(args.seed), sample, D)
@@ -541,6 +540,17 @@ def ensemble_main(args) -> float:
             g = restore_pytree(os.path.join(args.gates_path, f"sub-dataset{i}", "gates.msgpack"), None)
             loaded.append(Gates(jnp.asarray(g["head"]), jnp.asarray(g["neuron"])))
         gates = stack_division_gates(loaded)
+    elif ckpt_gates and all(g is not None for g in ckpt_gates):
+        # distill-stage checkpoints carry their shrink gates (save_state,
+        # stage 4): apply them so EnsMLP trains on the SAME gated features the
+        # deployed compact artifacts serve. (The reference's gates are
+        # non-persistent module attributes, so its ensemble silently re-
+        # enables every pruned head/neuron with stale weights — a resolved
+        # reference bug, SURVEY.md §7: the deployment story is shrunk models.)
+        gates = stack_division_gates(
+            [Gates(jnp.asarray(g["head"]), jnp.asarray(g["neuron"]))
+             for g in ckpt_gates])
+        log.info("applied shrink gates from the distill checkpoints")
 
     family = "deit" if backbone.cfg.distilled else "vit"
     ens = EnsMLP(num_classes=num_classes, sub_size=backbone.cfg.embed_dim,
@@ -556,9 +566,7 @@ def ensemble_main(args) -> float:
             if args.teacher_path else t_tpl["params"]
         t_vars = {"params": t_params}
 
-    steps_per_epoch = max(len(BatchIterator(
-        train_ds, args.batch_size, shuffle=True,
-        repeated_aug=3 if args.repeated_aug else 0)), 1)  # see stage-2 note
+    steps_per_epoch = C.train_steps_per_epoch(train_ds, args)
     # two optimizers: backbone lr vs ens lr (ensemble.py:343-348)
     bb_args = C.optim_config_from_args(args, args.batch_size)
     ens_cfg = C.optim_config_from_args(args, args.batch_size)
@@ -648,8 +656,7 @@ def ensemble_main(args) -> float:
 def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
     """CCT collaborative ensemble (MultiCCT + EnsembleCCT,
     ensemble_models.py:93-151)."""
-    from devit_tpu.models.ensemble import EnsembleCCT, multicct_features
-    from devit_tpu.models.cct import create_cct
+    from devit_tpu.models.ensemble import EnsembleCCT
 
     backbone = C.build_backbone(
         args.model if args.model.startswith("decct") else "de" + args.model,
@@ -688,9 +695,7 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
             t_params = ckpt.get("params", ckpt) if isinstance(ckpt, dict) else ckpt
         t_vars = {"params": t_params}
 
-    steps_per_epoch = max(len(BatchIterator(
-        train_ds, args.batch_size, shuffle=True,
-        repeated_aug=3 if args.repeated_aug else 0)), 1)  # see stage-2 note
+    steps_per_epoch = C.train_steps_per_epoch(train_ds, args)
     bb_cfg = C.optim_config_from_args(args, args.batch_size)
     ens_cfg = type(bb_cfg)(**{**bb_cfg.__dict__, "lr": args.ens_lr or args.lr})
     bb_state = TrainState.create(stacked["params"], make_optimizer(bb_cfg, steps_per_epoch),

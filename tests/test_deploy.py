@@ -99,3 +99,42 @@ def test_ensemble_eval_from_compact_artifacts(tmp_path):
     ])
     acc1 = args.fn(args)
     assert 0.0 <= acc1 <= 100.0
+
+
+def test_ensemble_applies_distill_checkpoint_gates(tmp_path):
+    """Stage 5 must train/eval the backbones GATED when the sub-model
+    checkpoints came from the distill stage (which stores its shrink gates in
+    the checkpoint): the deployed compact artifacts serve gated features, so
+    EnsMLP must fuse the same. (The reference's gates are non-persistent
+    module attributes — its ensemble silently re-enables pruned units; a
+    resolved reference bug.)"""
+    from devit_tpu.io.checkpoint import save_pytree
+
+    cfg = get_vit_config("dedeit", img_size=32, patch_size=8, embed_dim=32,
+                         depth=2, num_heads=2, num_classes=4)
+    model = VisionTransformer(cfg, dtype=jnp.float32)
+    x = jnp.zeros((2, 32, 32, 3))
+    for i in range(2):
+        params = model.init(jax.random.key(i), x)["params"]
+        gates = {"head": np.ones((2, 2), np.float32),
+                 "neuron": np.concatenate([np.ones((2, 96), np.float32),
+                                           np.zeros((2, 32), np.float32)], axis=1)}
+        save_pytree(str(tmp_path / f"sub-dataset{i}" / "checkpoint.msgpack"),
+                    {"params": params, "gates": gates, "epoch": np.int32(0)})
+
+    out = str(tmp_path / "ens")
+    args = build_parser().parse_args([
+        "ensemble", "--model", "dedeit",
+        "--input-size", "32", "--patch-size", "8",
+        "--embed-dim", "32", "--depth", "2", "--num-heads", "2",
+        "--dataset", "synthetic:4:64:32", "--num_division", "2",
+        "--sub-model-path", str(tmp_path),
+        "--teacher-size", "48", "--distillation-type", "none",
+        "--eval-batch-size", "32", "--eval",
+        "--output_dir", out,
+        "--no-repeated-aug", "--aa", "",
+    ])
+    acc1 = args.fn(args)
+    assert 0.0 <= acc1 <= 100.0
+    with open(os.path.join(out, "log.txt")) as f:
+        assert "applied shrink gates" in f.read()

@@ -84,8 +84,8 @@ def test_ensemble_division_sharding(ens_setup):
     x_sh = jax.device_put(x, M.batch_sharding(mesh))
 
     fwd = jax.jit(lambda sv, ev, xx: ensemble_forward(model, ens, sv, ev, xx).logits)
-    if True:  # explicit NamedShardings carry the mesh; no context needed
-        sharded = fwd(stacked_sh, ens_sh, x_sh)
+    # explicit NamedShardings carry the mesh; no context manager needed
+    sharded = fwd(stacked_sh, ens_sh, x_sh)
     plain = fwd(stacked, ens_vars, x)
     np.testing.assert_allclose(sharded, plain, rtol=2e-4, atol=2e-4)
 
