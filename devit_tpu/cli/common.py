@@ -45,6 +45,11 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-heads", type=int, default=None)
     p.add_argument("--use-pallas", dest="use_pallas", action="store_true", default=None)
     p.add_argument("--no-pallas", dest="use_pallas", action="store_false")
+    p.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16",
+                   help="compute dtype for models and the data pipeline. "
+                        "bfloat16 is the TPU production setting (the bf16 "
+                        "analogue of the reference's AMP policy); float32 "
+                        "for numerics verification / CPU parity runs")
 
 
 def add_optim_args(p: argparse.ArgumentParser) -> None:
@@ -126,16 +131,26 @@ def parse_ra_string(aa: Optional[str]) -> Tuple[bool, int, float]:
     return True, mag, std
 
 
+def dtype_from_args(args):
+    import jax.numpy as _jnp
+
+    return {"bfloat16": _jnp.bfloat16, "float32": _jnp.float32}[
+        getattr(args, "dtype", "bfloat16")]
+
+
 def augment_config_from_args(args, img_size: int, source_size: int) -> AugmentConfig:
     ra, mag, std = parse_ra_string(getattr(args, "aa", None))
     reprob = args.reprob
-    if getattr(args, "no_aug", False):
+    no_aug = bool(getattr(args, "no_aug", False))
+    if no_aug:
         # reference no_aug (get_dataset.py:74-78 -> timm create_transform
-        # defaults): both auto-augment AND random erasing off
+        # transforms_noaug_train): deterministic resize+center-crop+normalize,
+        # auto-augment AND random erasing off
         ra = False
         reprob = 0.0
     return AugmentConfig(
         img_size=img_size,
+        no_aug=no_aug,
         color_jitter=args.color_jitter,
         reprob=reprob,
         randaugment=ra,
@@ -183,6 +198,15 @@ def is_cct(name: str) -> bool:
     return name.startswith("cct") or name.startswith("decct")
 
 
+def model_seq_length(cfg) -> int:
+    """True token-sequence length of a model config, for the analytic
+    MACs/params budget: CCT derives it from the tokenizer geometry
+    (CCTConfig.sequence_length), ViT/DeiT from patches + prefix tokens."""
+    if hasattr(cfg, "sequence_length"):
+        return int(cfg.sequence_length())
+    return int(cfg.seq_len)
+
+
 def build_backbone(name: str, num_classes: int, args, resize_dim=None):
     """Family-dispatching model factory (ViT/DeiT vs CCT)."""
     if is_cct(name):
@@ -194,6 +218,7 @@ def build_backbone(name: str, num_classes: int, args, resize_dim=None):
             dropout=args.drop,
             stochastic_depth=args.drop_path,
             resize_dim=resize_dim,
+            dtype=dtype_from_args(args),
         )
         for flag, key in (("embed_dim", "embed_dim"), ("depth", "num_layers"),
                           ("num_heads", "num_heads")):
@@ -222,7 +247,8 @@ def build_model(name: str, num_classes: int, args, resize_dim=None) -> VisionTra
     use_pallas = getattr(args, "use_pallas", None)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    return VisionTransformer(get_vit_config(name, **overrides), use_pallas=use_pallas)
+    return VisionTransformer(get_vit_config(name, **overrides),
+                             dtype=dtype_from_args(args), use_pallas=use_pallas)
 
 
 def load_params_for(model: VisionTransformer, path: str, template_params):

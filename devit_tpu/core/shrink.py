@@ -145,6 +145,11 @@ def evaluate_policies(
         total += int(n)
         if batch_size is None:
             batch_size = n
+        elif n > batch_size:
+            raise ValueError(
+                f"val batch of {n} exceeds the steady shape {batch_size} "
+                "inferred from the first batch; only the FINAL batch may be "
+                "ragged (smaller), as BatchIterator(drop_last=False) yields")
         if n < batch_size:
             # pad the ragged final val batch to the steady shape (second
             # recompile source); padded labels are -1 so they never match

@@ -109,7 +109,16 @@ def _rand_augment_pil(img, rng: np.random.Generator, magnitude: float,
         name = _OP_NAMES[rng.integers(len(_OP_NAMES))]
         if rng.random() >= prob:
             continue
-        mag = float(np.clip(rng.normal(magnitude, mag_std), 0.0, 10.0))
+        if np.isinf(mag_std):
+            # timm AugmentOp: magnitude_std == inf -> uniform(0, magnitude)
+            # (auto_augment.py in the pinned 0.5.4; reachable via 'mstdinf' —
+            # the 'mstd100 -> inf' shorthand is a timm>=0.6 convention the
+            # pinned version does not have)
+            mag = float(rng.uniform(0.0, magnitude))
+        elif mag_std > 0:
+            mag = float(np.clip(rng.normal(magnitude, mag_std), 0.0, 10.0))
+        else:
+            mag = float(np.clip(magnitude, 0.0, 10.0))
         if name in _SIGNED and rng.random() < 0.5:
             mag = -mag
         img = _apply_op(img, name, mag, rng)

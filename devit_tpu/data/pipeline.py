@@ -29,6 +29,10 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 @dataclasses.dataclass(frozen=True)
 class AugmentConfig:
     img_size: int = 224
+    # timm create_transform(no_aug=True): deterministic Resize(img_size) +
+    # CenterCrop + Normalize — NO randomness at all (get_dataset.py:74-78).
+    # Also what cross-framework trajectory parity runs use.
+    no_aug: bool = False
     hflip: bool = True
     rrc_scale: Tuple[float, float] = (0.08, 1.0)
     rrc_ratio: Tuple[float, float] = (3 / 4, 4 / 3)
@@ -56,19 +60,11 @@ def resize_bicubic(images: Array, size: int) -> Array:
     )
 
 
-def eval_transform(images: Array, img_size: int = 224, dtype=jnp.bfloat16) -> Array:
-    """Resize(int(256/224*size)) + CenterCrop(size) + normalize
-    (get_dataset.py:99-109). For inputs already at target size, just normalize.
-
-    Matches torchvision semantics exactly: Resize with an int size scales the
-    SHORTER side to scale_size and preserves aspect ratio (the long side is
-    int-truncated), then CenterCrop takes top/left = int(round((dim-crop)/2)).
-    Shapes here are static per batch, so the target dims are Python ints and
-    XLA sees one fixed-shape program per source geometry."""
+def resize_center_crop(images: Array, scale_size: int, img_size: int) -> Array:
+    """torchvision Resize(int)+CenterCrop: scale the SHORTER side to
+    scale_size preserving aspect (long side int-truncated), then CenterCrop
+    with top/left = int(round((dim-crop)/2)). Returns float32 pixels."""
     B, H, W, C = images.shape
-    if (H, W) == (img_size, img_size):
-        return normalize(images, dtype)
-    scale_size = int((256 / 224) * img_size)
     if H <= W:
         nh, nw = scale_size, int(scale_size * W / H)
     else:
@@ -76,7 +72,18 @@ def eval_transform(images: Array, img_size: int = 224, dtype=jnp.bfloat16) -> Ar
     x = jax.image.resize(images.astype(jnp.float32), (B, nh, nw, C), method="cubic")
     top = int(round((nh - img_size) / 2.0))
     left = int(round((nw - img_size) / 2.0))
-    x = x[:, top : top + img_size, left : left + img_size, :]
+    return x[:, top : top + img_size, left : left + img_size, :]
+
+
+def eval_transform(images: Array, img_size: int = 224, dtype=jnp.bfloat16) -> Array:
+    """Resize(int(256/224*size)) + CenterCrop(size) + normalize
+    (get_dataset.py:99-109). For inputs already at target size, just normalize.
+    Shapes here are static per batch, so the target dims are Python ints and
+    XLA sees one fixed-shape program per source geometry."""
+    B, H, W, C = images.shape
+    if (H, W) == (img_size, img_size):
+        return normalize(images, dtype)
+    x = resize_center_crop(images, int((256 / 224) * img_size), img_size)
     return normalize(x, dtype)
 
 
@@ -232,6 +239,14 @@ def train_transform(
     rng: Array, images: Array, cfg: AugmentConfig, dtype=jnp.bfloat16
 ) -> Array:
     """Batched train augmentation on device. images: uint8 (B,H,W,3)."""
+    if cfg.no_aug:
+        # timm transforms_noaug_train: Resize(img_size)+CenterCrop+Normalize,
+        # fully deterministic (note: plain Resize(size), NOT the eval path's
+        # 256/224 upscale)
+        B, H, W, C = images.shape
+        x = (images.astype(jnp.float32) if (H, W) == (cfg.img_size, cfg.img_size)
+             else resize_center_crop(images, cfg.img_size, cfg.img_size))
+        return normalize(x, dtype)
     B = images.shape[0]
     keys = jax.random.split(rng, B * 5).reshape(B, 5)
 

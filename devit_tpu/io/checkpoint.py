@@ -179,6 +179,53 @@ def torch_vit_to_params(
     return params
 
 
+def params_to_torch_vit(params: Dict, depth: int) -> Dict[str, np.ndarray]:
+    """Inverse of torch_vit_to_params: our scan-stacked ViT param pytree ->
+    a reference-layout state_dict (numpy values; `torch.from_numpy` each value
+    to load_state_dict into the reference's de_vit.VisionTransformer).
+
+    Interop surface: export our checkpoints back to the torch ecosystem, and
+    the composed cross-framework pipeline-parity harness (tests/
+    test_chain_parity.py) which feeds OUR stage artifacts through the
+    reference's own rank/mask/train machinery."""
+    params = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float32), params)
+    sd: Dict[str, np.ndarray] = {}
+
+    def lin(prefix, tree):
+        sd[f"{prefix}.weight"] = np.transpose(tree["kernel"])
+        if "bias" in tree:
+            sd[f"{prefix}.bias"] = tree["bias"]
+
+    def ln(prefix, tree):
+        sd[f"{prefix}.weight"] = tree["scale"]
+        sd[f"{prefix}.bias"] = tree["bias"]
+
+    pk = params["patch_embed"]["kernel"]  # (p*p*C, D)
+    D = pk.shape[1]
+    C = 3
+    p = int(round((pk.shape[0] // C) ** 0.5))
+    sd["patch_embed.proj.weight"] = pk.reshape(p, p, C, D).transpose(3, 2, 0, 1)
+    sd["patch_embed.proj.bias"] = params["patch_embed"]["bias"]
+    for name in ("cls_token", "dist_token", "pos_embed"):
+        if name in params:
+            sd[name] = params[name]
+    ln("norm", params["norm"])
+    blocks = params["blocks"]
+    for i in range(depth):
+        sl = jax.tree_util.tree_map(lambda x: x[i], blocks)
+        ln(f"blocks.{i}.norm1", sl["norm1"])
+        lin(f"blocks.{i}.attn.qkv", sl["qkv"])
+        lin(f"blocks.{i}.attn.proj", sl["proj"])
+        ln(f"blocks.{i}.norm2", sl["norm2"])
+        lin(f"blocks.{i}.mlp.fc1", sl["fc1"])
+        lin(f"blocks.{i}.mlp.fc2", sl["fc2"])
+    for name in ("head", "head_dist", "resize_mlp", "resize_att_mlp",
+                 "resize_encoder_mlp"):
+        if name in params:
+            lin(name, params[name])
+    return sd
+
+
 def torch_cct_to_params(
     sd: Dict[str, np.ndarray], num_layers: int, n_conv_layers: int
 ) -> Dict:

@@ -37,16 +37,23 @@ Array = jax.Array
 
 def eval_counters(logits, labels):
     """Summed CE loss + top-1/top-5 correct counts for one batch — the shared
-    payload of every eval step (engine.py:17-45 accuracy/loss bookkeeping)."""
+    payload of every eval step (engine.py:17-45 accuracy/loss bookkeeping).
+
+    Rows with label < 0 are PADDING (run_eval pads the drop_last=False tail
+    batch to the steady shape so every geometry compiles exactly one eval
+    program): they contribute nothing to any counter, including `count`, so
+    aggregated accuracy/loss are exactly those of the unpadded set."""
+    valid = labels >= 0
+    safe = jnp.maximum(labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
     _, pred5 = jax.lax.top_k(logits, min(5, logits.shape[-1]))
-    hit = pred5 == labels[:, None]
+    hit = (pred5 == safe[:, None]) & valid[:, None]
     return {
-        "loss_sum": jnp.sum(nll),
+        "loss_sum": jnp.sum(jnp.where(valid, nll, 0.0)),
         "top1": jnp.sum(hit[:, 0].astype(jnp.int32)),
         "top5": jnp.sum(jnp.any(hit, axis=-1).astype(jnp.int32)),
-        "count": jnp.array(labels.shape[0], jnp.int32),
+        "count": jnp.sum(valid.astype(jnp.int32)),
     }
 
 
