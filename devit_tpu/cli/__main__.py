@@ -90,8 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
     dep = sub.add_parser("deploy", help="compact division checkpoints into serving artifacts")
     C.add_model_args(dep)
     C.add_data_args(dep)
-    dep.add_argument("--sub-model-path", type=str, required=True,
+    dep.add_argument("--sub-model-path", type=str, default=None,
                      help="dir with sub-dataset{i}/checkpoint.msgpack (distill outputs)")
+    dep.add_argument("--ensemble-path", type=str, default=None,
+                     help="stage-5 ensemble checkpoint: compact the "
+                          "ensemble-TRAINED stacked backbones (+ persisted "
+                          "gates) instead of the distill checkpoints")
     dep.add_argument("--deploy-num-classes", type=int, default=25)
     dep.add_argument("--neuron-multiple", type=int, default=128)
     dep.set_defaults(fn=stages.deploy_main, model="dedeit")

@@ -59,24 +59,33 @@ def _try_resume(args, state, log, extra_template=None):
     return state, start_epoch
 
 
-def _ensemble_ckpt_tree(bb_state, ens_state, epoch: int):
+def _ensemble_ckpt_tree(bb_state, ens_state, epoch: int, gates=None):
     """Resumable stage-5 state: both param sets, both optimizer states, and
     both EMA trees (the reference saves optimizer+ens_optimizer+epoch and
-    maintains ModelEma on both models, ensemble.py:315-327, 390-402)."""
-    return {"backbone_params": bb_state.params, "ens_params": ens_state.params,
+    maintains ModelEma on both models, ensemble.py:315-327, 390-402). The
+    division-stacked shrink gates are persisted too (when the backbones are
+    gated) so `deploy --ensemble-path` can compact the ENSEMBLE-trained
+    backbones — the weights that actually serve — without consulting the
+    distill checkpoints."""
+    tree = {"backbone_params": bb_state.params, "ens_params": ens_state.params,
             "bb_opt_state": bb_state.opt_state, "ens_opt_state": ens_state.opt_state,
             "bb_ema": bb_state.ema_params, "ens_ema": ens_state.ema_params,
             "epoch": np.int32(epoch)}
+    if gates is not None:
+        tree["gates"] = {"head": np.asarray(jax.device_get(gates.head)),
+                         "neuron": np.asarray(jax.device_get(gates.neuron))}
+    return tree
 
 
-def _try_resume_ensemble(args, bb_state, ens_state, log):
+def _try_resume_ensemble(args, bb_state, ens_state, log, gates=None):
     """Restore both optimizers + epoch from --resume (ensemble.py:390-402).
     Old/weights-only checkpoints (params + epoch, no opt states) still resume
     the params. Returns (bb_state, ens_state, start_epoch)."""
     if not getattr(args, "resume", None):
         return bb_state, ens_state, 0
     try:
-        ckpt = restore_pytree(args.resume, _ensemble_ckpt_tree(bb_state, ens_state, 0))
+        ckpt = restore_pytree(args.resume,
+                              _ensemble_ckpt_tree(bb_state, ens_state, 0, gates))
         bb_state = bb_state.replace(params=ckpt["backbone_params"],
                                     opt_state=ckpt["bb_opt_state"],
                                     ema_params=ckpt.get("bb_ema", bb_state.ema_params))
@@ -600,7 +609,8 @@ def ensemble_main(args) -> float:
     ))
     ens_eval = jax.jit(S.make_ensemble_eval_step(backbone, ens))
 
-    bb_state, ens_state, start_epoch = _try_resume_ensemble(args, bb_state, ens_state, log)
+    bb_state, ens_state, start_epoch = _try_resume_ensemble(
+        args, bb_state, ens_state, log, gates)
 
     # division+data parallel: stacked params/gates shard over 'div', batch
     # over 'data', EnsMLP replicated — token fusion all-gathers over ICI
@@ -632,7 +642,8 @@ def ensemble_main(args) -> float:
 
     def save_state(path, carry, epoch):
         bb_state, ens_state = carry
-        C.make_saver(args)(path, _ensemble_ckpt_tree(bb_state, ens_state, epoch))
+        C.make_saver(args)(path, _ensemble_ckpt_tree(bb_state, ens_state, epoch,
+                                                     gates))
 
     def train_batches(epoch):
         it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed,
@@ -776,20 +787,31 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
 # ------------------------------------------------------------------ deploy
 
 
-def deploy_main(args):
-    """Build the serving artifact: load each division's distilled checkpoint
-    (params + gates from the distill stage), ragged-compact it (equivalence
-    with the gated model is test-guaranteed), and save per-division compact
-    models + an analytic MACs report. This realises the MACs savings the
-    reference only ever computes on paper (compute_metric.py)."""
-    from devit_tpu.core.metrics import cal_shrink_macs, cal_shrink_paras
-    from devit_tpu.models.compact_vit import compact_vit_ragged, save_compact
-    from devit_tpu.core.rank import check_sparsity
+def _deploy_division_sources(args, cfg, log):
+    """Yield (division, params, gates) to compact.
 
-    log = C.setup(args)
-    model = C.build_model(args.model, args.deploy_num_classes, args)
-    cfg = model.cfg
-    report = []
+    Two sources:
+    - --ensemble-path: the stage-5 ensemble checkpoint — division-stacked
+      backbones AS TRAINED BY THE FUSION STAGE (what actually serves), with
+      the persisted stacked gates when the backbones were gated;
+    - --sub-model-path: per-division distill checkpoints (params + gates),
+      the pre-fusion deployment the reference's pipeline describes."""
+    if getattr(args, "ensemble_path", None):
+        ckpt = restore_pytree(args.ensemble_path, None)
+        stacked = ckpt["backbone_params"]
+        g = ckpt.get("gates")
+        log.info(f"deploying ensemble-trained backbones from {args.ensemble_path}"
+                 + ("" if g is not None else " (ungated)"))
+        for i in range(args.num_division):
+            params = jax.tree_util.tree_map(lambda a: np.asarray(a)[i], stacked)
+            gates = (Gates(jnp.asarray(np.asarray(g["head"])[i]),
+                           jnp.asarray(np.asarray(g["neuron"])[i]))
+                     if g is not None else full_gates(cfg))
+            yield i, params, gates
+        return
+    if not args.sub_model_path:
+        raise ValueError("deploy needs --sub-model-path (distill checkpoints) "
+                         "or --ensemble-path (stage-5 checkpoint)")
     for i in range(args.num_division):
         path = os.path.join(args.sub_model_path, f"sub-dataset{i}", "checkpoint.msgpack")
         ckpt = restore_pytree(path, None)
@@ -801,6 +823,25 @@ def deploy_main(args):
             gates = Gates(jnp.asarray(g["head"]), jnp.asarray(g["neuron"]))
         else:
             gates = full_gates(cfg)
+        yield i, params, gates
+
+
+def deploy_main(args):
+    """Build the serving artifact: load each division's checkpoint (distill
+    outputs, or the stage-5 ensemble checkpoint via --ensemble-path), ragged-
+    compact it (equivalence with the gated model is test-guaranteed), and
+    save per-division compact models + an analytic MACs report. This realises
+    the MACs savings the reference only ever computes on paper
+    (compute_metric.py)."""
+    from devit_tpu.core.metrics import cal_shrink_macs, cal_shrink_paras
+    from devit_tpu.models.compact_vit import compact_vit_ragged, save_compact
+    from devit_tpu.core.rank import check_sparsity
+
+    log = C.setup(args)
+    model = C.build_model(args.model, args.deploy_num_classes, args)
+    cfg = model.cfg
+    report = []
+    for i, params, gates in _deploy_division_sources(args, cfg, log):
         cm = compact_vit_ragged(params, gates, cfg,
                                 neuron_multiple=args.neuron_multiple)
         out = os.path.join(args.output_dir, f"sub-dataset{i}", "compact.msgpack")

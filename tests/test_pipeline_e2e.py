@@ -141,6 +141,45 @@ def test_stage5_ensemble(workdir):
     # full 8-class label space fused from two 4-class backbones: the fusion
     # head must combine the division signals, not just match one division
     assert best > 2 * FULL_CHANCE, f"ensemble did not learn: acc1 {best:.1f}"
+    RESULTS["ensemble_best"] = best
+
+
+RESULTS = {}
+
+
+def test_stage6_deploy_and_compact_serving_eval(workdir):
+    """Stage 6 (deploy): compact the ENSEMBLE-trained backbones straight from
+    the stage-5 checkpoint (--ensemble-path) and score the compact serving
+    path (`ensemble --compact-path --eval`) — the bench.py path — on the same
+    val set. Compaction is mathematically identical to the gated model, so
+    the serving accuracy must reproduce stage 5's best (small tolerance:
+    fast-math tanh GELU + bf16 ordering differences) and stay above chance
+    (VERDICT r2 missing #3, compact-artifact leg)."""
+    ens_ckpt = os.path.join(workdir, "ensemble", "checkpoint.msgpack")
+    deploy_dir = os.path.join(workdir, "deploy")
+    report = run([
+        "deploy", *TINY_MODEL, "--model", "dedeit", *DATA,
+        "--ensemble-path", ens_ckpt,
+        "--deploy-num-classes", "8",
+        "--neuron-multiple", "8",
+        "--output_dir", deploy_dir,
+    ])
+    assert len(report) == 2
+    acc1 = run([
+        "ensemble", *TINY_MODEL, *TINY_OPT, *DATA, *NO_MIX,
+        "--model", "dedeit",
+        "--compact-path", deploy_dir,
+        "--ens-path", ens_ckpt,
+        "--teacher-size", "48",
+        "--eval",
+        "--output_dir", os.path.join(workdir, "compact_eval"),
+        "--no-repeated-aug", "--aa", "",
+    ])
+    best = RESULTS["ensemble_best"]
+    assert acc1 > 2 * FULL_CHANCE, f"compact serving at chance: {acc1:.1f}"
+    assert abs(acc1 - best) < 3.0, (
+        f"compact serving acc {acc1:.1f} drifted from the gated stage-5 "
+        f"best {best:.1f}")
 
 
 def test_profile_flag_writes_trace(workdir):
