@@ -138,3 +138,67 @@ def test_ensemble_applies_distill_checkpoint_gates(tmp_path):
     assert 0.0 <= acc1 <= 100.0
     with open(os.path.join(out, "log.txt")) as f:
         assert "applied shrink gates" in f.read()
+
+
+def test_gated_ensemble_checkpoint_resume_and_deploy(tmp_path):
+    """A GATED stage-5 run persists its stacked gates in the checkpoint;
+    --resume restores through the gate-carrying template, and
+    deploy --ensemble-path compacts with those gates (no distill ckpts
+    needed)."""
+    from devit_tpu.io.checkpoint import restore_pytree, save_pytree
+
+    cfg = get_vit_config("dedeit", img_size=32, patch_size=8, embed_dim=32,
+                         depth=2, num_heads=2, num_classes=4)
+    model = VisionTransformer(cfg, dtype=jnp.float32)
+    x = jnp.zeros((2, 32, 32, 3))
+    for i in range(2):
+        params = model.init(jax.random.key(i), x)["params"]
+        gates = {"head": np.ones((2, 2), np.float32),
+                 "neuron": np.concatenate([np.ones((2, 96), np.float32),
+                                           np.zeros((2, 32), np.float32)], axis=1)}
+        save_pytree(str(tmp_path / f"sub-dataset{i}" / "checkpoint.msgpack"),
+                    {"params": params, "gates": gates, "epoch": np.int32(0)})
+
+    out = str(tmp_path / "ens")
+    base = [
+        "ensemble", "--model", "dedeit",
+        "--input-size", "32", "--patch-size", "8",
+        "--embed-dim", "32", "--depth", "2", "--num-heads", "2",
+        "--drop-path", "0.0",
+        "--dataset", "synthetic:4:64:32", "--num_division", "2",
+        "--sub-model-path", str(tmp_path),
+        "--teacher-size", "48", "--distillation-type", "none",
+        "--batch-size", "16", "--eval-batch-size", "32",
+        "--warmup-epochs", "0", "--cooldown-epochs", "0",
+        "--no-repeated-aug", "--aa", "", "--mixup", "0", "--cutmix", "0",
+        "--reprob", "0",
+        "--output_dir", out,
+    ]
+    args = build_parser().parse_args(base + ["--epochs", "1"])
+    args.fn(args)
+    ckpt = restore_pytree(os.path.join(out, "checkpoint.msgpack"), None)
+    assert "gates" in ckpt and ckpt["gates"]["head"].shape == (2, 2, 2)
+
+    # resume into a second epoch through the gate-carrying template
+    args = build_parser().parse_args(base + [
+        "--epochs", "2", "--resume", os.path.join(out, "checkpoint_temp.msgpack")])
+    args.fn(args)
+    with open(os.path.join(out, "log.txt")) as f:
+        log = f.read()
+    assert "resumed ensemble (params, optimizer states, EMA)" in log
+
+    # deploy straight from the gated ensemble checkpoint
+    dargs = build_parser().parse_args([
+        "deploy", "--model", "dedeit",
+        "--input-size", "32", "--patch-size", "8",
+        "--embed-dim", "32", "--depth", "2", "--num-heads", "2",
+        "--num_division", "2",
+        "--ensemble-path", os.path.join(out, "checkpoint.msgpack"),
+        "--deploy-num-classes", "4", "--neuron-multiple", "8",
+        "--output_dir", str(tmp_path / "deploy"),
+    ])
+    report = dargs.fn(dargs)
+    assert len(report) == 2
+    cm = load_compact(str(tmp_path / "deploy" / "sub-dataset0" / "compact.msgpack"))
+    # the persisted 96/128-neuron gates survived into the compact widths
+    assert all(lp["fc1_kernel"].shape[1] == 96 for lp in cm.layers)

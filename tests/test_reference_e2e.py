@@ -442,6 +442,95 @@ def test_cct_backbone_pooled_matches_reference():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_cct_ensemble_eval_matches_reference(monkeypatch):
+    """The reference's own MultiCCT + EnsembleCCT (ensemble_models.py:93-151)
+    scored by its evaluate_ens_disjoint vs our stacked-vmap CCT ensemble eval
+    step on converted weights — closes the CCT leg of the stage-5 parity
+    (the ViT leg is test_ensemble_eval_matches_reference)."""
+    ref_engine, _, _, _ = load_reference()
+    _patch_cpu(monkeypatch)
+    import models.ensemble_models as ref_ens_models
+
+    torch.manual_seed(21)
+    # MultiCCT hardcodes get_decct -> cct_7 (layers 7, heads 4, mlp 2, embed
+    # 256); 'decct_3x1' = kernel 3, 1 conv layer; backbone=True
+    multi = ref_ens_models.MultiCCT("decct_3x1", num_classes_list=[5, 5],
+                                    num_sub_models=2, input_size=32)
+    ens_t = ref_ens_models.EnsembleCCT(sub_size=256, teacher_size=96,
+                                       num_sub_models=2, num_classes=10)
+    multi.eval()
+    ens_t.eval()
+
+    rng = np.random.default_rng(22)
+    images = rng.normal(size=(3, 8, 32, 32, 3)).astype(np.float32)
+    labels = rng.integers(0, 10, size=(3, 8))
+    loader = [(torch.from_numpy(images[i].transpose(0, 3, 1, 2)),
+               torch.from_numpy(labels[i])) for i in range(3)]
+
+    # REFERENCE BUG (pinned): a backbone CCT returns a bare (B, C) pooled
+    # tensor (cct.py:155-157 -> transformers.py:477), but MultiCCT.forward
+    # indexes `model.forward(x)[0]` (ensemble_models.py:113) — a stale
+    # tuple-return assumption that silently takes the FIRST SAMPLE's feature
+    # vector, so evaluate_ens_disjoint crashes on the shape mismatch inside
+    # EnsembleCCT. The reference's CCT ensemble cannot run as committed.
+    with pytest.raises(RuntimeError, match="cannot be multiplied"):
+        ref_engine.evaluate_ens_disjoint(loader, multi, ens_t,
+                                         torch.device("cpu"))
+
+    class FixedMultiCCT(torch.nn.Module):
+        """MultiCCT with the intended semantics: per-backbone pooled features
+        (what EnsembleCCT's stack expects, ensemble_models.py:140)."""
+
+        def __init__(self, models):
+            super().__init__()
+            self.models = models
+
+        def forward(self, x):
+            return [m(x) for m in self.models]
+
+    ref_stats = ref_engine.evaluate_ens_disjoint(loader, FixedMultiCCT(multi.models),
+                                                 ens_t, torch.device("cpu"))
+
+    from devit_tpu.configs import get_cct_config
+    from devit_tpu.io.checkpoint import torch_cct_to_params
+    from devit_tpu.models.cct import CCT
+    from devit_tpu.models.ensemble import EnsembleCCT as OurEnsembleCCT
+    from devit_tpu.models.ensemble import stack_division_params
+
+    cfg = get_cct_config("cct_7", img_size=32, embed_dim=256, n_conv_layers=1,
+                         kernel_size=3, num_layers=7, num_heads=4,
+                         mlp_ratio=2.0, num_classes=5, dropout=0.0,
+                         attention_dropout=0.0, stochastic_depth=0.0,
+                         positional_embedding="learnable", backbone=True)
+    backbone = CCT(cfg, dtype=jnp.float32)
+    div_params = []
+    for m in multi.models:
+        sd = {k: v.detach().numpy().copy() for k, v in m.state_dict().items()}
+        div_params.append(torch_cct_to_params(sd, num_layers=7, n_conv_layers=1))
+    stacked = {"params": stack_division_params(div_params)}
+
+    ens_j = OurEnsembleCCT(num_classes=10, sub_size=256, num_divisions=2,
+                           teacher_size=96, dtype=jnp.float32)
+    esd = {k: v.detach().numpy().copy() for k, v in ens_t.state_dict().items()}
+    ens_vars = {"params": {
+        name: {"kernel": esd[f"{name}.weight"].T, "bias": esd[f"{name}.bias"]}
+        for name in ("cls_mlp", "cls_classifier")
+    }}
+
+    step = jax.jit(S.make_cct_ensemble_eval_step(backbone, ens_j))
+    totals = {"loss_sum": 0.0, "top1": 0, "top5": 0, "count": 0}
+    for i in range(3):
+        out = jax.device_get(step(stacked, ens_vars, jnp.asarray(images[i]),
+                                  jnp.asarray(labels[i])))
+        for k in totals:
+            totals[k] += float(out[k])
+    acc1 = 100.0 * totals["top1"] / totals["count"]
+    acc5 = 100.0 * totals["top5"] / totals["count"]
+    assert abs(acc1 - float(ref_stats["acc1"])) < 1e-6
+    assert abs(acc5 - float(ref_stats["acc5"])) < 1e-6
+    assert abs(totals["loss_sum"] / totals["count"] - float(ref_stats["loss"])) < 1e-4
+
+
 # ------------------------------------------------- loss & metric parity
 # (direct function-level checks against the reference's own code — the unit
 # suite pins these with handwritten fixtures; these pin them against the
