@@ -69,3 +69,29 @@ def test_cli_orbax_checkpoint_and_resume(tmp_path):
     args.fn(args)
     raw = restore_pytree(ck, None)
     assert int(np.asarray(raw["epoch"])) == 1  # resumed and ran epoch 1
+
+
+def test_orbax_gated_ensemble_tree_roundtrip(tmp_path):
+    """The stage-5 checkpoint tree WITH persisted gates must round-trip
+    through the orbax template restore (the resume path builds the template
+    via the same _ensemble_ckpt_tree(gates=...))."""
+    import jax.numpy as jnp
+    import optax
+
+    from devit_tpu.cli.stages import _ensemble_ckpt_tree
+    from devit_tpu.models.vit import Gates
+    from devit_tpu.train.state import TrainState
+
+    tx = optax.adamw(1e-3)
+    bb = TrainState.create({"w": jnp.arange(4.0)}, tx)
+    ens = TrainState.create({"k": jnp.ones((2, 2))}, tx)
+    gates = Gates(head=jnp.ones((2, 3, 2)), neuron=jnp.zeros((2, 3, 8)))
+    path = str(tmp_path / "ens.orbax")
+    save_pytree_orbax(path, _ensemble_ckpt_tree(bb, ens, 5, gates))
+    wait_for_checkpoints()
+    restored = restore_pytree_orbax(path, _ensemble_ckpt_tree(bb, ens, 0, gates))
+    assert int(np.asarray(restored["epoch"])) == 5
+    np.testing.assert_array_equal(np.asarray(restored["gates"]["neuron"]),
+                                  np.zeros((2, 3, 8)))
+    np.testing.assert_array_equal(np.asarray(restored["backbone_params"]["w"]),
+                                  np.arange(4.0))
