@@ -17,6 +17,7 @@ best of 3 runs reported.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -221,12 +222,77 @@ def latency_report(fwd, ens_vars, batch_sizes) -> dict:
     return out
 
 
-def main():
-    import os
+def train_main():
+    """Training-throughput mode (`devit bench --train` / DEVIT_BENCH_TRAIN=1):
+    the stage-2 train step on the full dedeit at bs256 (remat + mixup + EMA +
+    AdamW + the custom-VJP Pallas attention), with its own MFU accounting
+    (full-remat matmul work = fwd + re-fwd + 2x bwd; BASELINE.md 'Training-
+    step MFU'). Prints ONE JSON line with a distinct metric name — the
+    driver's serving contract is the default path."""
+    from devit_tpu.cli import common as C
+    from devit_tpu.data.mixup import MixupConfig
+    from devit_tpu.train import steps as S
+    from devit_tpu.train.optim import OptimConfig, make_optimizer
+    from devit_tpu.train.state import TrainState
 
+    batch = int(os.environ.get("DEVIT_BENCH_BATCH", "256"))
+    args = type("A", (), dict(model="dedeit", input_size=224, patch_size=16,
+                              drop=0.0, drop_path=0.1, embed_dim=None,
+                              depth=None, num_heads=None, use_pallas=None,
+                              dtype="bfloat16"))()
+    model = C.build_model("dedeit", 25, args)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((2, 224, 224, 3), jnp.bfloat16))["params"]
+    state = TrainState.create(params, make_optimizer(OptimConfig(lr=5e-4,
+                                                                 epochs=100), 100),
+                              use_ema=True)
+    mix = MixupConfig(mixup_alpha=0.8, cutmix_alpha=1.0, prob=1.0,
+                      switch_prob=0.5, label_smoothing=0.1, num_classes=25)
+    step = jax.jit(S.make_stage2_step(model, None, mixup=mix, smoothing=0.1,
+                                      distillation_type="none"))
+    img = jax.random.normal(jax.random.key(1), (batch, 224, 224, 3), jnp.bfloat16)
+    lab = jnp.zeros((batch,), jnp.int32)
+
+    def one(st, im, lb):
+        _, m = step(st, None, im, lb, jax.random.key(2))
+        return m["loss"]
+
+    reduce_ = jax.jit(lambda xs: sum(x.astype(jnp.float32) for x in xs))
+    jax.device_get(reduce_([one(state, img, lab) for _ in range(3)]))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [one(state, img, lab) for _ in range(5)]
+        jax.device_get(reduce_(outs))
+        best = min(best, (time.perf_counter() - t0) / 5)
+    ms = best * 1e3
+    # full-remat matmul work: fwd + remat re-forward + 2x backward of the
+    # full-width model (~9.3 G/img fwd matmuls incl. patch embed + head),
+    # attention fwd+refwd+bwd ~4.5x its fwd contractions
+    seq, Cd, hid, H = 198, 384, 1536, 6
+    fwd_g = (2 * 196 * 768 * Cd + 12 * (2 * seq * Cd * 3 * Cd + 2 * seq * Cd * Cd
+             + 4 * seq * Cd * hid) + 2 * Cd * 25 * 2) / 1e9
+    attn_g = 12 * (4 * seq * seq * (Cd // H) * H) / 1e9
+    train_g = 4 * fwd_g + 4.5 * attn_g
+    eff = train_g * batch / ms
+    print(json.dumps({
+        "metric": "stage-2 training step, full dedeit (remat, mixup, EMA, "
+                  "pallas custom-VJP attention, bs=%d)" % batch,
+        "value": round(ms, 1), "unit": "ms/step",
+        "img_per_sec": round(batch / ms * 1e3, 1),
+        "gflops_per_img_trainwork": round(train_g, 1),
+        "effective_tflops": round(eff, 1),
+        "mfu": round(eff / 197.0, 3),
+    }))
+
+
+def main():
     from devit_tpu.runtime import setup_runtime
 
     setup_runtime()
+    if os.environ.get("DEVIT_BENCH_TRAIN"):
+        train_main()
+        return
     fwd, ens_vars, cms = build()
     if os.environ.get("DEVIT_BENCH_LATENCY"):
         sizes = [int(s) for s in os.environ["DEVIT_BENCH_LATENCY"].split(",")]

@@ -85,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
     bp.add_argument("--latency", type=str, default=None, metavar="BS,BS,...",
                     help="latency mode: per-batch ms at these batch sizes "
                          "(e.g. 1,16,256) instead of throughput")
+    bp.add_argument("--train", action="store_true",
+                    help="training mode: stage-2 train step ms/step + MFU "
+                         "instead of serving throughput")
     bp.set_defaults(fn=_bench_main)
 
     dep = sub.add_parser("deploy", help="compact division checkpoints into serving artifacts")
@@ -113,6 +116,10 @@ def _bench_main(args):
     else:
         # a stale exported var must not flip the throughput contract
         os.environ.pop("DEVIT_BENCH_LATENCY", None)
+    if getattr(args, "train", False):
+        os.environ["DEVIT_BENCH_TRAIN"] = "1"
+    else:
+        os.environ.pop("DEVIT_BENCH_TRAIN", None)
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     runpy.run_path(os.path.join(repo_root, "bench.py"), run_name="__main__")
 
