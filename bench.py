@@ -25,15 +25,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build():
+def build_inputs(num_div: int = 4):
+    """Canonical deployed-bench inputs: shrink policies, gates, and raw
+    division params (seeded; shared with scripts/probe_stacked.py so the
+    probes measure the EXACT artifacts the headline bench serves).
+    Returns (cfg, params_list, gates_list)."""
     from devit_tpu.configs import get_vit_config
     from devit_tpu.core.rank import build_gates
     from devit_tpu.core.shrink import screen
-    from devit_tpu.models.compact_vit import compact_forward, compact_vit_ragged
-    from devit_tpu.models.ensemble import EnsMLP
     from devit_tpu.models.vit import VisionTransformer
 
-    num_div = 4
     cfg = get_vit_config("dedeit", num_classes=25)
     model = VisionTransformer(cfg)
     rngnp = np.random.default_rng(0)
@@ -57,7 +58,15 @@ def build():
             lambda s: rng.normal(scale=0.02, size=s.shape).astype(np.float32), shapes
         )
 
-    params = [make_params(i) for i in range(num_div)]
+    return cfg, [make_params(i) for i in range(num_div)], gates_list
+
+
+def build():
+    from devit_tpu.models.compact_vit import compact_forward, compact_vit_ragged
+    from devit_tpu.models.ensemble import EnsMLP
+
+    num_div = 4
+    cfg, params, gates_list = build_inputs(num_div)
     cms = [compact_vit_ragged(p, g, cfg) for p, g in zip(params, gates_list)]
     # move arrays onto the default (TPU) device; keep static ints intact
     cms = jax.tree_util.tree_map(
@@ -107,8 +116,9 @@ def executed_gflops_per_image(cms, num_classes: int = 100,
             a += 2 * N * N * dh * kh * 2          # QK^T and AV
             w += 2 * N * (kh * dh) * C            # proj
             w += 2 * N * C * kn * 2               # fc1 + fc2
-        for hp in cm.head.values():
-            w += 2 * hp["kernel"].shape[0] * hp["kernel"].shape[1]
+        # NOTE: per-division classifier heads are NOT counted — the serving
+        # path runs compact_forward(features_only=True), which returns before
+        # them; the EnsMLP fusion below is the only classification compute
     # EnsMLP fusion (cls+dist): (D*C -> teacher) + (teacher -> classes)
     D = len(cms)
     C = cms[0].embed["pos_embed"].shape[-1]
@@ -196,17 +206,30 @@ def check_numerics(cms) -> bool:
     return ok
 
 
-def measure(fwd, ens_vars, batch: int, iters: int = 5, repeats: int = 3) -> float:
-    images = jax.random.normal(jax.random.key(2), (batch, 224, 224, 3), jnp.bfloat16)
-    reduce_ = jax.jit(lambda outs: sum(o.astype(jnp.float32).sum() for o in outs))
-    jax.device_get(reduce_([fwd(ens_vars, images) for _ in range(iters)]))  # warmup+compile
+def time_fn(fn, *args, iters: int = 5, repeats: int = 3) -> float:
+    """Best-of-`repeats` mean wall ms per call of fn(*args).
+
+    The ONE timing recipe for this repo (bench + every scripts/probe_*):
+    work is chained `iters` deep inside each measurement and synced via
+    device_get of a reduction that data-depends on every output —
+    block_until_ready() does NOT reliably block on the tunnel platform, and
+    isolated dispatches carry ~0.7 ms tunnel overhead (CLAUDE.md)."""
+    reduce_ = jax.jit(lambda outs: sum(jnp.asarray(o, jnp.float32).sum()
+                                      for o in jax.tree_util.tree_leaves(outs)))
+    jax.device_get(reduce_([fn(*args) for _ in range(iters)]))  # warmup+compile
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        outs = [fwd(ens_vars, images) for _ in range(iters)]
+        outs = [fn(*args) for _ in range(iters)]
         jax.device_get(reduce_(outs))
         best = min(best, (time.perf_counter() - t0) / iters)
-    return batch / best
+    return best * 1e3
+
+
+def measure(fwd, ens_vars, batch: int, iters: int = 5, repeats: int = 3) -> float:
+    images = jax.random.normal(jax.random.key(2), (batch, 224, 224, 3), jnp.bfloat16)
+    ms = time_fn(fwd, ens_vars, images, iters=iters, repeats=repeats)
+    return batch / ms * 1e3
 
 
 def latency_report(fwd, ens_vars, batch_sizes) -> dict:
@@ -241,6 +264,7 @@ def train_main():
                               depth=None, num_heads=None, use_pallas=None,
                               dtype="bfloat16"))()
     model = C.build_model("dedeit", 25, args)
+    attention_path = "pallas custom-VJP" if model.use_pallas else "XLA"
     params = model.init(jax.random.key(0),
                         jnp.zeros((2, 224, 224, 3), jnp.bfloat16))["params"]
     state = TrainState.create(params, make_optimizer(OptimConfig(lr=5e-4,
@@ -257,15 +281,7 @@ def train_main():
         _, m = step(st, None, im, lb, jax.random.key(2))
         return m["loss"]
 
-    reduce_ = jax.jit(lambda xs: sum(x.astype(jnp.float32) for x in xs))
-    jax.device_get(reduce_([one(state, img, lab) for _ in range(3)]))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [one(state, img, lab) for _ in range(5)]
-        jax.device_get(reduce_(outs))
-        best = min(best, (time.perf_counter() - t0) / 5)
-    ms = best * 1e3
+    ms = time_fn(one, state, img, lab)
     # full-remat matmul work: fwd + remat re-forward + 2x backward of the
     # full-width model (~9.3 G/img fwd matmuls incl. patch embed + head),
     # attention fwd+refwd+bwd ~4.5x its fwd contractions
@@ -277,7 +293,7 @@ def train_main():
     eff = train_g * batch / ms
     print(json.dumps({
         "metric": "stage-2 training step, full dedeit (remat, mixup, EMA, "
-                  "pallas custom-VJP attention, bs=%d)" % batch,
+                  "%s attention, bs=%d)" % (attention_path, batch),
         "value": round(ms, 1), "unit": "ms/step",
         "img_per_sec": round(batch / ms * 1e3, 1),
         "gflops_per_img_trainwork": round(train_g, 1),

@@ -347,6 +347,11 @@ def make_train_pipeline(args, aug_cfg: AugmentConfig, dtype=jnp.bfloat16):
     device doing normalize + random-erasing (finish_transform). Non-RA and
     small-image training keeps the cheap all-device path."""
     backend = getattr(args, "aug_backend", "auto")
+    if aug_cfg.no_aug:
+        # deterministic no-aug path is device-only (normalize + resize);
+        # the host PIL pipeline applies RRC/hflip unconditionally and would
+        # silently re-randomize a run the user asked to be deterministic
+        return make_train_prepare(aug_cfg, dtype=dtype), None
     use_host = backend == "host" or (
         backend == "auto" and aug_cfg.randaugment and not aug_cfg.small_image)
     if backend == "host" and aug_cfg.small_image:

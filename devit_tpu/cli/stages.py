@@ -84,8 +84,21 @@ def _try_resume_ensemble(args, bb_state, ens_state, log, gates=None):
     if not getattr(args, "resume", None):
         return bb_state, ens_state, 0
     try:
-        ckpt = restore_pytree(args.resume,
-                              _ensemble_ckpt_tree(bb_state, ens_state, 0, gates))
+        # try the gate-carrying template first, then the gate-less one: a
+        # checkpoint written before gates were persisted (or a gated ckpt
+        # resumed into an ungated run) must still restore optimizer states
+        # + EMA, not silently degrade to params-only
+        templates = [_ensemble_ckpt_tree(bb_state, ens_state, 0, gates)]
+        if gates is not None:
+            templates.append(_ensemble_ckpt_tree(bb_state, ens_state, 0, None))
+        ckpt = None
+        for i, tpl in enumerate(templates):
+            try:
+                ckpt = restore_pytree(args.resume, tpl)
+                break
+            except Exception:
+                if i == len(templates) - 1:
+                    raise
         bb_state = bb_state.replace(params=ckpt["backbone_params"],
                                     opt_state=ckpt["bb_opt_state"],
                                     ema_params=ckpt.get("bb_ema", bb_state.ema_params))
@@ -800,9 +813,16 @@ def _deploy_division_sources(args, cfg, log):
         ckpt = restore_pytree(args.ensemble_path, None)
         stacked = ckpt["backbone_params"]
         g = ckpt.get("gates")
+        # the checkpoint's stacked leading axis is authoritative for D: a
+        # mismatched --num_division would otherwise IndexError (too large)
+        # or silently deploy a prefix of the divisions (too small)
+        ckpt_D = int(jax.tree_util.tree_leaves(stacked)[0].shape[0])
+        if ckpt_D != args.num_division:
+            log.info(f"NOTE: checkpoint has {ckpt_D} divisions; deploying all "
+                     f"of them (--num_division {args.num_division} ignored)")
         log.info(f"deploying ensemble-trained backbones from {args.ensemble_path}"
                  + ("" if g is not None else " (ungated)"))
-        for i in range(args.num_division):
+        for i in range(ckpt_D):
             params = jax.tree_util.tree_map(lambda a: np.asarray(a)[i], stacked)
             gates = (Gates(jnp.asarray(np.asarray(g["head"])[i]),
                            jnp.asarray(np.asarray(g["neuron"])[i]))

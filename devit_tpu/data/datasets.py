@@ -156,7 +156,7 @@ def synthetic_dataset(
     labels = rng.integers(0, num_classes, n)
     class_rng = np.random.default_rng((1234, num_classes, img_size))
     coarse = class_rng.integers(40, 216, (num_classes, 8, 8, 3))
-    g = max(1, img_size // 8)
+    g = max(1, -(-img_size // 8))  # ceil: upsample PAST img_size, then crop
     base = np.repeat(np.repeat(coarse, g, axis=1), g, axis=2)[
         :, :img_size, :img_size]
     noise = rng.integers(-20, 20, (n, img_size, img_size, 3))

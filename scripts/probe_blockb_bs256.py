@@ -6,7 +6,6 @@ per-image-efficient there), so re-check once. Run alone on the chip."""
 import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -17,17 +16,7 @@ import bench
 from devit_tpu.kernels import attention as A
 
 
-def timeit(fn, *args, iters=5, repeats=3):
-    reduce_ = jax.jit(lambda outs: sum(jnp.asarray(o, jnp.float32).sum()
-                                       for o in jax.tree_util.tree_leaves(outs)))
-    jax.device_get(reduce_([fn(*args) for _ in range(iters)]))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(iters)]
-        jax.device_get(reduce_(outs))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best * 1e3
+from bench import time_fn as timeit  # the one shared timing recipe
 
 
 def main():

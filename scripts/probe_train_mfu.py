@@ -24,17 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, iters=5, repeats=3):
-    reduce_ = jax.jit(lambda outs: sum(jnp.asarray(o, jnp.float32).sum()
-                                       for o in jax.tree_util.tree_leaves(outs)))
-    jax.device_get(reduce_([fn(*args) for _ in range(iters)]))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(iters)]
-        jax.device_get(reduce_(outs))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best * 1e3
+from bench import time_fn as timeit  # the one shared timing recipe
 
 
 def forward_matmul_gflops_per_img(seq=198, C=384, hidden=1536, heads=6,

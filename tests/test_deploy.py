@@ -202,3 +202,37 @@ def test_gated_ensemble_checkpoint_resume_and_deploy(tmp_path):
     cm = load_compact(str(tmp_path / "deploy" / "sub-dataset0" / "compact.msgpack"))
     # the persisted 96/128-neuron gates survived into the compact widths
     assert all(lp["fc1_kernel"].shape[1] == 96 for lp in cm.layers)
+
+
+def test_resume_ungated_checkpoint_into_gated_run(tmp_path):
+    """An old stage-5 checkpoint saved WITHOUT gates must still restore
+    optimizer states + epoch when resumed into a gated run (the resume
+    template falls back to the gate-less structure instead of silently
+    degrading to params-only)."""
+    import types
+
+    import optax
+
+    from devit_tpu.cli.stages import _ensemble_ckpt_tree, _try_resume_ensemble
+    from devit_tpu.io.checkpoint import save_pytree
+    from devit_tpu.train.state import TrainState
+
+    tx = optax.adamw(1e-3)
+    bb = TrainState.create({"w": jnp.arange(4.0)}, tx)
+    ens = TrainState.create({"k": jnp.ones((2, 2))}, tx)
+    # advance the saved state so restored != fresh
+    bb_trained = bb.replace(params={"w": jnp.arange(4.0) + 7.0})
+    path = str(tmp_path / "old.msgpack")
+    save_pytree(path, _ensemble_ckpt_tree(bb_trained, ens, 3, None))
+
+    gates = Gates(head=jnp.ones((2, 2, 2)), neuron=jnp.ones((2, 2, 8)))
+    log = types.SimpleNamespace(info=lambda *a, **k: None)
+    args = types.SimpleNamespace(resume=path)
+    bb2, ens2, start = _try_resume_ensemble(args, bb, ens, log, gates=gates)
+    assert start == 4
+    np.testing.assert_array_equal(np.asarray(bb2.params["w"]),
+                                  np.arange(4.0) + 7.0)
+    # optimizer state restored through the fallback template (not reset):
+    # structure intact and usable
+    assert jax.tree_util.tree_structure(bb2.opt_state) == \
+        jax.tree_util.tree_structure(bb.opt_state)
