@@ -127,14 +127,27 @@ def executed_gflops_per_image(cms, num_classes: int = 100,
 
 
 def xla_cost_gflops(fwd, ens_vars, batch: int):
-    """XLA's own cost model for the compiled serving program (FLOPs per
-    image), as an independent cross-check of the analytic count. Custom calls
-    (the Pallas attention kernel) contribute ZERO here, so this approximates
-    the 'weights' slice. None if the backend doesn't expose cost analysis."""
+    """XLA's own cost model for the serving program (FLOPs per image), as an
+    independent cross-check of the analytic count. Custom calls (the Pallas
+    attention kernel) contribute ZERO here, so this approximates the
+    'weights' slice. None if the backend doesn't expose cost analysis.
+
+    Tries the compile-free Lowered.cost_analysis first; the Lowered.compile
+    fallback does not share the jit dispatch cache, but the persistent XLA
+    compilation cache makes it a cache hit for the shapes measure() already
+    compiled — still, avoid it when the lowering-level analysis works (slow
+    tunnel days put every remote compile on the bench's <8 min budget)."""
     try:
         images = jax.random.normal(jax.random.key(2), (batch, 224, 224, 3),
                                    jnp.bfloat16)
-        cost = fwd.lower(ens_vars, images).compile().cost_analysis()
+        lowered = fwd.lower(ens_vars, images)
+        cost = None
+        try:
+            cost = lowered.cost_analysis()
+        except Exception:
+            cost = None
+        if not cost:
+            cost = lowered.compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         return float(cost["flops"]) / batch / 1e9

@@ -82,12 +82,13 @@ def build_parser() -> argparse.ArgumentParser:
                                       "(same as `python bench.py`)")
     bp.add_argument("--batch-size", type=int, default=256)  # measured optimum
     # (batch sweep in bench.py: 256 gives 4730 img/s vs 4089 at 512)
-    bp.add_argument("--latency", type=str, default=None, metavar="BS,BS,...",
-                    help="latency mode: per-batch ms at these batch sizes "
-                         "(e.g. 1,16,256) instead of throughput")
-    bp.add_argument("--train", action="store_true",
-                    help="training mode: stage-2 train step ms/step + MFU "
-                         "instead of serving throughput")
+    mode = bp.add_mutually_exclusive_group()
+    mode.add_argument("--latency", type=str, default=None, metavar="BS,BS,...",
+                      help="latency mode: per-batch ms at these batch sizes "
+                           "(e.g. 1,16,256) instead of throughput")
+    mode.add_argument("--train", action="store_true",
+                      help="training mode: stage-2 train step ms/step + MFU "
+                           "instead of serving throughput")
     bp.set_defaults(fn=_bench_main)
 
     dep = sub.add_parser("deploy", help="compact division checkpoints into serving artifacts")

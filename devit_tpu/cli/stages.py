@@ -495,20 +495,20 @@ def _ensemble_eval_compact(args, log, val_ds, num_classes, D) -> float:
             dist = None if dist_list[0] is None else jnp.stack(dist_list)
             return ens.apply(ev, jnp.stack(cls_list), dist).logits
 
+    from devit_tpu.data.datasets import pad_batch_to_steady
+
     totals = {"top1": 0, "top5": 0, "count": 0}
+    batch_size = args.eval_batch_size
     for imgs, labels in BatchIterator(val_ds, args.eval_batch_size, shuffle=False,
                                       drop_last=False):
-        n = len(labels)
+        # pad the ragged tail batch to the steady shape: a new shape would
+        # recompile every division program (30-90 s each over the tunnel)
+        imgs, labels, batch_size, n = pad_batch_to_steady(imgs, labels,
+                                                          batch_size)
         imgs = prep_eval(imgs)
-        if n < args.eval_batch_size:
-            # pad the ragged tail batch to the steady shape: a new shape would
-            # recompile every division program (30-90 s each over the tunnel)
-            pad = args.eval_batch_size - n
-            imgs = jnp.concatenate([imgs, jnp.zeros((pad,) + imgs.shape[1:],
-                                                    imgs.dtype)])
         logits = jax.device_get(fwd(ens_vars, imgs))[:n]
         pred = np.argsort(-logits, axis=-1)
-        labels = np.asarray(labels)
+        labels = np.asarray(labels)[:n]
         totals["top1"] += int((pred[:, 0] == labels).sum())
         k = min(5, logits.shape[-1])
         totals["top5"] += int((pred[:, :k] == labels[:, None]).any(-1).sum())

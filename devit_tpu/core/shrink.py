@@ -135,28 +135,17 @@ def evaluate_policies(
         head = jnp.concatenate([head, jnp.broadcast_to(head[:1], (C_pad - C, *head.shape[1:]))])
         neuron = jnp.concatenate(
             [neuron, jnp.broadcast_to(neuron[:1], (C_pad - C, *neuron.shape[1:]))])
+    from devit_tpu.data.datasets import pad_batch_to_steady
+
     correct = np.zeros(C_pad, dtype=np.int64)
     total = 0
     batch_size = None
     for images, labels in val_batches:
-        images = np.asarray(images)
-        labels = np.asarray(labels)
-        n = labels.shape[0]
+        # pad the ragged final val batch to the steady shape (second
+        # recompile source); padded labels are -1 so they never match
+        images, labels, batch_size, n = pad_batch_to_steady(images, labels,
+                                                            batch_size)
         total += int(n)
-        if batch_size is None:
-            batch_size = n
-        elif n > batch_size:
-            raise ValueError(
-                f"val batch of {n} exceeds the steady shape {batch_size} "
-                "inferred from the first batch; only the FINAL batch may be "
-                "ragged (smaller), as BatchIterator(drop_last=False) yields")
-        if n < batch_size:
-            # pad the ragged final val batch to the steady shape (second
-            # recompile source); padded labels are -1 so they never match
-            pad = batch_size - n
-            images = np.concatenate([images, np.zeros((pad,) + images.shape[1:],
-                                                      images.dtype)])
-            labels = np.concatenate([labels, np.full(pad, -1, labels.dtype)])
         images = jnp.asarray(images)
         labels = jnp.asarray(labels)
         for c0 in range(0, C_pad, candidate_chunk):

@@ -211,6 +211,33 @@ def build_dataset(
     raise KeyError(f"unknown dataset {name!r}")
 
 
+def pad_batch_to_steady(images, labels, batch_size):
+    """Pad a ragged drop_last=False FINAL batch to the steady shape so each
+    val geometry compiles exactly one program (a new shape costs a 30-90 s
+    tunnel compile): zero-pad images, pad labels with -1 (train/steps.
+    eval_counters excludes label<0 rows from every counter). The ONE shared
+    padder for run_eval, core/shrink.evaluate_policies, and the compact
+    serving eval. Returns (images, labels, batch_size, n_real); batch_size
+    None means 'infer from this (first) batch'. Raises if a batch GROWS past
+    the steady shape — only the final batch may be ragged."""
+    images = np.asarray(images)
+    labels = np.asarray(labels)
+    n = labels.shape[0]
+    if batch_size is None:
+        batch_size = n
+    elif n > batch_size:
+        raise ValueError(
+            f"val batch of {n} exceeds the steady shape {batch_size}; only "
+            "the FINAL batch may be ragged (smaller), as "
+            "BatchIterator(drop_last=False) yields")
+    if n < batch_size:
+        pad = batch_size - n
+        images = np.concatenate(
+            [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+        labels = np.concatenate([labels, np.full(pad, -1, labels.dtype)])
+    return images, labels, batch_size, n
+
+
 class BatchIterator:
     """Host-side batcher: shuffles indices per epoch, yields device-ready
     uint8 numpy batches (drop_last for static shapes under jit).

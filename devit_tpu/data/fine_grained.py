@@ -8,6 +8,11 @@ environment has no egress, so these readers consume the standard extracted
 on-disk layouts and decode to `ArrayDataset` (resized uint8, cached as .npz).
 
 Class counts (reference get_dataset.py:17-58): flowers 102, cars 196, pets 37.
+
+Cache naming: `.devit_v3_*` — v3 bumped when ingest_resize switched its S
+from round() to the eval path's int() truncation (a v2 cache built at e.g.
+img_size 384 holds 439px images where v3 expects 438; reusing it would break
+the pixel-exact eval composition silently).
 """
 
 from __future__ import annotations
@@ -61,7 +66,7 @@ def load_flowers102(root: str, split: str, img_size: int = 224) -> ArrayDataset:
     paths = [os.path.join(base, "jpg", f"image_{i:05d}.jpg") for i in split_ids]
     labels = [int(labels_all[i - 1]) for i in split_ids]
     return _decode(paths, labels, 102, img_size,
-                   os.path.join(base, f".devit_v2_{split}_{img_size}.npz"))
+                   os.path.join(base, f".devit_v3_{split}_{img_size}.npz"))
 
 
 def load_stanford_cars(root: str, split: str, img_size: int = 224) -> ArrayDataset:
@@ -81,7 +86,7 @@ def load_stanford_cars(root: str, split: str, img_size: int = 224) -> ArrayDatas
         labels.append(int(a["class"][0, 0]) - 1)
         paths.append(os.path.join(img_dir, str(a["fname"][0])))
     return _decode(paths, labels, 196, img_size,
-                   os.path.join(base, f".devit_v2_{split}_{img_size}.npz"))
+                   os.path.join(base, f".devit_v3_{split}_{img_size}.npz"))
 
 
 def load_oxford_pets(root: str, split: str, img_size: int = 224) -> ArrayDataset:
@@ -97,7 +102,7 @@ def load_oxford_pets(root: str, split: str, img_size: int = 224) -> ArrayDataset
             paths.append(os.path.join(base, "images", name + ".jpg"))
             labels.append(int(class_id) - 1)
     return _decode(paths, labels, 37, img_size,
-                   os.path.join(base, f".devit_v2_{split}_{img_size}.npz"))
+                   os.path.join(base, f".devit_v3_{split}_{img_size}.npz"))
 
 
 def load_inat(root: str, split: str, year: int = 2018, category: str = "name",
@@ -126,4 +131,4 @@ def load_inat(root: str, split: str, year: int = 2018, category: str = "name",
         paths.append(os.path.join(root, img_by_id[ann["image_id"]]))
         labels.append(targeter[cat[category]])
     return _decode(paths, labels, num_classes, img_size,
-                   os.path.join(root, f".devit_v2_{split}{year}_{img_size}.npz"))
+                   os.path.join(root, f".devit_v3_{split}{year}_{img_size}.npz"))

@@ -110,11 +110,12 @@ def _rand_augment_pil(img, rng: np.random.Generator, magnitude: float,
         if rng.random() >= prob:
             continue
         if np.isinf(mag_std):
-            # timm AugmentOp: magnitude_std == inf -> uniform(0, magnitude)
-            # (auto_augment.py in the pinned 0.5.4; reachable via 'mstdinf' —
-            # the 'mstd100 -> inf' shorthand is a timm>=0.6 convention the
-            # pinned version does not have)
-            mag = float(rng.uniform(0.0, magnitude))
+            # timm AugmentOp: magnitude_std == inf -> uniform(0, magnitude),
+            # then the unconditional min(_MAX_LEVEL, max(0, .)) clip all
+            # branches share (auto_augment.py in the pinned 0.5.4; reachable
+            # via 'mstdinf' — the 'mstd100 -> inf' shorthand is a timm>=0.6
+            # convention the pinned version does not have)
+            mag = float(np.clip(rng.uniform(0.0, magnitude), 0.0, 10.0))
         elif mag_std > 0:
             mag = float(np.clip(rng.normal(magnitude, mag_std), 0.0, 10.0))
         else:

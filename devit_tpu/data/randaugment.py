@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.ndimage import map_coordinates
 
 Array = jax.Array
@@ -226,7 +227,15 @@ def rand_augment(
     def one_op(img, k):
         k_op, k_apply, k_mag, k_sign = jax.random.split(k, 4)
         op_idx = jax.random.randint(k_op, (), 0, len(OPS))
-        mag = magnitude + jax.random.normal(k_mag) * mag_std
+        if np.isinf(mag_std):
+            # timm AugmentOp: magnitude_std == inf -> uniform(0, magnitude)
+            # (same branch as data/host_augment.py; a gauss with inf std
+            # would clip-degenerate every draw to 0 or _MAX_MAG)
+            mag = jax.random.uniform(k_mag) * magnitude
+        elif mag_std > 0:
+            mag = magnitude + jax.random.normal(k_mag) * mag_std
+        else:
+            mag = jnp.asarray(magnitude, jnp.float32)
         mag = jnp.clip(mag, 0.0, _MAX_MAG)
         sign = jnp.where(jax.random.uniform(k_sign) < 0.5, -1.0, 1.0)
         signed_mag = mag * sign

@@ -29,29 +29,17 @@ def run_eval(
     """Aggregate summed counters over the val set -> {'acc1','acc5','loss'}.
 
     The ragged drop_last=False tail batch is padded to the steady batch shape
-    (labels -1, which eval_counters excludes from every counter) so each val
-    geometry compiles exactly ONE eval program — an odd-shaped tail costs a
-    30-90 s tunnel compile per stage otherwise (VERDICT r2 weak #4; same
-    scheme as core/shrink.evaluate_policies and the compact-eval path)."""
-    import numpy as np
+    (data/datasets.pad_batch_to_steady; labels -1 are excluded from every
+    counter by eval_counters) so each val geometry compiles exactly ONE eval
+    program — an odd-shaped tail costs a 30-90 s tunnel compile per stage
+    otherwise (VERDICT r2 weak #4)."""
+    from devit_tpu.data.datasets import pad_batch_to_steady
 
     totals = {"loss_sum": 0.0, "top1": 0, "top5": 0, "count": 0}
     batch_size = None
     for images, labels in batches:
-        images = np.asarray(images)
-        labels = np.asarray(labels)
-        n = labels.shape[0]
-        if batch_size is None:
-            batch_size = n
-        elif n > batch_size:
-            raise ValueError(
-                f"val batch of {n} exceeds the steady shape {batch_size}; "
-                "only the final batch may be ragged (smaller)")
-        if n < batch_size:
-            pad = batch_size - n
-            images = np.concatenate(
-                [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
-            labels = np.concatenate([labels, np.full(pad, -1, labels.dtype)])
+        images, labels, batch_size, _ = pad_batch_to_steady(images, labels,
+                                                            batch_size)
         if prepare is not None:
             images = prepare(images)
         out = jax.device_get(eval_step(variables, gates, images, labels))

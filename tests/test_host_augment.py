@@ -64,3 +64,32 @@ def test_no_randaugment_variant_still_crops():
     tf = make_host_train_augment(cfg, seed=1)
     out = tf(_batch(), 0, 0)
     assert out.shape == (8, 32, 32, 3)
+
+
+def test_mstdinf_uniform_magnitude_branch():
+    """'rand-m9-mstdinf' (timm's magnitude_std == inf -> uniform(0, m))
+    must work on BOTH augmentation backends — the device path previously
+    computed gauss(m, inf) which clip-degenerated every draw to 0 or 10."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from devit_tpu.cli.common import parse_ra_string
+    from devit_tpu.data.host_augment import _rand_augment_pil
+    from devit_tpu.data.randaugment import rand_augment
+
+    ra, mag, std = parse_ra_string("rand-m9-mstdinf")
+    assert ra and mag == 9 and np.isinf(std)
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+    out = _rand_augment_pil(img, np.random.default_rng(1), 9.0, float("inf"),
+                            num_ops=4, prob=1.0)
+    assert np.asarray(out).shape == (32, 32, 3)
+
+    dev = rand_augment(jax.random.key(0),
+                       jnp.asarray(np.asarray(img), jnp.float32),
+                       magnitude=9.0, mag_std=float("inf"), num_ops=4)
+    arr = np.asarray(dev)
+    assert arr.shape == (32, 32, 3) and np.isfinite(arr).all()
