@@ -370,9 +370,12 @@ def main():
         # comfortably exceed at bs256 (reconciliation in BASELINE.md).
         "mfu": round(eff_tflops / 197.0, 3),
         "ceiling_note": "bs256 is the measured throughput optimum; serving "
-                        "sits at its composed single-chip floor; 10k "
-                        "target needs >1 chip (FLOPs reconciliation: "
-                        "BASELINE.md)",
+                        "sits at its composed single-chip floor. Measured "
+                        "per-division times project the 4-chip deployment "
+                        "topology (one division per chip + token fusion, "
+                        "parallel/serve.py) at ~11.4k img/s — above the 10k "
+                        "target (BASELINE.md 'Multi-chip serving "
+                        "projection')",
     }
     print(json.dumps(result))
     if not numerics_ok:
