@@ -91,6 +91,30 @@ def build_parser() -> argparse.ArgumentParser:
                            "instead of serving throughput")
     bp.set_defaults(fn=_bench_main)
 
+    pp = sub.add_parser("pipeline", help="run the whole chain: split -> "
+                                         "train_sub/shrink/distill per division "
+                                         "-> ensemble -> deploy under one root")
+    for add in (C.add_model_args, C.add_optim_args, C.add_aug_args,
+                C.add_distill_args, C.add_data_args):
+        add(pp)
+    pp.add_argument("--stages", type=str,
+                    default="split,train_sub,shrink,distill,ensemble,deploy",
+                    help="comma-separated subset of stages to run")
+    pp.add_argument("--force", action="store_true",
+                    help="re-run stages even when their artifacts exist")
+    pp.add_argument("--shrink-ratio", type=float, default=0.3)
+    pp.add_argument("--population", type=int, default=50)
+    pp.add_argument("--lb", type=float, default=0.0)
+    pp.add_argument("--ub", type=float, default=0.9)
+    pp.add_argument("--candidate-chunk", type=int, default=8)
+    pp.add_argument("--gama", type=float, nargs=3, default=[0.2, 0.1, 0.3])
+    pp.add_argument("--distillation-inter", action="store_true", default=True)
+    pp.add_argument("--teacher-size", type=int, default=768)
+    pp.add_argument("--ens-lr", type=float, default=None)
+    pp.add_argument("--deploy-num-classes", type=int, default=25)
+    pp.add_argument("--neuron-multiple", type=int, default=128)
+    pp.set_defaults(fn=stages.pipeline_main, model="dedeit")
+
     dep = sub.add_parser("deploy", help="compact division checkpoints into serving artifacts")
     C.add_model_args(dep)
     C.add_data_args(dep)

@@ -797,6 +797,105 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
     return best
 
 
+# ------------------------------------------------------------------ pipeline
+
+
+def pipeline_main(args):
+    """One-shot orchestrator: split → per-division (train_sub → shrink →
+    distill) → ensemble → deploy under a single output root — the chain the
+    reference documents as five manual commands (README.md:40-69) plus our
+    deploy stage. Stages whose final artifact already exists are skipped
+    (re-run a stage by deleting its directory or passing --force), so an
+    interrupted pipeline resumes at the stage boundary; WITHIN a stage the
+    per-epoch checkpoint_temp + --resume machinery still applies.
+
+    Layout under --output_dir:
+      division{D}/manifest.json   sub-model{i}/   shrink{i}/
+      sub-dataset{i}/ (distilled) ensemble/       deploy/
+    """
+    import argparse
+
+    log = C.setup(args)
+    root = args.output_dir
+    selected = [s.strip() for s in args.stages.split(",") if s.strip()]
+    known = ["split", "train_sub", "shrink", "distill", "ensemble", "deploy"]
+    bad = [s for s in selected if s not in known]
+    if bad:
+        raise ValueError(f"unknown pipeline stage(s) {bad}; choose from {known}")
+
+    def ns(**overrides):
+        d = {k: v for k, v in vars(args).items() if k not in ("fn", "stages", "force")}
+        d.update(overrides)
+        return argparse.Namespace(**d)
+
+    def done(*path):
+        return not args.force and os.path.exists(os.path.join(root, *path))
+
+    manifest = os.path.join(root, f"division{args.num_division}", "manifest.json")
+    results = {}
+    if "split" in selected:
+        if done(f"division{args.num_division}", "manifest.json"):
+            log.info("pipeline: split artifact exists — skipping")
+        else:
+            split_main(ns(output_dir=root))
+
+    for d in range(args.num_division):
+        sub = os.path.join(root, f"sub-model{d}")
+        if "train_sub" in selected:
+            if done(f"sub-model{d}", "checkpoint.msgpack"):
+                log.info(f"pipeline: stage-2 division {d} exists — skipping")
+            else:
+                results[f"train_sub{d}"] = train_sub_main(
+                    ns(start_division=d, output_dir=sub, manifest=manifest,
+                       resume=""))
+        shrink_dir = os.path.join(root, f"shrink{d}")
+        ckpt = os.path.join(sub, "checkpoint.msgpack")
+        if "shrink" in selected:
+            if done(f"shrink{d}", "shrinked_policy.npy"):
+                log.info(f"pipeline: shrink division {d} exists — skipping")
+            else:
+                shrink_main(ns(start_division=d, output_dir=shrink_dir,
+                               manifest=manifest, model_path=ckpt, resume=""))
+        if "distill" in selected:
+            if done(f"sub-dataset{d}", "checkpoint.msgpack"):
+                log.info(f"pipeline: distill division {d} exists — skipping")
+            else:
+                # DEKD always distills (the reference's distill_sub defaults:
+                # hard + clip 1.0); the shared --distillation-type flag
+                # governs stages 2/5, where 'none' is the working default
+                # when no teacher checkpoint is supplied
+                results[f"distill{d}"] = distill_main(
+                    ns(start_division=d,
+                       output_dir=os.path.join(root, f"sub-dataset{d}"),
+                       manifest=manifest, model_path=ckpt,
+                       policy_path=shrink_dir, resume="",
+                       distillation_type=(args.distillation_type
+                                          if args.distillation_type != "none"
+                                          else "hard"),
+                       clip_grad=(args.clip_grad if args.clip_grad is not None
+                                  else 1.0)))
+
+    if "ensemble" in selected:
+        if done("ensemble", "checkpoint.msgpack"):
+            log.info("pipeline: ensemble exists — skipping")
+        else:
+            results["ensemble"] = ensemble_main(
+                ns(output_dir=os.path.join(root, "ensemble"),
+                   sub_model_path=root, manifest=manifest, resume="",
+                   compact_path=None, ens_path=None, gates_path=None))
+    if "deploy" in selected:
+        if done("deploy", "deploy_report.json"):
+            log.info("pipeline: deploy artifacts exist — skipping")
+        else:
+            deploy_main(ns(output_dir=os.path.join(root, "deploy"),
+                           ensemble_path=os.path.join(root, "ensemble",
+                                                      "checkpoint.msgpack"),
+                           sub_model_path=root,
+                           deploy_num_classes=args.deploy_num_classes))
+    log.info(f"pipeline complete: {sorted(results)}")
+    return results
+
+
 # ------------------------------------------------------------------ deploy
 
 

@@ -195,3 +195,47 @@ def test_profile_flag_writes_trace(workdir):
     for root, _dirs, files in os.walk(trace_dir):
         found += [f for f in files if f.endswith(".xplane.pb") or f.endswith(".trace.json.gz")]
     assert found, f"no profiler artifacts under {trace_dir}"
+
+
+def test_pipeline_orchestrator_one_shot(tmp_path_factory):
+    """`devit pipeline`: the whole chain under one root in ONE command —
+    split -> per-division train/shrink/distill -> ensemble (gated by the
+    distill checkpoints) -> deploy (from the ensemble checkpoint) — plus
+    stage-skip resume semantics on a second invocation."""
+    root = str(tmp_path_factory.mktemp("oneshot"))
+    argv = [
+        "pipeline", *TINY_MODEL, *DATA, *NO_MIX,
+        "--batch-size", "32", "--eval-batch-size", "64", "--epochs", "2",
+        "--warmup-epochs", "0", "--cooldown-epochs", "0", "--lr", "2e-3",
+        "--no-scale-lr", "--no-repeated-aug", "--aa", "", "--no-aug",
+        "--model", "dedeit",
+        "--shrink-ratio", "0.45", "--ub", "0.9", "--population", "2",
+        "--candidate-chunk", "2",
+        "--teacher-size", "48", "--deploy-num-classes", "8",
+        "--neuron-multiple", "8",
+        "--output_dir", root,
+    ]
+    results = run(argv)
+    for art in [
+        "division2/manifest.json",
+        "sub-model0/checkpoint.msgpack", "sub-model1/checkpoint.msgpack",
+        "shrink0/shrinked_policy.npy", "shrink1/shrinked_policy.npy",
+        "sub-dataset0/checkpoint.msgpack", "sub-dataset1/checkpoint.msgpack",
+        "ensemble/checkpoint.msgpack",
+        "deploy/deploy_report.json", "deploy/sub-dataset0/compact.msgpack",
+    ]:
+        assert os.path.exists(os.path.join(root, art)), art
+    assert "ensemble" in results
+    # the fused head trained on distill-gated features must beat chance
+    assert results["ensemble"] > 100.0 / 8, results
+    # the ensemble checkpoint carries the distill gates (deploy used them)
+    from devit_tpu.io.checkpoint import restore_pytree
+
+    ck = restore_pytree(os.path.join(root, "ensemble", "checkpoint.msgpack"), None)
+    assert "gates" in ck and ck["gates"]["head"].shape[0] == 2
+
+    # second invocation: everything exists -> all stages skipped, no retrain
+    results2 = run(argv)
+    assert results2 == {}
+    with open(os.path.join(root, "log.txt")) as f:
+        assert f.read().count("— skipping") >= 8
