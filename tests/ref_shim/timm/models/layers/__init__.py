@@ -27,6 +27,24 @@ class PatchEmbed(nn.Module):
         return self.norm(x)
 
 
+class Mlp(nn.Module):
+    """timm Mlp contract (0.5.4): fc1 -> act (GELU) -> drop -> fc2 -> drop,
+    children named fc1/act/drop/fc2 so state_dict keys match."""
+
+    def __init__(self, in_features, hidden_features=None, out_features=None,
+                 act_layer=nn.GELU, drop=0.0):
+        super().__init__()
+        out_features = out_features or in_features
+        hidden_features = hidden_features or in_features
+        self.fc1 = nn.Linear(in_features, hidden_features)
+        self.act = act_layer()
+        self.fc2 = nn.Linear(hidden_features, out_features)
+        self.drop = nn.Dropout(drop)
+
+    def forward(self, x):
+        return self.drop(self.fc2(self.drop(self.act(self.fc1(x)))))
+
+
 class DropPath(nn.Module):
     def __init__(self, drop_prob=0.0):
         super().__init__()

@@ -328,6 +328,52 @@ def test_ensemble_train_trajectory_matches_reference(monkeypatch):
     np.testing.assert_allclose(ours, ref_losses_rec, rtol=5e-3, atol=5e-3)
 
 
+def test_deit_vit_teacher_forward_matches():
+    """models/deit_vit.py — the INTENDED teacher module (never imported by
+    the reference's entry scripts, SURVEY §2.3; its multi-output forward is
+    the behavior DistillationLoss/EnsLoss rely on via distill_token=True) —
+    vs our VisionTransformer on converted weights: eval mean head, train-time
+    (cls, dist) logit pair, and the distill_last_cls_token token surface."""
+    load_reference()
+    import models.deit_vit as ref_deit
+
+    torch.manual_seed(33)
+    t = ref_deit.VisionTransformer(
+        in_chans=3, distilled=True, drop_rate=0.0, attn_drop_rate=0.0,
+        drop_path_rate=0.0, **GEOM_S)
+    t.eval()
+    x = np.random.default_rng(34).normal(size=(3, 32, 32, 3)).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        ref_eval = t(xt).numpy()  # (x + x_dist) / 2
+        lt, xc, xd = t(xt, distill_last_cls_token=True)
+        ref_cls_tok, ref_dist_tok = lt[0].numpy(), lt[1].numpy()
+        ref_cls_log, ref_dist_log = xc.numpy(), xd.numpy()
+
+    cfg = get_vit_config("deit_base_distilled_patch16_224",
+                         drop_path_rate=0.0, **GEOM_S)
+    ours = VisionTransformer(cfg, dtype=jnp.float32)
+    sd = {k: v.detach().numpy().copy() for k, v in t.state_dict().items()}
+    params = torch_vit_to_params(sd, depth=cfg.depth)
+
+    out = ours.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out.logits), ref_eval,
+                               rtol=2e-4, atol=2e-4)
+    # distill_token surface: post-norm (cls, dist) feature tokens + the
+    # train-style per-head logits (what DistillationLoss/EnsLoss consume)
+    out2 = ours.apply({"params": params}, jnp.asarray(x), distill_token=True,
+                      train=True, rngs={"dropout": jax.random.key(0)})
+    o_cls_tok, o_dist_tok = out2.last_tokens
+    np.testing.assert_allclose(np.asarray(o_cls_tok), ref_cls_tok,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(o_dist_tok), ref_dist_tok,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out2.cls_logits), ref_cls_log,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out2.dist_logits), ref_dist_log,
+                               rtol=2e-4, atol=2e-4)
+
+
 # ------------------------------------------------- stage-3 ranking parity
 
 
