@@ -693,20 +693,33 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
     assert backbone.cfg.backbone, "CCT ensemble needs the headless backbone"
     sample = jnp.zeros((2, args.input_size, args.input_size, 3), jnp.bfloat16)
 
+    ckpt_gates = []
     if args.sub_model_path:
         div_params = []
         tpl = backbone.init(jax.random.key(0), sample)["params"]
         for i in range(D):
             path = os.path.join(args.sub_model_path, f"sub-dataset{i}", "checkpoint.msgpack")
-            ckpt = restore_pytree(path, None)
-            loaded = ckpt.get("params", ckpt) if isinstance(ckpt, dict) else ckpt
-            div_params.append(jax.tree_util.tree_map(
-                lambda t, n: jnp.asarray(n) if np.asarray(n).shape == t.shape else t,
-                tpl, loaded))
+            # by-name merge (not tree_map): the DEKD checkpoints carry the
+            # classifier `fc` the headless backbone lacks, and merge drops it
+            # (ensemble.py loads the full CCT then takes backbone features)
+            div_params.append(C.load_params_for(backbone, path, tpl))
+            raw = restore_pytree(path, None)
+            ckpt_gates.append(raw.get("gates") if isinstance(raw, dict) else None)
         stacked = {"params": stack_division_params(div_params)}
     else:
         keys = jax.random.split(jax.random.key(args.seed), D)
         stacked = jax.vmap(lambda k: backbone.init(k, sample))(keys)
+
+    gates = None
+    if ckpt_gates and all(g is not None for g in ckpt_gates):
+        # same resolved reference bug as the ViT path: train the fusion head
+        # on the SAME gated features the shrunk divisions serve (the
+        # reference's gates are non-persistent module attributes, silently
+        # dropped by its ensemble stage)
+        gates = stack_division_gates(
+            [Gates(jnp.asarray(g["head"]), jnp.asarray(g["neuron"]))
+             for g in ckpt_gates])
+        log.info("applied shrink gates from the distill checkpoints")
 
     ens = EnsembleCCT(num_classes=num_classes, sub_size=backbone.cfg.embed_dim,
                       num_divisions=D, teacher_size=args.teacher_size)
@@ -744,20 +757,23 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
     ))
     ens_eval = jax.jit(S.make_cct_ensemble_eval_step(backbone, ens))
 
-    bb_state, ens_state, start_epoch = _try_resume_ensemble(args, bb_state, ens_state, log)
+    bb_state, ens_state, start_epoch = _try_resume_ensemble(
+        args, bb_state, ens_state, log, gates)
 
     place_batch, place_rep, place_div, _ens_mesh = C.ensemble_parallel_context(D, log)
     bb_state = place_div(bb_state)
     ens_state = place_rep(ens_state)
     if t_vars is not None:
         t_vars = place_rep(t_vars)
+    if gates is not None:
+        gates = place_div(gates)
 
     def step_fn(carry, images, labels, rng):
         bb_state, ens_state = carry
         r_aug, r_step = jax.random.split(rng)
         x = prep_train(r_aug, place_batch(images))
         bb_state, ens_state, metrics = jstep(
-            bb_state, ens_state, t_vars, x, place_batch(labels), r_step
+            bb_state, ens_state, t_vars, gates, x, place_batch(labels), r_step
         )
         return (bb_state, ens_state), metrics
 
@@ -766,13 +782,14 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
         batches = BatchIterator(val_ds, args.eval_batch_size, shuffle=False,
                                 drop_last=False)
         return run_eval(
-            lambda vs, _g, im, lb: ens_eval(vs[0], vs[1], im, place_batch(lb)),
+            lambda vs, g, im, lb: ens_eval(vs[0], vs[1], g, im, place_batch(lb)),
             ({"params": bb_state.params}, {"params": ens_state.params}),
-            None, batches, prepare=lambda im: prep_eval(place_batch(im)))
+            gates, batches, prepare=lambda im: prep_eval(place_batch(im)))
 
     def save_state(path, carry, epoch):
         bb_state, ens_state = carry
-        C.make_saver(args)(path, _ensemble_ckpt_tree(bb_state, ens_state, epoch))
+        C.make_saver(args)(path, _ensemble_ckpt_tree(bb_state, ens_state, epoch,
+                                                     gates))
 
     def train_batches(epoch):
         it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed,
@@ -883,7 +900,13 @@ def pipeline_main(args):
                 ns(output_dir=os.path.join(root, "ensemble"),
                    sub_model_path=root, manifest=manifest, resume="",
                    compact_path=None, ens_path=None, gates_path=None))
-    if "deploy" in selected:
+    if "deploy" in selected and C.is_cct(args.model):
+        # structural compaction (models/compact_vit.py) is ViT-family only;
+        # CCT divisions serve via the gated stacked path, whose uniform
+        # widths need no ragged per-division programs (PARITY.md)
+        log.info("pipeline: deploy (ragged compaction) is ViT-only — "
+                 "skipping for the CCT family")
+    elif "deploy" in selected:
         if done("deploy", "deploy_report.json"):
             log.info("pipeline: deploy artifacts exist — skipping")
         else:

@@ -168,29 +168,41 @@ class EnsMLP(nn.Module):
         )
 
 
-def multicct_features(cct_model, stacked_variables, x: Array, *,
+def multicct_features(cct_model, stacked_variables, x: Array,
+                      stacked_gates: Optional[Gates] = None, *,
                       train: bool = False, rng=None) -> Array:
     """All-division CCT backbone forward -> pooled features (D, B, C)
     (MultiCCT, ensemble_models.py:93-113). train=True enables the backbones'
     dropout/stochastic depth (engine.py:146 model.train(True)), one rng
-    stream per division."""
+    stream per division. stacked_gates ((D,L,H)/(D,L,hidden)) applies each
+    division's shrink gates — the CCT family keeps the same resolved
+    reference bug fix as MultiViT (the reference's ensemble silently drops
+    the distill-stage gates)."""
+    D = jax.tree_util.tree_leaves(stacked_variables)[0].shape[0]
+    if stacked_gates is None:
+        cfg = cct_model.cfg
+        stacked_gates = Gates(
+            head=jnp.ones((D, cfg.num_layers, cfg.num_heads)),
+            neuron=jnp.ones((D, cfg.num_layers,
+                             int(cfg.embed_dim * cfg.mlp_ratio))),
+        )
     if train:
         if rng is None:
             raise ValueError(
                 "multicct_features(train=True) needs rng= for the backbones' "
                 "dropout/drop-path streams")
-        D = jax.tree_util.tree_leaves(stacked_variables)[0].shape[0]
 
-        def one_train(variables, key):
-            return cct_model.apply(variables, x, train=True,
+        def one_train(variables, gates, key):
+            return cct_model.apply(variables, x, gates=gates, train=True,
                                    rngs={"dropout": key}).pooled
 
-        return jax.vmap(one_train)(stacked_variables, jax.random.split(rng, D))
+        return jax.vmap(one_train)(stacked_variables, stacked_gates,
+                                   jax.random.split(rng, D))
 
-    def one(variables):
-        return cct_model.apply(variables, x).pooled
+    def one(variables, gates):
+        return cct_model.apply(variables, x, gates=gates).pooled
 
-    return jax.vmap(one)(stacked_variables)
+    return jax.vmap(one)(stacked_variables, stacked_gates)
 
 
 class EnsembleCCT(nn.Module):

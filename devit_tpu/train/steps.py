@@ -317,7 +317,8 @@ def make_cct_ensemble_train_step(
     mixup_active = mixup is not None and mixup.active
     base_criterion = L.make_base_criterion(mixup_active, smoothing)
 
-    def step(backbone_state, ens_state, teacher_variables, images, labels, rng):
+    def step(backbone_state, ens_state, teacher_variables, stacked_gates,
+             images, labels, rng):
         rng_mix, rng_drop = jax.random.split(rng)
         if mixup_active:
             images_m, targets = mixup_cutmix(rng_mix, images, labels, mixup)
@@ -334,7 +335,7 @@ def make_cct_ensemble_train_step(
             # train=True: backbones train with their dropout/drop-path active
             # (engine.py:146 model.train(True))
             feats = multicct_features(backbone, {"params": bb_params}, images_m,
-                                      train=True, rng=rng_drop)
+                                      stacked_gates, train=True, rng=rng_drop)
             ens_out = ens_model.apply(
                 {"params": ens_params}, feats, distill=True, train=True
             )
@@ -362,8 +363,9 @@ def make_cct_ensemble_train_step(
 
 
 def make_cct_ensemble_eval_step(backbone, ens_model):
-    def step(stacked_variables, ens_variables, images, labels):
-        feats = multicct_features(backbone, stacked_variables, images)
+    def step(stacked_variables, ens_variables, stacked_gates, images, labels):
+        feats = multicct_features(backbone, stacked_variables, images,
+                                  stacked_gates)
         out = ens_model.apply(ens_variables, feats)
         return eval_counters(out.logits, labels)
 

@@ -114,3 +114,52 @@ def test_cct_rank_capture_shapes():
     N = out.neuron_act.shape[2]
     assert out.neuron_act.shape == (L, 2, N, hid)
     assert out.head_out.shape == (L, 2, N, H, D // H)
+
+
+def test_cct_pipeline_orchestrator(tmp_path_factory):
+    """`devit pipeline --model cct_*`: the orchestrator drives the SECOND
+    model family end-to-end — split/train/shrink/distill/ensemble — and
+    skips the ViT-only deploy stage with an explanatory note (CCT serves via
+    the gated stacked path; compaction is ragged-ViT machinery)."""
+    root = str(tmp_path_factory.mktemp("cct_oneshot"))
+    results = run([
+        "pipeline", *TINY, *OPT, *DATA,
+        "--model", "cct_2_3x1_32",
+        # CCT DEKD needs a CCT teacher (the relation loss compares NxN
+        # token-Gram matrices, so teacher seq must match)
+        "--teacher-model", "cct_2_3x1_32",
+        "--no-repeated-aug", "--aa", "", "--no-model-ema",
+        "--mixup", "0", "--cutmix", "0", "--reprob", "0",
+        "--shrink-ratio", "0.3", "--ub", "0.8", "--population", "2",
+        "--candidate-chunk", "2",
+        "--teacher-size", "48",
+        "--output_dir", root,
+    ])
+    for art in [
+        "division2/manifest.json",
+        "sub-model0/checkpoint.msgpack", "sub-model1/checkpoint.msgpack",
+        "shrink0/shrinked_policy.npy", "shrink1/shrinked_policy.npy",
+        "sub-dataset0/checkpoint.msgpack", "sub-dataset1/checkpoint.msgpack",
+        "ensemble/checkpoint.msgpack",
+    ]:
+        assert os.path.exists(os.path.join(root, art)), art
+    assert not os.path.exists(os.path.join(root, "deploy"))
+    assert "ensemble" in results
+    # the CCT ensemble applies + persists the distill-stage shrink gates
+    # (same resolved reference bug as the ViT family)
+    from devit_tpu.io.checkpoint import restore_pytree
+    ens_ckpt = restore_pytree(os.path.join(root, "ensemble", "checkpoint.msgpack"), None)
+    assert "gates" in ens_ckpt, sorted(ens_ckpt)
+    import numpy as np
+    head = np.asarray(ens_ckpt["gates"]["head"])
+    assert head.shape[0] == 2 and set(np.unique(head)) <= {0.0, 1.0}
+    assert head.min() == 0.0  # some heads actually pruned at ratio 0.3
+    # the skip note is logged after the last stage, so the active log file is
+    # whichever stage redirected the handler last — scan them all
+    logs = ""
+    for dirpath, _, names in os.walk(root):
+        for n in names:
+            if n == "log.txt":
+                with open(os.path.join(dirpath, n)) as f:
+                    logs += f.read()
+    assert "deploy (ragged compaction) is ViT-only" in logs

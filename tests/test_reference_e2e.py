@@ -566,7 +566,7 @@ def test_cct_ensemble_eval_matches_reference(monkeypatch):
     step = jax.jit(S.make_cct_ensemble_eval_step(backbone, ens_j))
     totals = {"loss_sum": 0.0, "top1": 0, "top5": 0, "count": 0}
     for i in range(3):
-        out = jax.device_get(step(stacked, ens_vars, jnp.asarray(images[i]),
+        out = jax.device_get(step(stacked, ens_vars, None, jnp.asarray(images[i]),
                                   jnp.asarray(labels[i])))
         for k in totals:
             totals[k] += float(out[k])
