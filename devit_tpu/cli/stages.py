@@ -478,8 +478,10 @@ def _ensemble_eval_compact(args, log, val_ds, num_classes, D) -> float:
         fwd = make_collaborative_server(
             cms, lambda ev, c, t: ens.apply(ev, c, t), ens_vars,
             patch_size=args.patch_size)
+        stream_fn = fwd.stream
         log.info(f"collaborative serving over {len(jax.local_devices())} devices: "
-                 f"divisions on {[str(d) for d in fwd.division_devices]}")
+                 f"divisions on {[str(d) for d in fwd.division_devices]}, "
+                 f"fusion on {fwd.fusion_device}")
     else:
         # single chip: one fused program, one dispatch per batch (over the
         # tunnel each dispatch costs ~0.7 ms, so D+1 per-division dispatches
@@ -495,20 +497,37 @@ def _ensemble_eval_compact(args, log, val_ds, num_classes, D) -> float:
             dist = None if dist_list[0] is None else jnp.stack(dist_list)
             return ens.apply(ev, jnp.stack(cls_list), dist).logits
 
+        stream_fn = None
+
     from devit_tpu.data.datasets import pad_batch_to_steady
 
     totals = {"top1": 0, "top5": 0, "count": 0}
     batch_size = args.eval_batch_size
-    for imgs, labels in BatchIterator(val_ds, args.eval_batch_size, shuffle=False,
-                                      drop_last=False):
-        # pad the ragged tail batch to the steady shape: a new shape would
-        # recompile every division program (30-90 s each over the tunnel)
-        imgs, labels, batch_size, n = pad_batch_to_steady(imgs, labels,
-                                                          batch_size)
-        imgs = prep_eval(imgs)
-        logits = jax.device_get(fwd(ens_vars, imgs))[:n]
+    metas = []  # (labels, n_real) queued at dispatch, consumed at materialize
+
+    def prepared_batches():
+        nonlocal batch_size
+        for imgs, labels in BatchIterator(val_ds, args.eval_batch_size,
+                                          shuffle=False, drop_last=False):
+            # pad the ragged tail batch to the steady shape: a new shape would
+            # recompile every division program (30-90 s each over the tunnel)
+            imgs, labels, batch_size, n = pad_batch_to_steady(imgs, labels,
+                                                              batch_size)
+            metas.append((np.asarray(labels)[:n], n))
+            yield prep_eval(imgs)
+
+    if stream_fn is not None:
+        # pipelined serving loop: batch k materializes only after k+1/k+2 are
+        # dispatched, so fusion overlaps the divisions' later-batch forwards
+        results = stream_fn(ens_vars, prepared_batches())
+    else:
+        results = (jax.device_get(fwd(ens_vars, imgs))
+                   for imgs in prepared_batches())
+
+    for logits in results:
+        labels, n = metas.pop(0)
+        logits = logits[:n]
         pred = np.argsort(-logits, axis=-1)
-        labels = np.asarray(labels)[:n]
         totals["top1"] += int((pred[:, 0] == labels).sum())
         k = min(5, logits.shape[-1])
         totals["top5"] += int((pred[:, :k] == labels[:, None]).any(-1).sum())

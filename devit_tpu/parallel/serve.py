@@ -11,9 +11,24 @@ concurrently across chips, and only the (B, C) token pairs cross chips to the
 fusion device — the ICI analogue of the paper's token shipping. The EnsMLP
 fusion runs on the fusion device.
 
-On one chip this degrades gracefully to the sequential single-chip layout
+Fusion placement: when there are spare devices beyond the divisions, the
+fusion program defaults onto the first spare chip. Fusion depends only on the
+CURRENT batch's tokens, so with its own chip it runs concurrently with every
+division's NEXT-batch forward; sharing division 0's chip would serialize
+those (steady-state period max(div)+fusion instead of max(div) — the
+difference between the measured-component projections ~11.4k and ~14.6k img/s
+at bs256, BASELINE.md "Multi-chip serving projection").
+
+The lag-`depth` `serve.stream(...)` generator realizes that overlap: JAX's
+async dispatch already queues the per-chip programs without blocking, so the
+only way to lose the pipelining is to synchronize between batches (e.g.
+`np.asarray(logits)` per step). stream() keeps up to `depth` batches in
+flight and materializes results that many batches behind dispatch.
+
+On one chip this all degrades gracefully to the sequential single-chip layout
 (same programs, one device); with D chips the ensemble forward takes
-max(division time) + fusion instead of sum(division times).
+max(division time) + fusion, and with D+1 chips the steady-state streaming
+period is max(division time) alone.
 
 (The gated/stacked TRAINING-time ensemble uses the ('div','data') mesh in
 parallel/mesh.py instead — uniform shapes there make SPMD the right tool.
@@ -23,7 +38,8 @@ division and per-device programs are the natural fit.)
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from collections import deque
+from typing import Callable, Iterable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -38,22 +54,34 @@ def make_collaborative_server(
     *,
     patch_size: int = 16,
     devices: Optional[Sequence[jax.Device]] = None,
+    fusion_device: Optional[jax.Device] = None,
     dtype=jnp.bfloat16,
     use_pallas: bool = True,
     fast_math: bool = True,
 ) -> Callable:
     """Build `serve(ens_vars, images) -> logits` with division d committed to
-    devices[d % len(devices)] and EnsMLP fusion on devices[0].
+    devices[d % len(devices)] and EnsMLP fusion on `fusion_device` (default:
+    the first device not hosting a division, else devices[0]).
 
     ens_apply: (ens_vars, cls_stack, dist_stack) -> output with .logits
     (models/ensemble.py EnsMLP.apply wrapped accordingly). The `ens_vars`
     build argument only sizes the fusion program; callers pass (possibly
     updated) fusion weights on every call.
+
+    The returned callable also carries `serve.stream(ens_vars, batches,
+    depth=2)`: a generator yielding host logits per input batch, dispatching
+    `depth` batches ahead so fusion of batch k overlaps the divisions'
+    forwards of batches k+1..k+depth (see module docstring).
     """
     # local_devices, not jax.devices(): under multihost (DEVIT_MULTIHOST)
     # device_put to another process's devices is not addressable.
     devices = list(devices if devices is not None else jax.local_devices())
-    fusion_dev = devices[0]
+    if fusion_device is None:
+        # first spare chip if one exists: fusion off the division chips keeps
+        # the streaming steady state at max(division time) (module docstring)
+        fusion_device = (devices[len(cms)] if len(devices) > len(cms)
+                         else devices[0])
+    fusion_dev = fusion_device
     placed = []
     for d, cm in enumerate(cms):
         dev = devices[d % len(devices)]
@@ -73,7 +101,7 @@ def make_collaborative_server(
     def _fuse(ev, cls_stack, dist_stack):
         return ens_apply(ev, cls_stack, dist_stack)
 
-    def serve(ens_vars, images) -> jax.Array:
+    def _dispatch(ev, images) -> jax.Array:
         # replicate the batch to every participating device; committed inputs
         # keep each division's program on its own chip, and async dispatch
         # lets the D programs run concurrently
@@ -93,9 +121,30 @@ def make_collaborative_server(
         else:
             dist_stack = jnp.stack(
                 [jax.device_put(t, fusion_dev) for _, t in feats])
-        ev = jax.device_put(ens_vars, fusion_dev)
         return _fuse(ev, cls_stack, dist_stack).logits
 
+    def serve(ens_vars, images) -> jax.Array:
+        return _dispatch(jax.device_put(ens_vars, fusion_dev), images)
+
+    def stream(ens_vars, batches: Iterable, *, depth: int = 2):
+        """Pipelined serving loop: yield HOST logits for each batch in order,
+        keeping up to `depth` batches in flight on the devices. device_get of
+        batch k happens only after batches k+1..k+depth are dispatched, so
+        the fusion chip works on batch k while the division chips are already
+        into later batches. depth=1 is plain double buffering; the default 2
+        also absorbs host-side jitter between yields."""
+        if depth < 1:
+            raise ValueError(f"stream depth must be >= 1, got {depth}")
+        ev = jax.device_put(ens_vars, fusion_dev)
+        inflight: deque = deque()
+        for images in batches:
+            inflight.append(_dispatch(ev, images))
+            if len(inflight) > depth:
+                yield jax.device_get(inflight.popleft())
+        while inflight:
+            yield jax.device_get(inflight.popleft())
+
+    serve.stream = stream
     serve.division_devices = [devices[d % len(devices)] for d in range(len(cms))]
     serve.fusion_device = fusion_dev
     serve.placed_divisions = placed  # exposed so tests can assert real placement

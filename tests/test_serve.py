@@ -60,7 +60,10 @@ def test_collaborative_serve_matches_sequential():
     # the division params really ARE placed on distinct devices (assert actual
     # array placement, not the arithmetic device list)
     assert len(set(serve.division_devices)) >= 4
-    assert serve.fusion_device == jax.devices()[0]
+    # fusion defaults to the first SPARE chip (8 devices, 4 divisions), so
+    # streaming fusion never contends with division 0's next-batch forward
+    assert serve.fusion_device == jax.devices()[4]
+    assert serve.fusion_device not in set(serve.division_devices)
     for d, (cm, dev) in enumerate(zip(serve.placed_divisions,
                                       serve.division_devices)):
         leaves = [x for x in jax.tree_util.tree_leaves(cm) if hasattr(x, "devices")]
@@ -74,3 +77,48 @@ def test_collaborative_serve_matches_sequential():
     zeros = jax.tree_util.tree_map(jnp.zeros_like, ens_vars)
     got0 = np.asarray(serve(zeros, images))
     assert not np.allclose(got0, got)
+
+
+def test_stream_matches_per_batch_serve():
+    """serve.stream yields the same logits, in order, as one serve() call per
+    batch — for every in-flight depth and for ragged batch counts around the
+    depth (fewer batches than depth exercises the tail-flush path)."""
+    cms, ens, ens_vars = _build()
+    serve = make_collaborative_server(
+        cms, lambda ev, c, t: ens.apply(ev, c, t), ens_vars,
+        patch_size=8, dtype=jnp.float32, use_pallas=False, fast_math=False)
+    batches = [np.asarray(jax.random.normal(jax.random.key(i), (3, 32, 32, 3)))
+               for i in range(5)]
+    want = [np.asarray(serve(ens_vars, b)) for b in batches]
+    for depth in (1, 2, 7):  # 7 > len(batches): everything in flight at once
+        got = list(serve.stream(ens_vars, batches, depth=depth))
+        assert len(got) == len(batches)
+        for k, (g, w) in enumerate(zip(got, want)):
+            assert isinstance(g, np.ndarray)  # host-materialized
+            np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-5,
+                                       err_msg=f"depth={depth} batch={k}")
+    # no silent drop on an empty iterator
+    assert list(serve.stream(ens_vars, [])) == []
+
+
+def test_fusion_device_override_and_contended_default():
+    """Explicit fusion_device wins; with no spare device (divisions == devices)
+    the default falls back to devices[0] as before."""
+    cms, ens, ens_vars = _build()
+    devs = jax.devices()
+    images = jax.random.normal(jax.random.key(3), (2, 32, 32, 3))
+
+    over = make_collaborative_server(
+        cms, lambda ev, c, t: ens.apply(ev, c, t), ens_vars,
+        patch_size=8, dtype=jnp.float32, use_pallas=False, fast_math=False,
+        fusion_device=devs[7])
+    assert over.fusion_device == devs[7]
+
+    packed = make_collaborative_server(
+        cms, lambda ev, c, t: ens.apply(ev, c, t), ens_vars,
+        patch_size=8, dtype=jnp.float32, use_pallas=False, fast_math=False,
+        devices=devs[:4])
+    assert packed.fusion_device == devs[0]
+    np.testing.assert_allclose(np.asarray(over(ens_vars, images)),
+                               np.asarray(packed(ens_vars, images)),
+                               rtol=1e-5, atol=1e-5)
