@@ -139,7 +139,17 @@ def dtype_from_args(args):
 
 
 def augment_config_from_args(args, img_size: int, source_size: int) -> AugmentConfig:
-    ra, mag, std = parse_ra_string(getattr(args, "aa", None))
+    aa = getattr(args, "aa", None)
+    ra, mag, std = parse_ra_string(aa)
+    # '--aa original' / '--aa cifar10': the AutoAugment policies the reference
+    # tree itself carries (utils/autoaug.py; its entry scripts advertise the
+    # flag, train_subdata.py:103-105) — see data/autoaugment.py
+    autoaug = aa if aa in ("original", "cifar10") else None
+    if aa and not ra and autoaug is None:
+        raise ValueError(
+            f"unrecognized --aa {aa!r}: expected a 'rand-*' RandAugment "
+            "recipe, 'original'/'cifar10' (the AutoAugment policies in the "
+            "reference's utils/autoaug.py), or '' to disable")
     reprob = args.reprob
     no_aug = bool(getattr(args, "no_aug", False))
     if no_aug:
@@ -147,6 +157,7 @@ def augment_config_from_args(args, img_size: int, source_size: int) -> AugmentCo
         # transforms_noaug_train): deterministic resize+center-crop+normalize,
         # auto-augment AND random erasing off
         ra = False
+        autoaug = None
         reprob = 0.0
     return AugmentConfig(
         img_size=img_size,
@@ -156,6 +167,7 @@ def augment_config_from_args(args, img_size: int, source_size: int) -> AugmentCo
         randaugment=ra,
         ra_magnitude=mag,
         ra_std=std,
+        autoaugment=autoaug,
         small_image=img_size == source_size and source_size <= 64,
     )
 
@@ -339,7 +351,7 @@ def make_train_prepare(aug_cfg: AugmentConfig, dtype=jnp.bfloat16):
 def make_train_pipeline(args, aug_cfg: AugmentConfig, dtype=jnp.bfloat16):
     """(prep_fn, host_transform) — pick where train augmentation runs.
 
-    auto: RandAugment training uses the HOST PIL pipeline in the prefetch
+    auto: RandAugment and AutoAugment training use the HOST PIL pipeline in the prefetch
     workers (data/host_augment.py — the reference's own CPU-worker split;
     measured on v5e bs256 224^2 the device pipeline's geometric RA ops cost
     ~21 s/batch because per-sample warp grids become unshared-index gathers
@@ -352,18 +364,20 @@ def make_train_pipeline(args, aug_cfg: AugmentConfig, dtype=jnp.bfloat16):
         # the host PIL pipeline applies RRC/hflip unconditionally and would
         # silently re-randomize a run the user asked to be deterministic
         return make_train_prepare(aug_cfg, dtype=dtype), None
-    use_host = backend == "host" or (
-        backend == "auto" and aug_cfg.randaugment and not aug_cfg.small_image)
-    if backend == "host" and aug_cfg.small_image:
+    use_host = backend == "host" or (backend == "auto" and (
+        aug_cfg.autoaugment is not None
+        or (aug_cfg.randaugment and not aug_cfg.small_image)))
+    if backend == "device" and aug_cfg.autoaugment is not None:
         raise ValueError(
-            "--aug-backend host has no small-image RandomCrop(pad4) path "
-            "(get_dataset.py:92-96); use the device pipeline for <=64px "
-            "inputs (auto does)")
-    if backend == "host" and not aug_cfg.randaugment and aug_cfg.color_jitter > 0:
+            "--aa original/cifar10 (AutoAugment) is host-PIL only: its "
+            "geometric ops are the ones measured unusable on-device "
+            "(data/host_augment.py docstring); drop --aug-backend device")
+    if (backend == "host" and not aug_cfg.randaugment
+            and aug_cfg.autoaugment is None and aug_cfg.color_jitter > 0):
         raise ValueError(
-            "--aug-backend host implements the RandAugment policy only; "
-            "color-jitter training (--aa '') uses the device pipeline "
-            "(auto does)")
+            "--aug-backend host implements the RandAugment/AutoAugment "
+            "policies only; color-jitter training (--aa '') uses the device "
+            "pipeline (auto does)")
     if use_host:
         from devit_tpu.data.host_augment import make_host_train_augment
 

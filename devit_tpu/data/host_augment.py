@@ -155,19 +155,39 @@ def _rrc_params(rng: np.random.Generator, w: int, h: int,
 
 def make_host_train_augment(cfg, seed: int = 0):
     """Returns `transform(images_u8, epoch, batch_index) -> uint8
-    (B, img_size, img_size, 3)` applying RRC + hflip + RandAugment per image
-    with PIL, threaded. `cfg` is a data.pipeline.AugmentConfig."""
-    from PIL import Image
+    (B, img_size, img_size, 3)` applying RRC + hflip + RandAugment (or the
+    reference's AutoAugment policy, cfg.autoaugment) per image with PIL,
+    threaded. Small-image inputs (cfg.small_image) get RandomCrop(pad 4)
+    instead of RRC — the reference's transform[0] swap (get_dataset.py:92-96).
+    `cfg` is a data.pipeline.AugmentConfig."""
+    from PIL import Image, ImageOps
+
+    aa_policy = None
+    if getattr(cfg, "autoaugment", None):
+        from devit_tpu.data.autoaugment import get_policy
+
+        aa_policy = get_policy(cfg.autoaugment)
 
     def one(img_np: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         img = Image.fromarray(img_np)
-        i, j, ch, cw = _rrc_params(rng, img.size[0], img.size[1],
-                                   cfg.rrc_scale, cfg.rrc_ratio)
-        img = img.resize((cfg.img_size, cfg.img_size), Image.BICUBIC,
-                         box=(j, i, j + cw, i + ch))
+        if cfg.small_image:
+            # torchvision RandomCrop(img_size, padding=4), fill 0
+            img = ImageOps.expand(img, border=4, fill=0)
+            i = int(rng.integers(0, img.size[1] - cfg.img_size + 1))
+            j = int(rng.integers(0, img.size[0] - cfg.img_size + 1))
+            img = img.crop((j, i, j + cfg.img_size, i + cfg.img_size))
+        else:
+            i, j, ch, cw = _rrc_params(rng, img.size[0], img.size[1],
+                                       cfg.rrc_scale, cfg.rrc_ratio)
+            img = img.resize((cfg.img_size, cfg.img_size), Image.BICUBIC,
+                             box=(j, i, j + cw, i + ch))
         if cfg.hflip and rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
-        if cfg.randaugment:
+        if aa_policy is not None:
+            from devit_tpu.data.autoaugment import auto_augment_pil
+
+            img = auto_augment_pil(img, rng, aa_policy)
+        elif cfg.randaugment:
             img = _rand_augment_pil(img, rng, float(cfg.ra_magnitude),
                                     cfg.ra_std, cfg.ra_num_ops, prob=0.5)
         return np.asarray(img, np.uint8)

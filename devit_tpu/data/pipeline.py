@@ -42,6 +42,10 @@ class AugmentConfig:
     ra_magnitude: int = 9  # rand-m9-mstd0.5-inc1 (train_subdata.py:103)
     ra_std: float = 0.5
     ra_num_ops: int = 2
+    # AutoAugment policy name ('original'/'cifar10') for --aa original etc.;
+    # mutually exclusive with randaugment, host-PIL path only
+    # (data/autoaugment.py)
+    autoaugment: Optional[str] = None
     small_image: bool = False  # RandomCrop(pad 4) path for 32x32 inputs
 
 
@@ -239,6 +243,11 @@ def train_transform(
     rng: Array, images: Array, cfg: AugmentConfig, dtype=jnp.bfloat16
 ) -> Array:
     """Batched train augmentation on device. images: uint8 (B,H,W,3)."""
+    if cfg.autoaugment is not None and not cfg.no_aug:
+        raise ValueError(
+            "AutoAugment (--aa original/cifar10) has no device implementation "
+            "— its geometric ops are host-PIL only (data/autoaugment.py); "
+            "use choose_aug_backend / --aug-backend auto")
     if cfg.no_aug:
         # timm transforms_noaug_train: Resize(img_size)+CenterCrop+Normalize,
         # fully deterministic (note: plain Resize(size), NOT the eval path's
