@@ -85,8 +85,13 @@ def add_aug_args(p: argparse.ArgumentParser) -> None:
                         "pure-JAX pipeline compiled into the step")
     p.add_argument("--mixup", type=float, default=0.8)
     p.add_argument("--cutmix", type=float, default=1.0)
+    p.add_argument("--cutmix-minmax", type=float, nargs="+", default=None,
+                   help="cutmix min/max box-side ratio; overrides the Beta "
+                        "box and forces cutmix on (timm, train_subdata.py:129)")
     p.add_argument("--mixup-prob", type=float, default=1.0)
     p.add_argument("--mixup-switch-prob", type=float, default=0.5)
+    p.add_argument("--mixup-mode", choices=["batch", "pair", "elem"],
+                   default="batch", help="timm Mixup mode (train_subdata.py:135)")
 
 
 def add_distill_args(p: argparse.ArgumentParser) -> None:
@@ -173,12 +178,19 @@ def augment_config_from_args(args, img_size: int, source_size: int) -> AugmentCo
 
 
 def mixup_config_from_args(args, num_classes: int) -> Optional[MixupConfig]:
-    if args.mixup <= 0 and args.cutmix <= 0:
+    minmax = getattr(args, "cutmix_minmax", None)
+    if minmax is not None and len(minmax) != 2:
+        raise ValueError("--cutmix-minmax takes exactly two floats (timm asserts len==2)")
+    # reference activation test: mixup > 0 or cutmix > 0 or cutmix_minmax
+    # is not None (train_subdata.py:379)
+    if args.mixup <= 0 and args.cutmix <= 0 and minmax is None:
         return None
     return MixupConfig(
-        mixup_alpha=args.mixup, cutmix_alpha=args.cutmix, prob=args.mixup_prob,
-        switch_prob=args.mixup_switch_prob, label_smoothing=args.smoothing,
-        num_classes=num_classes,
+        mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
+        cutmix_minmax=tuple(minmax) if minmax is not None else None,
+        prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
+        mode=getattr(args, "mixup_mode", "batch"),
+        label_smoothing=args.smoothing, num_classes=num_classes,
     )
 
 

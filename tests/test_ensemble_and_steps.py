@@ -165,6 +165,48 @@ def test_mixup_cutmix_properties():
     assert float(to[0, 0]) > 0.85
 
 
+def test_mixup_modes_pair_elem_minmax():
+    """timm mode='pair'/'elem' and cutmix_minmax semantics
+    (train_subdata.py:125-137)."""
+    x = jax.random.uniform(jax.random.key(0), (8, 16, 16, 3))
+    y = jnp.arange(8) % 4
+
+    # pair mode: each (i, B-1-i) pair shares lam -> symmetric target mass on
+    # the original class; both members mix with the same coefficient
+    cfg_p = MixupConfig(num_classes=4, label_smoothing=0.0, mode="pair")
+    xp, tp = mixup_cutmix(jax.random.key(3), x, y, cfg_p)
+    assert xp.shape == x.shape and tp.shape == (8, 4)
+    np.testing.assert_allclose(jnp.sum(tp, axis=-1), 1.0, rtol=1e-5)
+    own = tp[jnp.arange(8), y]  # per-sample lam (smoothing 0)
+    np.testing.assert_allclose(own, own[::-1], rtol=1e-5)
+
+    # elem mode: per-sample lam, generally NOT symmetric
+    cfg_e = MixupConfig(num_classes=4, label_smoothing=0.0, mode="elem")
+    xe, te = mixup_cutmix(jax.random.key(4), x, y, cfg_e)
+    np.testing.assert_allclose(jnp.sum(te, axis=-1), 1.0, rtol=1e-5)
+    own_e = te[jnp.arange(8), y]
+    assert not np.allclose(np.asarray(own_e), np.asarray(own_e)[::-1])
+
+    # cutmix_minmax: always cutmix, lam bounded by the [0.2,0.4]-side box ->
+    # area in [0.04, 0.16], lam in [0.84, 0.96] (up to integer rounding)
+    cfg_m = MixupConfig(mixup_alpha=0.0, cutmix_alpha=0.0,
+                        cutmix_minmax=(0.2, 0.4), switch_prob=1.0,
+                        num_classes=4, label_smoothing=0.0)
+    assert cfg_m.active  # minmax forces cutmix_alpha=1.0 like timm.__init__
+    lams = []
+    for s in range(8):
+        _, tmm = mixup_cutmix(jax.random.key(10 + s), x, y, cfg_m)
+        lams.append(float(tmm[0, y[0]]))
+    assert all(0.80 <= l <= 0.97 for l in lams), lams
+    # boxes vary across draws (not the degenerate Beta path)
+    assert max(lams) - min(lams) > 1e-4
+
+    # pair mode rejects odd batches like timm's assert
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mixup_cutmix(jax.random.key(0), x[:5], y[:5], cfg_p)
+
+
 def test_cosine_schedule_shape():
     cfg = OptimConfig(lr=5e-4, warmup_lr=1e-6, min_lr=1e-5, epochs=20,
                       warmup_epochs=5, cooldown_epochs=10)
