@@ -77,6 +77,11 @@ def add_aug_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--repeated-aug", action="store_true", default=True)
     p.add_argument("--no-repeated-aug", action="store_false", dest="repeated_aug")
     p.add_argument("--reprob", type=float, default=0.25)
+    p.add_argument("--remode", type=str, default="pixel",
+                   choices=["pixel", "rand", "const"],
+                   help="random-erasing fill (train_subdata.py:117)")
+    p.add_argument("--recount", type=int, default=1,
+                   help="random-erasing max box count (train_subdata.py:119)")
     p.add_argument("--aug-backend", choices=["auto", "host", "device"],
                    default="auto",
                    help="where train augmentation runs: host = PIL in the "
@@ -169,6 +174,8 @@ def augment_config_from_args(args, img_size: int, source_size: int) -> AugmentCo
         no_aug=no_aug,
         color_jitter=args.color_jitter,
         reprob=reprob,
+        re_mode=getattr(args, "remode", "pixel"),
+        re_count=getattr(args, "recount", 1),
         randaugment=ra,
         ra_magnitude=mag,
         ra_std=std,

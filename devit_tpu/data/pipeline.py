@@ -38,6 +38,8 @@ class AugmentConfig:
     rrc_ratio: Tuple[float, float] = (3 / 4, 4 / 3)
     color_jitter: float = 0.4
     reprob: float = 0.25  # random erasing probability (train_subdata.py:115)
+    re_mode: str = "pixel"  # --remode pixel|rand|const (train_subdata.py:117)
+    re_count: int = 1  # --recount: timm max_count, count ~ randint(1, max)
     randaugment: bool = True
     ra_magnitude: int = 9  # rand-m9-mstd0.5-inc1 (train_subdata.py:103)
     ra_std: float = 0.5
@@ -196,15 +198,15 @@ def _color_jitter(rng: Array, image: Array, strength: float) -> Array:
     return jax.lax.switch(k, [apply_perm(p) for p in perms], image)
 
 
-def _random_erase(rng: Array, image: Array, prob: float) -> Array:
-    """timm RandomErasing mode='pixel' (train_subdata.py:115-119), applied in
-    the NORMALIZED domain (timm appends it after ToTensor+Normalize): erase
-    one box with standard-normal noise. Geometry is timm's 10-try rejection —
-    sample (area, log-uniform aspect), round, accept the first with h < H and
-    w < W; no valid try -> no erase (never clip an oversized box to fit)."""
+def _erase_one_box(rng: Array, image: Array, count: Array, mode: str) -> Array:
+    """One timm erase box: 10-try rejection — sample (area/count, log-uniform
+    aspect), round, accept the first with h < H and w < W; no valid try -> no
+    erase (never clip an oversized box to fit). Fill per --remode: 'pixel' =
+    per-pixel N(0,1), 'rand' = one N(0,1) color per channel, 'const' = 0."""
     H, W, C = image.shape
-    r_apply, r_area, r_ratio, r_pos, r_noise = jax.random.split(rng, 5)
-    area = H * W * jax.random.uniform(r_area, (10,), minval=0.02, maxval=1 / 3)
+    r_area, r_ratio, r_pos, r_noise = jax.random.split(rng, 4)
+    area = (H * W / count) * jax.random.uniform(r_area, (10,), minval=0.02,
+                                                maxval=1 / 3)
     ratio = jnp.exp(jax.random.uniform(r_ratio, (10,), minval=jnp.log(0.3),
                                        maxval=jnp.log(10 / 3)))
     ehs = jnp.round(jnp.sqrt(area * ratio))
@@ -219,10 +221,37 @@ def _random_erase(rng: Array, image: Array, prob: float) -> Array:
     yy = jnp.arange(H)[:, None, None].astype(jnp.float32)
     xx = jnp.arange(W)[None, :, None].astype(jnp.float32)
     in_box = (yy >= y0) & (yy < y0 + eh) & (xx >= x0) & (xx < x0 + ew)
-    noise = jax.random.normal(r_noise, image.shape, image.dtype)
-    erased = jnp.where(in_box, noise, image)
-    apply = (jax.random.uniform(r_apply) < prob) & jnp.any(valid)
-    return jnp.where(apply, erased, image)
+    if mode == "pixel":
+        fill = jax.random.normal(r_noise, image.shape, image.dtype)
+    elif mode == "rand":
+        fill = jnp.broadcast_to(
+            jax.random.normal(r_noise, (1, 1, C), image.dtype), image.shape)
+    elif mode == "const":
+        fill = jnp.zeros_like(image)
+    else:
+        raise ValueError(f"--remode {mode!r}: expected pixel|rand|const")
+    return jnp.where(in_box & jnp.any(valid), fill, image)
+
+
+def _random_erase(rng: Array, image: Array, prob: float,
+                  mode: str = "pixel", max_count: int = 1) -> Array:
+    """timm RandomErasing (train_subdata.py:115-121), applied in the
+    NORMALIZED domain (timm appends it after ToTensor+Normalize). One apply
+    coin per image; count ~ randint(1, max_count) boxes (timm create_transform
+    maps --recount to max_count with min_count=1), each budgeted area/count
+    and filled per --remode. Boxes land sequentially, so overlaps overwrite
+    exactly like the reference's in-place tensor writes."""
+    r_apply, r_count, r_boxes = jax.random.split(rng, 3)
+    apply = jax.random.uniform(r_apply) < prob
+    if max_count == 1:
+        count = jnp.asarray(1.0)
+    else:  # python random.randint is INCLUSIVE on both ends
+        count = jax.random.randint(r_count, (), 1, max_count + 1).astype(jnp.float32)
+    out = image
+    for k, kr in enumerate(jax.random.split(r_boxes, max_count)):
+        erased = _erase_one_box(kr, out, count, mode)
+        out = jnp.where(k < count, erased, out)
+    return jnp.where(apply, out, image)
 
 
 def finish_transform(
@@ -235,7 +264,8 @@ def finish_transform(
     out = normalize(images, jnp.float32)
     if cfg.reprob > 0:
         keys = jax.random.split(rng, images.shape[0])
-        out = jax.vmap(lambda k, im: _random_erase(k, im, cfg.reprob))(keys, out)
+        out = jax.vmap(lambda k, im: _random_erase(
+            k, im, cfg.reprob, cfg.re_mode, cfg.re_count))(keys, out)
     return out.astype(dtype)
 
 
@@ -282,6 +312,6 @@ def train_transform(
     if cfg.reprob > 0:
         # timm appends RandomErasing AFTER normalization: the 'pixel' fill is
         # N(0,1) in the normalized domain, not pixel-space noise
-        out = jax.vmap(lambda k, im: _random_erase(k, im, cfg.reprob))(
-            keys[:, 4], out)
+        out = jax.vmap(lambda k, im: _random_erase(
+            k, im, cfg.reprob, cfg.re_mode, cfg.re_count))(keys[:, 4], out)
     return out.astype(dtype)

@@ -142,6 +142,52 @@ def test_train_transform_jits_and_randomizes():
     assert not np.allclose(a, b)
 
 
+def test_random_erase_modes_and_count():
+    """timm RandomErasing --remode/--recount semantics (train_subdata.py:115-121):
+    'const' zero-fills one rectangle, 'rand' fills one color per channel,
+    'pixel' per-pixel noise; recount budgets area/count per box."""
+    from devit_tpu.data.pipeline import _random_erase
+
+    img = jnp.ones((32, 32, 3), jnp.float32)
+
+    def run(key, mode, count):
+        return np.asarray(_random_erase(jax.random.key(key), img, prob=1.0,
+                                        mode=mode, max_count=count))
+
+    # const: erased pixels are exactly 0, and the region is one rectangle
+    out_c = None
+    for k in range(6):  # find a draw whose 10-try geometry succeeded
+        out_c = run(k, "const", 1)
+        if (out_c != 1).any():
+            break
+    mask = (out_c != 1).any(-1)
+    assert out_c[mask].max() == 0.0
+    rows, cols = mask.any(1), mask.any(0)
+    assert np.array_equal(mask, np.outer(rows, cols))  # a single rect
+    # timm geometry: area in [0.02, 1/3] of the image
+    assert 0.01 <= mask.mean() <= 0.40
+
+    # rand: within the box each channel is one broadcast N(0,1) value
+    out_r = run(k, "rand", 1)
+    box = out_r[mask]
+    for c in range(3):
+        assert np.unique(box[:, c]).size == 1
+    # pixel: per-pixel noise -> many distinct values
+    out_p = run(k, "pixel", 1)
+    assert np.unique(out_p[mask]).size > 10
+
+    # recount=3: union of up to 3 rects, each area-budgeted /count -> total
+    # bounded by ~1/3 still; erasure happens with prob=1
+    out_3 = run(3, "const", 3)
+    m3 = (out_3 != 1).any(-1)
+    assert m3.any() and m3.mean() <= 0.5
+
+    # prob=0 is identity
+    np.testing.assert_array_equal(
+        np.asarray(_random_erase(jax.random.key(0), img, prob=0.0,
+                                 mode="pixel", max_count=2)), np.asarray(img))
+
+
 def test_color_jitter_matches_torch_adjust_ops():
     """Pin each jitter op against torch's functional definitions (torchvision
     absent; adjust_* are simple blends: out = mean + f*(x-mean), clamped)."""
