@@ -73,6 +73,9 @@ def add_aug_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--color-jitter", type=float, default=0.4)
     p.add_argument("--aa", type=str, default="rand-m9-mstd0.5-inc1")
     p.add_argument("--no-aug", action="store_true")
+    p.add_argument("--train-interpolation", type=str, default="bicubic",
+                   choices=["bicubic", "bilinear", "random"],
+                   help="RRC resample filter (train_subdata.py:107)")
     p.add_argument("--smoothing", type=float, default=0.1)
     p.add_argument("--repeated-aug", action="store_true", default=True)
     p.add_argument("--no-repeated-aug", action="store_false", dest="repeated_aug")
@@ -176,6 +179,7 @@ def augment_config_from_args(args, img_size: int, source_size: int) -> AugmentCo
         reprob=reprob,
         re_mode=getattr(args, "remode", "pixel"),
         re_count=getattr(args, "recount", 1),
+        interpolation=getattr(args, "train_interpolation", "bicubic"),
         randaugment=ra,
         ra_magnitude=mag,
         ra_std=std,

@@ -179,7 +179,15 @@ def make_host_train_augment(cfg, seed: int = 0):
         else:
             i, j, ch, cw = _rrc_params(rng, img.size[0], img.size[1],
                                        cfg.rrc_scale, cfg.rrc_ratio)
-            img = img.resize((cfg.img_size, cfg.img_size), Image.BICUBIC,
+            interp = getattr(cfg, "interpolation", "bicubic")
+            if interp == "random":
+                # timm RandomResizedCropAndInterpolation 'random':
+                # random.choice((BILINEAR, BICUBIC)) per call
+                resample = (Image.BILINEAR, Image.BICUBIC)[int(rng.integers(0, 2))]
+            else:
+                resample = {"bicubic": Image.BICUBIC,
+                            "bilinear": Image.BILINEAR}[interp]
+            img = img.resize((cfg.img_size, cfg.img_size), resample,
                              box=(j, i, j + cw, i + ch))
         if cfg.hflip and rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)

@@ -36,6 +36,10 @@ class AugmentConfig:
     hflip: bool = True
     rrc_scale: Tuple[float, float] = (0.08, 1.0)
     rrc_ratio: Tuple[float, float] = (3 / 4, 4 / 3)
+    # --train-interpolation (train_subdata.py:107): RRC resample filter;
+    # 'random' picks bilinear/bicubic per sample like timm's
+    # RandomResizedCropAndInterpolation
+    interpolation: str = "bicubic"  # bicubic | bilinear | random
     color_jitter: float = 0.4
     reprob: float = 0.25  # random erasing probability (train_subdata.py:115)
     re_mode: str = "pixel"  # --remode pixel|rand|const (train_subdata.py:117)
@@ -134,19 +138,32 @@ def _random_resized_crop(rng: Array, image: Array, cfg: AugmentConfig) -> Array:
     y0 = jnp.where(any_valid, i.astype(jnp.float32), (H - fh) // 2)
     x0 = jnp.where(any_valid, j.astype(jnp.float32), (W - fw) // 2)
 
-    # crop+resize in one scale_and_translate, bicubic (the reference's
-    # --train-interpolation default)
+    # crop+resize in one scale_and_translate, filter per --train-interpolation
+    # (bicubic is the reference's default)
     scale = jnp.array([cfg.img_size / h, cfg.img_size / w])
     translation = -jnp.array([y0, x0]) * scale
-    out = jax.image.scale_and_translate(
-        image.astype(jnp.float32),
-        (cfg.img_size, cfg.img_size, C),
-        (0, 1),
-        scale,
-        translation,
-        method="cubic",
-    )
-    return out
+
+    def rrc(method):
+        return jax.image.scale_and_translate(
+            image.astype(jnp.float32),
+            (cfg.img_size, cfg.img_size, C),
+            (0, 1),
+            scale,
+            translation,
+            method=method,
+        )
+
+    if cfg.interpolation == "random":
+        # timm 'random': coin-flip bilinear/bicubic per sample. Both filters
+        # are computed and selected — under vmap a cond would do the same,
+        # and RRC resampling is a negligible slice of the step.
+        coin = jax.random.uniform(jax.random.fold_in(r_pos, 1)) < 0.5
+        return jnp.where(coin, rrc("cubic"), rrc("linear"))
+    method = {"bicubic": "cubic", "bilinear": "linear"}.get(cfg.interpolation)
+    if method is None:
+        raise ValueError(f"--train-interpolation {cfg.interpolation!r}: "
+                         "expected bicubic|bilinear|random")
+    return rrc(method)
 
 
 def _random_crop_pad4(rng: Array, image: Array, cfg: AugmentConfig) -> Array:

@@ -32,6 +32,36 @@ def test_deterministic_per_epoch_and_batch():
     assert not np.array_equal(a, c) and not np.array_equal(a, d)
 
 
+def test_train_interpolation_variants():
+    """--train-interpolation threads through both augmentation backends:
+    bilinear differs from bicubic on the same stream; 'random' mixes them
+    per sample (timm RandomResizedCropAndInterpolation semantics)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from devit_tpu.data.pipeline import train_transform
+
+    # host path
+    outs = {}
+    for interp in ("bicubic", "bilinear", "random"):
+        cfg = dataclasses.replace(CFG, interpolation=interp)
+        outs[interp] = make_host_train_augment(cfg, seed=0)(_batch(), 0, 0)
+    assert not np.array_equal(outs["bicubic"], outs["bilinear"])
+    # random draws per-sample coins on an independent stream; just shape-check
+    assert outs["random"].shape == outs["bicubic"].shape
+
+    # device path (cfg without RA so the only difference is the filter)
+    imgs = jnp.asarray(_batch(4))
+    dev = {}
+    for interp in ("bicubic", "bilinear", "random"):
+        cfg = dataclasses.replace(CFG, randaugment=False, reprob=0.0,
+                                  color_jitter=0.0, interpolation=interp)
+        dev[interp] = np.asarray(train_transform(
+            jax.random.key(0), imgs, cfg, dtype=jnp.float32))
+    assert not np.allclose(dev["bicubic"], dev["bilinear"])
+    assert np.isfinite(dev["random"]).all()
+
+
 def test_per_sample_independent_streams():
     tf = make_host_train_augment(CFG, seed=0)
     imgs = np.repeat(_batch(1), 8, axis=0)  # identical inputs
