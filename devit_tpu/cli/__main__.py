@@ -111,6 +111,12 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--distillation-inter", action="store_true", default=True)
     pp.add_argument("--teacher-size", type=int, default=768)
     pp.add_argument("--ens-lr", type=float, default=None)
+    pp.add_argument("--ens-backbone-lr", type=float, default=None,
+                    help="stage-5 backbone LR (default: reference recipe "
+                         "1e-5 unless --lr was moved off its default)")
+    pp.add_argument("--ens-weight-decay", type=float, default=None,
+                    help="stage-5 weight decay (default: reference 0.05 "
+                         "unless --weight-decay was moved off its default)")
     pp.add_argument("--deploy-num-classes", type=int, default=25)
     pp.add_argument("--neuron-multiple", type=int, default=128)
     pp.set_defaults(fn=stages.pipeline_main, model="dedeit")

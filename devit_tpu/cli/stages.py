@@ -864,8 +864,17 @@ def pipeline_main(args):
         d.update(overrides)
         return argparse.Namespace(**d)
 
+    def artifact_exists(*path):
+        p = os.path.join(root, *path)
+        # make_saver rewrites '.msgpack' -> '.orbax' under --ckpt-format
+        # orbax; accept either artifact so completed stages are skipped
+        # regardless of the checkpoint format
+        return os.path.exists(p) or (
+            p.endswith(".msgpack")
+            and os.path.exists(p[: -len(".msgpack")] + ".orbax"))
+
     def done(*path):
-        return not args.force and os.path.exists(os.path.join(root, *path))
+        return not args.force and artifact_exists(*path)
 
     manifest = os.path.join(root, f"division{args.num_division}", "manifest.json")
     results = {}
@@ -915,10 +924,26 @@ def pipeline_main(args):
         if done("ensemble", "checkpoint.msgpack"):
             log.info("pipeline: ensemble exists — skipping")
         else:
+            # the ensemble subcommand pins the reference stage-5 recipe
+            # (ensemble.py lr 1e-5 / weight-decay 0.05 — cli/__main__.py
+            # ep.set_defaults); the shared pipeline parser carries the
+            # generic optim defaults (5e-4 / 0.0), so apply the stage-5
+            # recipe unless the user moved the shared flag off its default
+            # (fine-tuning distilled backbones at 5e-4 destroys them)
+            ens_overrides = {}
+            if getattr(args, "ens_backbone_lr", None) is not None:
+                ens_overrides["lr"] = args.ens_backbone_lr
+            elif args.lr == 5e-4:
+                ens_overrides["lr"] = 1e-5
+            if getattr(args, "ens_weight_decay", None) is not None:
+                ens_overrides["weight_decay"] = args.ens_weight_decay
+            elif args.weight_decay == 0.0:
+                ens_overrides["weight_decay"] = 0.05
             results["ensemble"] = ensemble_main(
                 ns(output_dir=os.path.join(root, "ensemble"),
                    sub_model_path=root, manifest=manifest, resume="",
-                   compact_path=None, ens_path=None, gates_path=None))
+                   compact_path=None, ens_path=None, gates_path=None,
+                   **ens_overrides))
     if "deploy" in selected and C.is_cct(args.model):
         # structural compaction (models/compact_vit.py) is ViT-family only;
         # CCT divisions serve via the gated stacked path, whose uniform
@@ -929,9 +954,17 @@ def pipeline_main(args):
         if done("deploy", "deploy_report.json"):
             log.info("pipeline: deploy artifacts exist — skipping")
         else:
+            # deploy from the stage-5 ensemble checkpoint when it exists
+            # (what actually serves); with a stage subset that skipped
+            # 'ensemble', fall back to the per-division distill checkpoints
+            # rather than crashing on the missing path
+            ens_ckpt = os.path.join(root, "ensemble", "checkpoint.msgpack")
+            if not artifact_exists("ensemble", "checkpoint.msgpack"):
+                log.info("pipeline: no ensemble checkpoint — deploying from "
+                         "the distill checkpoints")
+                ens_ckpt = None
             deploy_main(ns(output_dir=os.path.join(root, "deploy"),
-                           ensemble_path=os.path.join(root, "ensemble",
-                                                      "checkpoint.msgpack"),
+                           ensemble_path=ens_ckpt,
                            sub_model_path=root,
                            deploy_num_classes=args.deploy_num_classes))
     log.info(f"pipeline complete: {sorted(results)}")

@@ -70,7 +70,8 @@ def resize_bicubic(images: Array, size: int) -> Array:
     )
 
 
-def resize_center_crop(images: Array, scale_size: int, img_size: int) -> Array:
+def resize_center_crop(images: Array, scale_size: int, img_size: int,
+                       method: str = "cubic") -> Array:
     """torchvision Resize(int)+CenterCrop: scale the SHORTER side to
     scale_size preserving aspect (long side int-truncated), then CenterCrop
     with top/left = int(round((dim-crop)/2)). Returns float32 pixels."""
@@ -79,7 +80,7 @@ def resize_center_crop(images: Array, scale_size: int, img_size: int) -> Array:
         nh, nw = scale_size, int(scale_size * W / H)
     else:
         nh, nw = int(scale_size * H / W), scale_size
-    x = jax.image.resize(images.astype(jnp.float32), (B, nh, nw, C), method="cubic")
+    x = jax.image.resize(images.astype(jnp.float32), (B, nh, nw, C), method=method)
     top = int(round((nh - img_size) / 2.0))
     left = int(round((nw - img_size) / 2.0))
     return x[:, top : top + img_size, left : left + img_size, :]
@@ -156,8 +157,10 @@ def _random_resized_crop(rng: Array, image: Array, cfg: AugmentConfig) -> Array:
     if cfg.interpolation == "random":
         # timm 'random': coin-flip bilinear/bicubic per sample. Both filters
         # are computed and selected — under vmap a cond would do the same,
-        # and RRC resampling is a negligible slice of the step.
-        coin = jax.random.uniform(jax.random.fold_in(r_pos, 1)) < 0.5
+        # and RRC resampling is a negligible slice of the step. Coin index 2:
+        # split(r_pos) above yields fold_in indices 0/1 (ki/kj), so index 1
+        # would alias the x-offset draw and couple filter choice to position.
+        coin = jax.random.uniform(jax.random.fold_in(r_pos, 2)) < 0.5
         return jnp.where(coin, rrc("cubic"), rrc("linear"))
     method = {"bicubic": "cubic", "bilinear": "linear"}.get(cfg.interpolation)
     if method is None:
@@ -294,14 +297,19 @@ def train_transform(
         raise ValueError(
             "AutoAugment (--aa original/cifar10) has no device implementation "
             "— its geometric ops are host-PIL only (data/autoaugment.py); "
-            "use choose_aug_backend / --aug-backend auto")
+            "use --aug-backend auto/host (cli.common.make_train_pipeline "
+            "routes AA to the host-PIL backend)")
     if cfg.no_aug:
         # timm transforms_noaug_train: Resize(img_size)+CenterCrop+Normalize,
         # fully deterministic (note: plain Resize(size), NOT the eval path's
-        # 256/224 upscale)
+        # 256/224 upscale). The resize honors --train-interpolation, with
+        # timm's 'random' -> bilinear fallback (timm 0.5.4 transforms_factory).
         B, H, W, C = images.shape
+        method = {"bicubic": "cubic", "bilinear": "linear",
+                  "random": "linear"}[cfg.interpolation]
         x = (images.astype(jnp.float32) if (H, W) == (cfg.img_size, cfg.img_size)
-             else resize_center_crop(images, cfg.img_size, cfg.img_size))
+             else resize_center_crop(images, cfg.img_size, cfg.img_size,
+                                     method=method))
         return normalize(x, dtype)
     B = images.shape[0]
     keys = jax.random.split(rng, B * 5).reshape(B, 5)

@@ -51,7 +51,7 @@ def test_train_interpolation_variants():
     assert outs["random"].shape == outs["bicubic"].shape
 
     # device path (cfg without RA so the only difference is the filter)
-    imgs = jnp.asarray(_batch(4))
+    imgs = jnp.asarray(_batch(16))
     dev = {}
     for interp in ("bicubic", "bilinear", "random"):
         cfg = dataclasses.replace(CFG, randaugment=False, reprob=0.0,
@@ -59,7 +59,32 @@ def test_train_interpolation_variants():
         dev[interp] = np.asarray(train_transform(
             jax.random.key(0), imgs, cfg, dtype=jnp.float32))
     assert not np.allclose(dev["bicubic"], dev["bilinear"])
-    assert np.isfinite(dev["random"]).all()
+    # 'random' must only toggle the FILTER: per sample the output equals the
+    # fixed-filter variant with the identical crop (the coin key is fold_in
+    # index 2, off the ki/kj offset draws — an index-1 coin would alias the
+    # x-offset stream and change the crops), and both filters occur in 16.
+    picked = []
+    for k in range(16):
+        is_cubic = np.array_equal(dev["random"][k], dev["bicubic"][k])
+        is_linear = np.array_equal(dev["random"][k], dev["bilinear"][k])
+        assert is_cubic or is_linear, f"sample {k}: crop changed under 'random'"
+        picked.append(is_cubic)
+    assert 0 < sum(picked) < 16, "coin never flipped across 16 samples"
+
+    # --no-aug honors --train-interpolation (timm transforms_noaug_train),
+    # with 'random' falling back to bilinear
+    from devit_tpu.data.pipeline import normalize, resize_center_crop
+
+    na = {}
+    for interp in ("bicubic", "bilinear", "random"):
+        cfg = dataclasses.replace(CFG, no_aug=True, interpolation=interp)
+        na[interp] = np.asarray(train_transform(
+            jax.random.key(0), imgs, cfg, dtype=jnp.float32))
+    assert not np.allclose(na["bicubic"], na["bilinear"])
+    np.testing.assert_array_equal(na["random"], na["bilinear"])
+    expect = np.asarray(normalize(
+        resize_center_crop(imgs, 32, 32, method="linear"), jnp.float32))
+    np.testing.assert_array_equal(na["bilinear"], expect)
 
 
 def test_per_sample_independent_streams():

@@ -239,3 +239,46 @@ def test_pipeline_orchestrator_one_shot(tmp_path_factory):
     assert results2 == {}
     with open(os.path.join(root, "log.txt")) as f:
         assert f.read().count("— skipping") >= 8
+
+
+def test_pipeline_stage5_recipe_and_deploy_fallback(tmp_path, monkeypatch):
+    """Three pipeline_main contracts (round-3 review findings):
+    - the ensemble stage gets the reference stage-5 recipe (ensemble.py lr
+      1e-5 / wd 0.05) when the shared optim flags sit at their generic
+      defaults, and the explicit --ens-backbone-lr override wins;
+    - a stage subset without 'ensemble' deploys from the distill
+      checkpoints (ensemble_path=None) instead of crashing on a missing
+      ensemble checkpoint;
+    - stage-skip detection recognizes the .orbax artifact make_saver writes
+      under --ckpt-format orbax."""
+    from devit_tpu.cli import stages
+
+    root = str(tmp_path)
+    captured = {}
+    monkeypatch.setattr(stages, "ensemble_main",
+                        lambda a: captured.update(ens=a) or 61.0)
+    monkeypatch.setattr(stages, "deploy_main",
+                        lambda a: captured.update(dep=a))
+    argv = ["pipeline", "--output_dir", root, "--stages", "ensemble,deploy",
+            *DATA]
+
+    stages.pipeline_main(build_parser().parse_args(argv))
+    assert captured["ens"].lr == 1e-5
+    assert captured["ens"].weight_decay == 0.05
+    # the mocked ensemble stage wrote no checkpoint -> distill fallback
+    assert captured["dep"].ensemble_path is None
+
+    # explicit stage-5 override beats the recipe; a moved shared --lr is kept
+    captured.clear()
+    stages.pipeline_main(build_parser().parse_args(
+        argv + ["--ens-backbone-lr", "3e-5", "--weight-decay", "0.1"]))
+    assert captured["ens"].lr == 3e-5
+    assert captured["ens"].weight_decay == 0.1
+
+    # a .orbax ensemble artifact skips the stage AND routes deploy to the
+    # ensemble checkpoint path (restore_pytree auto-detects the sibling)
+    os.makedirs(os.path.join(root, "ensemble", "checkpoint.orbax"))
+    captured.clear()
+    stages.pipeline_main(build_parser().parse_args(argv))
+    assert "ens" not in captured, "orbax artifact must skip the stage"
+    assert captured["dep"].ensemble_path.endswith("checkpoint.msgpack")
