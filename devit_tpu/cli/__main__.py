@@ -134,6 +134,15 @@ def build_parser() -> argparse.ArgumentParser:
     dep.add_argument("--neuron-multiple", type=int, default=128)
     dep.set_defaults(fn=stages.deploy_main, model="dedeit")
 
+    cv = sub.add_parser("convert", help="convert checkpoints: torch .pth/.pt "
+                                        "<-> msgpack/orbax, flax .npz -> ours "
+                                        "(geometry inferred from the file)")
+    cv.add_argument("src", help=".pth/.pt/.npz/.msgpack/.orbax input")
+    cv.add_argument("dst", help=".msgpack/.orbax/.pth/.pt output")
+    cv.add_argument("--ema", action="store_true",
+                    help="export the EMA parameters instead of the raw ones")
+    cv.set_defaults(fn=stages.convert_main)
+
     return p
 
 

@@ -1060,3 +1060,93 @@ def deploy_main(args):
     with open(os.path.join(args.output_dir, "deploy_report.json"), "w") as f:
         _json.dump(report, f, indent=1)
     return report
+
+
+# ------------------------------------------------------------------ convert
+
+
+def convert_main(args):
+    """Standalone checkpoint conversion — the implicit converters behind
+    --model-path/--teacher-path/--resume exposed as a tool for migrating
+    users (docs/MIGRATION.md "Checkpoint compatibility").
+
+    Formats by extension:
+      in:  .pth/.pt (reference-layout torch state dict, ViT or CCT family —
+           auto-detected from the keys), .npz (Flax ViT, de_vit.py:372-449),
+           .msgpack / .orbax (ours; full {params, ema_params, ...} trees)
+      out: .msgpack / .orbax (full tree preserved), .pth/.pt (ViT family
+           only: reference-layout state dict via params_to_torch_vit —
+           loadable by the reference's de_vit.VisionTransformer)
+
+    Geometry (depth, CCT conv stages) is inferred from the checkpoint itself;
+    no model flags needed. --ema exports the EMA parameters instead of the
+    raw ones (reference _load_checkpoint_for_ema interop).
+    """
+    from devit_tpu.io.checkpoint import (
+        load_flax_npz_vit, load_torch_state_dict, params_to_torch_vit,
+        save_pytree, save_pytree_orbax, torch_cct_to_params,
+        torch_vit_to_params, wait_for_checkpoints,
+    )
+
+    src, dst = args.src, args.dst
+    if src.endswith((".pth", ".pt")):
+        sd = load_torch_state_dict(src)
+        if any(k.startswith("classifier.blocks.") for k in sd):
+            L = 1 + max(int(k.split(".")[2]) for k in sd
+                        if k.startswith("classifier.blocks."))
+            nconv = 1 + max(int(k.split(".")[2]) for k in sd
+                            if k.startswith("tokenizer.conv_layers."))
+            tree = {"params": torch_cct_to_params(
+                sd, num_layers=L, n_conv_layers=nconv)}
+        elif any(k.startswith("blocks.") for k in sd):
+            L = 1 + max(int(k.split(".")[1]) for k in sd
+                        if k.startswith("blocks."))
+            tree = {"params": torch_vit_to_params(sd, depth=L)}
+        else:
+            raise ValueError(
+                f"{src}: no blocks.* / classifier.blocks.* keys — not a "
+                "reference-layout ViT/CCT state dict")
+    elif src.endswith(".npz"):
+        w = np.load(src)
+        L = 1 + max(int(k.split("encoderblock_")[1].split("/")[0])
+                    for k in w.files if "encoderblock_" in k)
+        tree = {"params": load_flax_npz_vit(src, depth=L)}
+    else:
+        tree = restore_pytree(src, None)
+        if not (isinstance(tree, dict) and "params" in tree):
+            tree = {"params": tree}
+
+    params = tree["params"]
+    if args.ema:
+        if tree.get("ema_params") is None:
+            raise ValueError(f"--ema: no ema_params in {src}")
+        params = tree["ema_params"]
+
+    if dst.endswith((".pth", ".pt")):
+        if not (isinstance(params, dict) and "qkv" in params.get("blocks", {})):
+            raise ValueError(
+                "torch export is ViT-family only (params_to_torch_vit); "
+                "CCT checkpoints convert torch->ours but not back")
+        import torch
+
+        depth = int(np.asarray(params["blocks"]["qkv"]["kernel"]).shape[0])
+        out_sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+                  for k, v in params_to_torch_vit(params, depth).items()}
+        torch.save(out_sd, dst)
+        if "gates" in tree:
+            print("note: shrink gates are not representable in the torch "
+                  "state dict (the reference keeps them non-persistent); "
+                  "apply them there via core/imp_rank masks")
+    elif dst.endswith(".orbax"):
+        out = dict(tree, params=params) if args.ema else tree
+        save_pytree_orbax(dst, out)
+        wait_for_checkpoints()
+    elif dst.endswith(".msgpack"):
+        out = dict(tree, params=params) if args.ema else tree
+        save_pytree(dst, out)
+    else:
+        raise ValueError(f"{dst}: expected .msgpack, .orbax, .pth or .pt")
+    n = sum(int(np.asarray(x).size) for x in jax.tree_util.tree_leaves(params))
+    print(f"converted {src} -> {dst} ({n/1e6:.2f}M params"
+          f"{', ema' if args.ema else ''})")
+    return dst

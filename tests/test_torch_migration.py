@@ -129,3 +129,54 @@ def test_load_flax_npz_vit(tmp_path):
     out = model.apply({"params": params}, jnp.zeros((2, 32, 32, 3)))
     assert out.logits.shape == (2, K)
     assert np.isfinite(np.asarray(out.logits)).all()
+
+
+def test_convert_cli_roundtrips(tmp_path):
+    """`devit convert`: .pth -> .msgpack -> .pth roundtrip is exact (geometry
+    inferred from the file, no model flags), --ema exports ema_params, and
+    msgpack -> orbax preserves the full tree."""
+    from devit_tpu.cli.__main__ import build_parser
+    from devit_tpu.io.checkpoint import restore_pytree, save_pytree
+
+    def run(argv):
+        args = build_parser().parse_args(argv)
+        return args.fn(args)
+
+    tm = TorchViT(img=32, patch=8, dim=64, depth=3, heads=4, classes=10).eval()
+    sd = tm.flat_state_dict()
+    src = str(tmp_path / "ref.pth")
+    torch.save({"model": {k: torch.tensor(v) for k, v in sd.items()}}, src)
+
+    mp = str(tmp_path / "ours.msgpack")
+    run(["convert", src, mp])
+    tree = restore_pytree(mp, None)
+    assert tree["params"]["blocks"]["qkv"]["kernel"].shape[0] == 3  # depth inferred
+    np.testing.assert_allclose(
+        np.asarray(tree["params"]["blocks"]["qkv"]["kernel"][1]),
+        sd["blocks.1.attn.qkv.weight"].T, rtol=1e-6)
+
+    back = str(tmp_path / "back.pth")
+    run(["convert", mp, back])
+    sd2 = torch.load(back, map_location="cpu", weights_only=False)
+    assert set(sd2) == set(sd)
+    for k in sd:
+        np.testing.assert_allclose(np.asarray(sd2[k]), sd[k], rtol=1e-6,
+                                   err_msg=k)
+
+    # --ema: a checkpoint with distinct ema_params exports the EMA tree
+    ema = jax.tree_util.tree_map(lambda x: np.asarray(x) + 1.0, tree["params"])
+    full = str(tmp_path / "full.msgpack")
+    save_pytree(full, {"params": tree["params"], "ema_params": ema,
+                       "epoch": np.int32(4)})
+    ema_pth = str(tmp_path / "ema.pth")
+    run(["convert", full, ema_pth, "--ema"])
+    sd3 = torch.load(ema_pth, map_location="cpu", weights_only=False)
+    np.testing.assert_allclose(
+        np.asarray(sd3["blocks.0.attn.qkv.weight"]),
+        sd["blocks.0.attn.qkv.weight"] + 1.0, rtol=1e-6)
+
+    # msgpack -> orbax keeps the whole tree (epoch included)
+    ob = str(tmp_path / "conv.orbax")
+    run(["convert", full, ob])
+    tree2 = restore_pytree(ob, None)
+    assert int(tree2["epoch"]) == 4 and "ema_params" in tree2
