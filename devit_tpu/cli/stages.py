@@ -357,6 +357,13 @@ def distill_main(args) -> float:
         rank_file = os.path.join(args.policy_path, "neuron_rank.npy")
         prep_eval0 = C.make_eval_prepare(args.input_size, dtype=C.dtype_from_args(args))
         if os.path.exists(rank_file):
+            # our stage 3 persists its ranks, so the gates applied here are
+            # EXACTLY the ones the chosen policy's accuracy was measured
+            # with (pipeline coherence). The reference instead re-ranks on a
+            # fresh random batch (distill_sub.py:391-401), which can select
+            # different heads/neurons than its own policy search scored —
+            # the fallback below reproduces that recipe for reference-made
+            # stage-3 outputs, which carry no rank files.
             neuron_rank = np.load(rank_file)
             head_rank = np.load(os.path.join(args.policy_path, "head_rank.npy"))
         else:
@@ -368,7 +375,14 @@ def distill_main(args) -> float:
             )
             x = prep_eval0(images)
             neuron_rank = mlp_neuron_rank(rank_apply, variables, x)
-            head_rank = attn_head_rank(rank_apply, variables, x)
+            # the reference applies the neuron mask BEFORE ranking heads
+            # (distill_sub.py:391-401: mlp_neuron_shrink, THEN
+            # attn_head_rank) — the head HSIC scores must see the
+            # neuron-gated network, not the clean one
+            ngates = build_gates(
+                neuron_rank, np.tile(np.arange(student.cfg.num_heads), (L, 1)),
+                neuron_sparsity, np.zeros(L))
+            head_rank = attn_head_rank(rank_apply, variables, x, gates=ngates)
         gates = build_gates(neuron_rank, head_rank, neuron_sparsity, head_sparsity)
         log.info(f"applied shrink policy: mean neuron sparsity "
                  f"{np.mean(neuron_sparsity):.2f}, head {np.mean(head_sparsity):.2f}")

@@ -23,11 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from devit_tpu.configs import ViTConfig
+from devit_tpu.models.compact_vit import _round_up
 from devit_tpu.models.vit import Gates
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def compact_vit_params(
@@ -48,6 +45,11 @@ def compact_vit_params(
     """
     head = np.asarray(jax.device_get(gates.head))
     neuron = np.asarray(jax.device_get(gates.neuron))
+    if not (np.isin(head, (0.0, 1.0)).all() and np.isin(neuron, (0.0, 1.0)).all()):
+        # same contract as compact_vit_ragged: compaction drops pruned slots,
+        # so a fractional gate (which SCALES activations in the gated model)
+        # would silently round to keep/drop here — different math, no error
+        raise ValueError("compact_vit_params requires binary (0/1) gates")
     L, H = head.shape
     _, hidden = neuron.shape
     dh = cfg.head_dim

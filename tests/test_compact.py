@@ -87,3 +87,22 @@ def test_compact_divisions_common_geometry():
     stacked = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *clist)
     feats = jax.vmap(lambda pp: cmodel.apply({"params": pp}, x, features_only=True).cls_feat)(stacked)
     assert feats.shape == (2, 2, 64)
+
+
+def test_compact_rejects_fractional_gates():
+    """Both compaction paths must refuse non-binary gates: compaction DROPS
+    pruned slots, while the gated model SCALES by the gate value — a
+    fractional gate compacted as full-keep would silently change the math
+    (compact_vit_ragged already raised; compact_vit_params now matches)."""
+    import pytest
+    from devit_tpu.models.compact_vit import compact_vit_ragged
+
+    model = VisionTransformer(CFG)
+    params = model.init(jax.random.key(0), jnp.zeros((1, CFG.img_size,
+                                                      CFG.img_size, 3)))["params"]
+    g = make_gates(0, 2, 96)
+    bad = Gates(g.head.at[0, 0].set(0.5), g.neuron)
+    with pytest.raises(ValueError, match="binary"):
+        compact_vit_params(params, bad, CFG)
+    with pytest.raises(ValueError, match="binary"):
+        compact_vit_ragged(params, bad, CFG)

@@ -115,7 +115,51 @@ def test_stage4_distill(workdir):
     assert best > 2 * DIV_CHANCE, f"DEKD did not learn: acc1 {best:.1f}"
 
 
-def test_stage5_ensemble(workdir):
+def test_stage4_rerank_fallback_gates_heads_after_neurons(workdir, tmp_path,
+                                                          monkeypatch):
+    """A reference-made stage-3 output carries only the policy/accuracy .npy
+    pair (shrink.py:417-418) — no rank files — so distill re-ranks on one
+    batch. The reference applies the NEURON mask before ranking heads
+    (distill_sub.py:391-401: mlp_neuron_shrink, then attn_head_rank); the
+    fallback must hand attn_head_rank neuron-gated, head-ungated gates."""
+    import shutil
+
+    from devit_tpu.cli import stages as St
+
+    pol_dir = str(tmp_path / "ref_shrink")
+    os.makedirs(pol_dir)
+    for f in ("shrinked_policy.npy", "shrinked_accuracy.npy"):
+        shutil.copy(os.path.join(workdir, "shrink0", f), os.path.join(pol_dir, f))
+
+    captured = {}
+    real = St.attn_head_rank
+
+    def spy(apply_fn, variables, images, gates=None):
+        captured["gates"] = gates
+        return real(apply_fn, variables, images, gates=gates)
+
+    monkeypatch.setattr(St, "attn_head_rank", spy)
+    run([
+        "distill", *TINY_MODEL, *TINY_OPT, *DATA, *NO_MIX, "--epochs", "1",
+        "--manifest", os.path.join(workdir, "split", "division2", "manifest.json"),
+        "--model-path", os.path.join(workdir, "sub-dataset0", "checkpoint.msgpack"),
+        "--teacher-model", "dedeit",
+        "--teacher-path", os.path.join(workdir, "sub-dataset0", "checkpoint.msgpack"),
+        "--policy-path", pol_dir,
+        "--start-division", "0", "--output_dir", str(tmp_path / "out"),
+        "--no-repeated-aug", "--aa", "",
+    ])
+    g = captured["gates"]
+    assert g is not None, "fallback ranked heads on the clean model"
+    head = np.asarray(g.head)
+    neuron = np.asarray(g.neuron)
+    assert (head == 1.0).all(), "head gates must be untouched for the head rank"
+    policies = np.load(os.path.join(pol_dir, "shrinked_policy.npy"))
+    accs = np.load(os.path.join(pol_dir, "shrinked_accuracy.npy"))
+    best = policies[int(np.argmax(accs))]
+    L, hidden = neuron.shape
+    expect_keep = [int(hidden * (1.0 - s)) for s in best[:L]]
+    assert [int(r.sum()) for r in neuron] == expect_keep
     # train division 1 quickly so both checkpoints exist
     out1 = os.path.join(workdir, "sub-dataset1")
     run([
