@@ -36,24 +36,38 @@ DATASET_NUM_CLASSES = {
 
 @dataclasses.dataclass
 class ArrayDataset:
-    """Images (N,H,W,3) uint8 + global int labels (N,)."""
+    """Images (N,H,W,3) uint8 + int labels (len(self),).
+
+    `images` may be an in-RAM array or a read-only np.memmap (ImageNet-scale
+    ingest — the 1.28M-image train split is ~250 GB at the 256² cache size,
+    far beyond host RAM; batches then stream through the OS page cache via
+    the native gather). `indices`, when set, is a row indirection into
+    `images` (lazy division/subset views over a memmap); `labels` are always
+    dense and already remapped for the view."""
 
     images: np.ndarray
     labels: np.ndarray
     num_classes: int
+    indices: np.ndarray = None
 
     def __len__(self) -> int:
         return len(self.labels)
 
+    def rows(self, b: np.ndarray) -> np.ndarray:
+        """Map batch positions -> physical rows of `images`."""
+        return b if self.indices is None else self.indices[b]
+
     def division_view(self, manifest: DivisionManifest, division: int) -> "ArrayDataset":
         """Class-disjoint sub-dataset with local labels (build_division_dataset
-        equivalent, get_dataset.py:61-68 — without copying files)."""
+        equivalent, get_dataset.py:61-68 — without copying files). Over a
+        memmap the view is an index indirection (no materialization)."""
         idx = manifest.select_indices(self.labels, division)
-        return ArrayDataset(
-            images=self.images[idx],
-            labels=manifest.remap_labels(self.labels[idx], division),
-            num_classes=manifest.num_division_classes(division),
-        )
+        labels = manifest.remap_labels(self.labels[idx], division)
+        nc = manifest.num_division_classes(division)
+        rows = self.rows(idx)
+        if isinstance(self.images, np.memmap):
+            return ArrayDataset(self.images, labels, nc, indices=rows)
+        return ArrayDataset(images=self.images[rows], labels=labels, num_classes=nc)
 
 
 def load_cifar100(data_path: str, train: bool) -> ArrayDataset:
@@ -101,39 +115,102 @@ def ingest_resize(im, img_size: int):
     return im.crop((left, top, left + S, top + S))
 
 
-def load_image_folder(root: str, img_size: int = 224, cache: bool = True) -> ArrayDataset:
-    """ImageFolder tree -> resized uint8 arrays (lexicographic class order,
-    torchvision semantics). Decoded once and cached next to the tree."""
-    # v3: ingest S uses the eval path's int truncation (was round, which
-    # diverged from the eval resize target for img_size != 224)
-    cache_path = os.path.join(root, f".devit_cache_v3_{img_size}.npz")
+def _mmap_threshold_bytes() -> int:
+    """Datasets whose decoded cache exceeds this go to a disk-backed memmap
+    instead of RAM (ImageNet-1K train ≈ 250 GB at the 256² cache — the
+    in-RAM path cannot hold it). Override with DEVIT_MMAP_BYTES."""
+    return int(os.environ.get("DEVIT_MMAP_BYTES", 8 << 30))
+
+
+def decode_files_to_dataset(files, num_classes: int, img_size: int,
+                            cache_base: str, cache: bool = True) -> ArrayDataset:
+    """Decode (path, label) pairs into an ArrayDataset with a persistent
+    cache next to the data. Undecodable files are skipped (torchvision
+    ImageFolder tolerance). Two cache forms, chosen by decoded size:
+
+    - `<cache_base>.npz` (in-RAM arrays) below DEVIT_MMAP_BYTES;
+    - `<cache_base>.u8` raw uint8 memmap + `.u8.meta.npz` above it
+      (ImageNet-1K train ≈ 250 GB at the 256² cache side — batches then
+      stream through the OS page cache via the native gather, and division
+      views stay lazy index indirections).
+    """
+    S = int(img_size * 256 / 224)
+    cache_path = cache_base + ".npz"
+    mmap_path = cache_base + ".u8"
+    meta_path = mmap_path + ".meta.npz"
+    if cache and os.path.exists(meta_path):
+        meta = np.load(meta_path)
+        images = np.memmap(mmap_path, dtype=np.uint8, mode="r",
+                           shape=(len(meta["labels"]), S, S, 3))
+        return ArrayDataset(images, meta["labels"], int(meta["num_classes"]))
     if cache and os.path.exists(cache_path):
         z = np.load(cache_path)
         return ArrayDataset(z["images"], z["labels"], int(z["num_classes"]))
 
     from PIL import Image
 
-    classes = sorted(
-        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)) and not d.startswith(".")
-    )
-    images, labels = [], []
-    for li, cls in enumerate(classes):
-        cdir = os.path.join(root, cls)
-        for fname in sorted(os.listdir(cdir)):
-            fpath = os.path.join(cdir, fname)
-            try:
-                with Image.open(fpath) as im:
-                    im = ingest_resize(im.convert("RGB"), img_size)
-                    images.append(np.asarray(im, dtype=np.uint8))
-                    labels.append(li)
-            except Exception:
-                continue
+    files = list(files)
+    use_mmap = len(files) * S * S * 3 > _mmap_threshold_bytes()
+    if use_mmap:
+        # decode straight into the file; failed decodes are skipped, so the
+        # file is truncated to the real count afterwards and reopened r/o
+        buf = np.memmap(mmap_path + ".tmp", dtype=np.uint8, mode="w+",
+                        shape=(len(files), S, S, 3))
+    images, labels, m = [], [], 0
+    for fpath, li in files:
+        try:
+            with Image.open(fpath) as im:
+                arr = np.asarray(ingest_resize(im.convert("RGB"), img_size),
+                                 dtype=np.uint8)
+        except Exception:
+            continue
+        if use_mmap:
+            buf[m] = arr
+        else:
+            images.append(arr)
+        labels.append(li)
+        m += 1
+    labels = np.asarray(labels, np.int64)
+
+    if use_mmap:
+        buf.flush()
+        del buf
+        with open(mmap_path + ".tmp", "r+b") as f:
+            f.truncate(m * S * S * 3)
+        os.replace(mmap_path + ".tmp", mmap_path)
+        np.savez(meta_path, labels=labels, num_classes=num_classes)
+        imgs = np.memmap(mmap_path, dtype=np.uint8, mode="r", shape=(m, S, S, 3))
+        return ArrayDataset(imgs, labels, num_classes)
+
     ds = ArrayDataset(
-        images=np.stack(images), labels=np.asarray(labels, np.int64), num_classes=len(classes)
+        images=np.stack(images), labels=labels, num_classes=num_classes
     )
     if cache:
         np.savez(cache_path, images=ds.images, labels=ds.labels, num_classes=ds.num_classes)
     return ds
+
+
+def load_image_folder(root: str, img_size: int = 224, cache: bool = True) -> ArrayDataset:
+    """ImageFolder tree -> resized uint8 arrays (lexicographic class order,
+    torchvision semantics). Decoded once and cached next to the tree; see
+    decode_files_to_dataset for the RAM-vs-memmap cache policy."""
+    # v3: ingest S uses the eval path's int truncation (was round, which
+    # diverged from the eval resize target for img_size != 224)
+    base = os.path.join(root, f".devit_cache_v3_{img_size}")
+    if cache and (os.path.exists(base + ".u8.meta.npz")
+                  or os.path.exists(base + ".npz")):
+        return decode_files_to_dataset([], 0, img_size, base, cache=True)
+    classes = sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)) and not d.startswith(".")
+    )
+    files = []
+    for li, cls in enumerate(classes):
+        cdir = os.path.join(root, cls)
+        files += [(os.path.join(cdir, f), li) for f in sorted(os.listdir(cdir))
+                  if os.path.isfile(os.path.join(cdir, f))]
+    return decode_files_to_dataset(
+        files, len(classes), img_size,
+        os.path.join(root, f".devit_cache_v3_{img_size}"), cache=cache)
 
 
 def synthetic_dataset(
@@ -306,7 +383,7 @@ class BatchIterator:
     def _assemble(self, b: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         from devit_tpu.io.native import gather_rows
 
-        imgs = gather_rows(self.ds.images, b)
+        imgs = gather_rows(self.ds.images, self.ds.rows(b))
         if self.host_transform is not None:
             # host-side PIL augmentation (data/host_augment.py) runs HERE, in
             # the prefetch thread, so it overlaps the consumer's device steps

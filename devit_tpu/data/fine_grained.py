@@ -23,29 +23,17 @@ from typing import List
 
 import numpy as np
 
-from devit_tpu.data.datasets import ArrayDataset, ingest_resize
+from devit_tpu.data.datasets import ArrayDataset, decode_files_to_dataset
 
 
 def _decode(paths: List[str], labels: List[int], num_classes: int,
             img_size: int, cache_path: str) -> ArrayDataset:
-    if os.path.exists(cache_path):
-        z = np.load(cache_path)
-        return ArrayDataset(z["images"], z["labels"], int(z["num_classes"]))
-    from PIL import Image
-
-    images = []
-    kept_labels = []
-    for p, l in zip(paths, labels):
-        try:
-            with Image.open(p) as im:
-                im = ingest_resize(im.convert("RGB"), img_size)
-                images.append(np.asarray(im, dtype=np.uint8))
-                kept_labels.append(l)
-        except Exception:
-            continue
-    ds = ArrayDataset(np.stack(images), np.asarray(kept_labels, np.int64), num_classes)
-    np.savez(cache_path, images=ds.images, labels=ds.labels, num_classes=num_classes)
-    return ds
+    """Shared decode+cache (datasets.decode_files_to_dataset): .npz in RAM
+    below DEVIT_MMAP_BYTES, raw uint8 memmap above it (iNat-2018 train is
+    ~437k images ≈ 86 GB at the 256² cache side — RAM-infeasible)."""
+    base = cache_path[:-len(".npz")] if cache_path.endswith(".npz") else cache_path
+    return decode_files_to_dataset(zip(paths, labels), num_classes, img_size,
+                                   base, cache=True)
 
 
 def load_flowers102(root: str, split: str, img_size: int = 224) -> ArrayDataset:

@@ -317,3 +317,47 @@ def test_ingest_plus_eval_matches_torchvision_resize_centercrop():
         got = np.asarray(eval_transform(jnp.asarray(cached[None]),
                                         img_size=224, dtype=jnp.float32))[0]
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_image_folder_mmap_ingest_parity(tmp_path, monkeypatch):
+    """ImageNet-scale ingest: past DEVIT_MMAP_BYTES the image-folder cache is
+    a disk-backed uint8 memmap. Pixels/labels must be identical to the in-RAM
+    path, division views must stay lazy (index indirection, no
+    materialization), and BatchIterator must yield identical batches."""
+    from PIL import Image
+
+    from devit_tpu.data.datasets import load_image_folder
+
+    rng = np.random.default_rng(3)
+    root = tmp_path / "tree"
+    for li, cls in enumerate(["a_cls", "b_cls"]):
+        (root / cls).mkdir(parents=True)
+        for j in range(4):
+            arr = rng.integers(0, 256, (50, 44, 3), np.uint8)
+            Image.fromarray(arr).save(root / cls / f"im{j}.png")
+
+    eager = load_image_folder(str(root), img_size=32, cache=False)
+    monkeypatch.setenv("DEVIT_MMAP_BYTES", "0")
+    mm = load_image_folder(str(root), img_size=32, cache=True)
+    assert isinstance(mm.images, np.memmap)
+    np.testing.assert_array_equal(np.asarray(mm.images), eager.images)
+    np.testing.assert_array_equal(mm.labels, eager.labels)
+
+    # cache hit reopens the memmap (no re-decode)
+    mm2 = load_image_folder(str(root), img_size=32, cache=True)
+    assert isinstance(mm2.images, np.memmap)
+    np.testing.assert_array_equal(np.asarray(mm2.images), eager.images)
+
+    # division view over a memmap: lazy indirection, identical batches
+    man = DivisionManifest.create(2, 2, seed=42)
+    for d in range(2):
+        lazy = mm.division_view(man, d)
+        mat = eager.division_view(man, d)
+        assert isinstance(lazy.images, np.memmap) and lazy.indices is not None
+        assert len(lazy) == len(mat)
+        np.testing.assert_array_equal(lazy.labels, mat.labels)
+        for (li, ll), (mi, ml) in zip(
+                BatchIterator(lazy, 2, shuffle=True, seed=5, prefetch=0),
+                BatchIterator(mat, 2, shuffle=True, seed=5, prefetch=0)):
+            np.testing.assert_array_equal(li, mi)
+            np.testing.assert_array_equal(ll, ml)
