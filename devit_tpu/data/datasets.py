@@ -147,7 +147,18 @@ def decode_files_to_dataset(files, num_classes: int, img_size: int,
         z = np.load(cache_path)
         return ArrayDataset(z["images"], z["labels"], int(z["num_classes"]))
 
+    from concurrent.futures import ThreadPoolExecutor
+
     from PIL import Image
+
+    def decode_one(item):
+        fpath, li = item
+        try:
+            with Image.open(fpath) as im:
+                return np.asarray(ingest_resize(im.convert("RGB"), img_size),
+                                  dtype=np.uint8), li
+        except Exception:
+            return None, li
 
     files = list(files)
     use_mmap = len(files) * S * S * 3 > _mmap_threshold_bytes()
@@ -156,20 +167,25 @@ def decode_files_to_dataset(files, num_classes: int, img_size: int,
         # file is truncated to the real count afterwards and reopened r/o
         buf = np.memmap(mmap_path + ".tmp", dtype=np.uint8, mode="w+",
                         shape=(len(files), S, S, 3))
+    # threaded decode (PIL releases the GIL in decode/resize), ordered
+    # chunked collection so peak RAM stays ~chunk regardless of dataset size
+    # — the one-time replacement for the reference's per-epoch DataLoader
+    # worker decodes
+    workers = int(os.environ.get("DEVIT_INGEST_THREADS",
+                                 min(os.cpu_count() or 1, 16)))
+    chunk = 1024
     images, labels, m = [], [], 0
-    for fpath, li in files:
-        try:
-            with Image.open(fpath) as im:
-                arr = np.asarray(ingest_resize(im.convert("RGB"), img_size),
-                                 dtype=np.uint8)
-        except Exception:
-            continue
-        if use_mmap:
-            buf[m] = arr
-        else:
-            images.append(arr)
-        labels.append(li)
-        m += 1
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        for s in range(0, len(files), chunk):
+            for arr, li in ex.map(decode_one, files[s : s + chunk]):
+                if arr is None:
+                    continue
+                if use_mmap:
+                    buf[m] = arr
+                else:
+                    images.append(arr)
+                labels.append(li)
+                m += 1
     labels = np.asarray(labels, np.int64)
 
     if use_mmap:
