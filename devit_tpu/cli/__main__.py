@@ -134,6 +134,13 @@ def build_parser() -> argparse.ArgumentParser:
     dep.add_argument("--neuron-multiple", type=int, default=128)
     dep.set_defaults(fn=stages.deploy_main, model="dedeit")
 
+    ig = sub.add_parser("ingest", help="pre-build the decoded dataset cache "
+                                       "(train+val; memmap past "
+                                       "DEVIT_MMAP_BYTES)")
+    C.add_data_args(ig)
+    ig.add_argument("--input-size", type=int, default=224)
+    ig.set_defaults(fn=stages.ingest_main)
+
     cv = sub.add_parser("convert", help="convert checkpoints: torch .pth/.pt "
                                         "<-> msgpack/orbax, flax .npz -> ours "
                                         "(geometry inferred from the file)")

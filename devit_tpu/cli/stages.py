@@ -1164,3 +1164,25 @@ def convert_main(args):
     print(f"converted {src} -> {dst} ({n/1e6:.2f}M params"
           f"{', ema' if args.ema else ''})")
     return dst
+
+
+# ------------------------------------------------------------------ ingest
+
+
+def ingest_main(args):
+    """Pre-build the decoded dataset cache (train + val) so the first
+    training run doesn't pay the one-time decode. Threaded decode
+    (DEVIT_INGEST_THREADS); caches over DEVIT_MMAP_BYTES land in a uint8
+    memmap next to the data (ImageNet-scale; see data/datasets.py
+    decode_files_to_dataset)."""
+    import time
+
+    for train in (True, False):
+        t0 = time.time()
+        ds = build_dataset(args.dataset, args.data_path, train,
+                           img_size=args.input_size)
+        kind = type(ds.images).__name__
+        print(f"{args.dataset} {'train' if train else 'val'}: {len(ds)} "
+              f"images, {ds.num_classes} classes, cache={kind} "
+              f"({time.time() - t0:.1f}s)")
+    return 0

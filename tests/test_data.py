@@ -361,3 +361,28 @@ def test_image_folder_mmap_ingest_parity(tmp_path, monkeypatch):
                 BatchIterator(mat, 2, shuffle=True, seed=5, prefetch=0)):
             np.testing.assert_array_equal(li, mi)
             np.testing.assert_array_equal(ll, ml)
+
+
+def test_ingest_cli_builds_cache(tmp_path, monkeypatch):
+    """`devit ingest` pre-builds the decoded cache for both splits (here
+    forced onto the memmap form) so the first training run skips the decode."""
+    from PIL import Image
+
+    from devit_tpu.cli.__main__ import build_parser
+
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        for cls in ("c0", "c1"):
+            d = tmp_path / split / cls
+            d.mkdir(parents=True)
+            for j in range(2):
+                Image.fromarray(rng.integers(0, 256, (40, 40, 3), np.uint8)
+                                ).save(d / f"{j}.png")
+    monkeypatch.setenv("DEVIT_MMAP_BYTES", "0")
+    args = build_parser().parse_args(
+        ["ingest", "--dataset", "IMNET", "--data-path", str(tmp_path),
+         "--input-size", "32"])
+    args.fn(args)
+    for split in ("train", "val"):
+        assert (tmp_path / split / ".devit_cache_v3_32.u8").exists()
+        assert (tmp_path / split / ".devit_cache_v3_32.u8.meta.npz").exists()
