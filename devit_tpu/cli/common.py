@@ -131,17 +131,40 @@ def add_data_args(p: argparse.ArgumentParser) -> None:
                         "--model-path auto-detect either format")
 
 
-def parse_ra_string(aa: Optional[str]) -> Tuple[bool, int, float]:
-    """'rand-m9-mstd0.5-inc1' -> (enabled, magnitude, mag_std)."""
+def parse_ra_string(aa: Optional[str]) -> Tuple[bool, int, float, int]:
+    """'rand-m9-n2-mstd0.5-inc1' -> (enabled, magnitude, mag_std, num_ops).
+
+    Every timm-0.5.4 recipe component we do NOT implement is rejected loudly
+    rather than silently ignored (a name-compatible flag training a
+    different policy than it says is worse than an error): non-increasing
+    transform sets (recipes without inc1 — both RA backends implement the
+    'inc' magnitude mappings only), op-choice weights (wN), and
+    timm>=0.6-only components (mmaxN, pP)."""
     if not aa or not aa.startswith("rand"):
-        return False, 9, 0.5
-    mag, std = 9, 0.5
-    for part in aa.split("-"):
-        if part.startswith("m") and part[1:].isdigit():
-            mag = int(part[1:])
-        elif part.startswith("mstd"):
+        return False, 9, 0.5, 2
+    mag, std, num_ops, inc = 9, 0.5, 2, False
+    for part in aa.split("-")[1:]:
+        if part.startswith("mstd"):
             std = float(part[4:])
-    return True, mag, std
+        elif part.startswith("mmax") or part.startswith("w") or part.startswith("p"):
+            raise ValueError(
+                f"--aa component {part!r} is not implemented (timm op-choice "
+                "weights / mmax / p); remove it from the recipe")
+        elif part.startswith("m") and part[1:].isdigit():
+            mag = int(part[1:])
+        elif part.startswith("n") and part[1:].isdigit():
+            num_ops = int(part[1:])
+        elif part.startswith("inc"):
+            inc = bool(int(part[3:]))
+        elif part:
+            raise ValueError(f"unrecognized --aa component {part!r}")
+    if not inc:
+        raise ValueError(
+            f"--aa {aa!r}: recipes without 'inc1' select timm's NON-increasing "
+            "transform set (different posterize/solarize/color ranges); only "
+            "the increasing ('inc1') magnitude mappings are implemented — "
+            "append -inc1 or adjust the recipe")
+    return True, mag, std, num_ops
 
 
 def dtype_from_args(args):
@@ -153,7 +176,7 @@ def dtype_from_args(args):
 
 def augment_config_from_args(args, img_size: int, source_size: int) -> AugmentConfig:
     aa = getattr(args, "aa", None)
-    ra, mag, std = parse_ra_string(aa)
+    ra, mag, std, num_ops = parse_ra_string(aa)
     # '--aa original' / '--aa cifar10': the AutoAugment policies the reference
     # tree itself carries (utils/autoaug.py; its entry scripts advertise the
     # flag, train_subdata.py:103-105) — see data/autoaugment.py
@@ -183,6 +206,7 @@ def augment_config_from_args(args, img_size: int, source_size: int) -> AugmentCo
         randaugment=ra,
         ra_magnitude=mag,
         ra_std=std,
+        ra_num_ops=num_ops,
         autoaugment=autoaug,
         small_image=img_size == source_size and source_size <= 64,
     )
@@ -290,8 +314,8 @@ def load_params_for(model: VisionTransformer, path: str, template_params):
     """Load .pth (torch) or .msgpack checkpoints into the model's param tree,
     with head-shape filtering + pos-embed interpolation on mismatch
     (shrink.py:298-332 behaviour)."""
-    cfg = model.cfg
     if path.endswith(".pth") or path.endswith(".pt"):
+        cfg = model.cfg
         sd = load_torch_state_dict(path)
         if hasattr(cfg, "num_layers"):  # CCT family (configs.CCTConfig)
             from devit_tpu.io.checkpoint import torch_cct_to_params
@@ -303,6 +327,15 @@ def load_params_for(model: VisionTransformer, path: str, template_params):
     else:
         restored = restore_pytree(path, None)
         params = restored.get("params", restored) if isinstance(restored, dict) else restored
+    return merge_params_into(model, params, template_params)
+
+
+def merge_params_into(model: VisionTransformer, params, template_params):
+    """By-name merge of an already-loaded param tree into the model's
+    template (load_params_for's tail, exposed for callers that restored the
+    checkpoint themselves — e.g. the ensemble stage reads params AND gates
+    from one restore instead of deserializing each checkpoint twice)."""
+    cfg = model.cfg
 
     def merge(tpl, new):
         out = {}
@@ -509,3 +542,15 @@ def ensemble_parallel_context(num_divisions: int, log=None):
         (lambda tree: M.shard_division_tree(tree, mesh, num_divisions)),
         mesh,
     )
+
+
+def first_train_batch(train_ds, batch_size: int, seed: int = 0):
+    """One drop_last batch for the single-batch HSIC ranking (imp_rank.py
+    ranks on exactly one loader batch). A division smaller than the batch
+    would otherwise surface as a bare StopIteration from next(iter(...))."""
+    for batch in BatchIterator(train_ds, batch_size, shuffle=True, seed=seed,
+                               prefetch=0):
+        return batch
+    raise ValueError(
+        f"division has {len(train_ds)} samples — fewer than one drop_last "
+        f"ranking batch of {batch_size}; lower --batch-size")

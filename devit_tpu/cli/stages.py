@@ -138,7 +138,14 @@ def split_main(args) -> str:
     if args.dataset.startswith("synthetic"):
         num_classes = int(args.dataset.split(":")[1]) if ":" in args.dataset else 100
     else:
-        num_classes = DATASET_NUM_CLASSES[args.dataset]
+        num_classes = DATASET_NUM_CLASSES.get(args.dataset)
+        if num_classes is None:
+            # INAT/INAT19: the class count is data-dependent (categories
+            # json), so derive it from the dataset itself (one-time decode,
+            # cached — build_dataset accepts these names, datasets.py)
+            num_classes = build_dataset(
+                args.dataset, args.data_path, train=True,
+                img_size=getattr(args, "input_size", 224)).num_classes
     manifest = DivisionManifest.create(num_classes, args.num_division, seed=42)
     out = os.path.join(args.output_dir, f"division{args.num_division}")
     os.makedirs(out, exist_ok=True)
@@ -275,7 +282,7 @@ def shrink_main(args):
     variables = place_rep(variables)
 
     # one train batch for ranking (imp_rank.py:21-23)
-    images, _ = next(iter(BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed)))
+    images, _ = C.first_train_batch(train_ds, args.batch_size, seed=args.seed)
     rank_apply = jax.jit(
         lambda v, x, g, c: model.apply(v, x, gates=g, capture_rank_stats=c),
         static_argnums=(3,),
@@ -368,7 +375,7 @@ def distill_main(args) -> float:
             head_rank = np.load(os.path.join(args.policy_path, "head_rank.npy"))
         else:
             # re-rank on one batch (distill_sub.py:391-401)
-            images, _ = next(iter(BatchIterator(train_ds, args.batch_size, shuffle=True)))
+            images, _ = C.first_train_batch(train_ds, args.batch_size)
             rank_apply = jax.jit(
                 lambda v, x, g, c: student.apply(v, x, gates=g, capture_rank_stats=c),
                 static_argnums=(3,),
@@ -552,108 +559,31 @@ def _ensemble_eval_compact(args, log, val_ds, num_classes, D) -> float:
     return acc1
 
 
-def ensemble_main(args) -> float:
-    """Stage 5: token-fusion ensemble over N frozen-architecture backbones
-    (ensemble.py:245-456). Sub-model checkpoints load by NAME into the stacked
-    pytree (replacing the positional dict_map trick, ensemble.py:192-200)."""
-    log = C.setup(args)
-    train_ds = build_dataset(args.dataset, args.data_path, train=True, img_size=args.input_size)
-    val_ds = build_dataset(args.dataset, args.data_path, train=False, img_size=args.input_size)
-    num_classes = train_ds.num_classes
-    D = args.num_division
-    # no manifest needed: stage 5 trains the fusion over the FULL label set
-    # (ensemble.py:261 builds the undivided dataset); divisions enter only
-    # through the per-division checkpoints/gates loaded below
-
-    if args.compact_path:
-        return _ensemble_eval_compact(args, log, val_ds, num_classes, D)
-    cct_family = C.is_cct(args.model)
-    if cct_family:
-        return _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D)
-    backbone = C.build_model(args.model, 0, args)  # heads never materialised
-    sample = jnp.zeros((2, args.input_size, args.input_size, 3), jnp.bfloat16)
-
-    ckpt_gates = []
-    if args.sub_model_path:
-        div_params = []
-        tpl = backbone.init(jax.random.key(0), sample, features_only=True)["params"]
-        for i in range(D):
-            p = os.path.join(args.sub_model_path, f"sub-dataset{i}", "checkpoint.msgpack")
-            pth = os.path.join(args.sub_model_path, f"sub-dataset{i}", "checkpoint.pth")
-            # prefer .pth only when it actually exists; otherwise keep the
-            # .msgpack name so restore_pytree's .orbax sibling auto-detect works
-            if not os.path.exists(p) and os.path.exists(pth):
-                p = pth
-            div_params.append(C.load_params_for(backbone, p, tpl))
-            if p.endswith((".msgpack", ".orbax")) or os.path.isdir(p):
-                raw = restore_pytree(p, None)
-                g = raw.get("gates") if isinstance(raw, dict) else None
-                ckpt_gates.append(g)
-            else:
-                # .pth checkpoints carry no gates; record the gap so a mixed
-                # .pth/.msgpack set falls through the all(...) guard below
-                # instead of stacking a short (k<D) gate list
-                ckpt_gates.append(None)
-        stacked = {"params": stack_division_params(div_params)}
-    else:
-        stacked = init_multivit(backbone, jax.random.key(args.seed), sample, D)
-
-    gates = None
-    if args.gates_path:
-        loaded = []
-        for i in range(D):
-            g = restore_pytree(os.path.join(args.gates_path, f"sub-dataset{i}", "gates.msgpack"), None)
-            loaded.append(Gates(jnp.asarray(g["head"]), jnp.asarray(g["neuron"])))
-        gates = stack_division_gates(loaded)
-    elif ckpt_gates and all(g is not None for g in ckpt_gates):
-        # distill-stage checkpoints carry their shrink gates (save_state,
-        # stage 4): apply them so EnsMLP trains on the SAME gated features the
-        # deployed compact artifacts serve. (The reference's gates are
-        # non-persistent module attributes, so its ensemble silently re-
-        # enables every pruned head/neuron with stale weights — a resolved
-        # reference bug, SURVEY.md §7: the deployment story is shrunk models.)
-        gates = stack_division_gates(
-            [Gates(jnp.asarray(g["head"]), jnp.asarray(g["neuron"]))
-             for g in ckpt_gates])
-        log.info("applied shrink gates from the distill checkpoints")
-
-    family = "deit" if backbone.cfg.distilled else "vit"
-    ens = EnsMLP(num_classes=num_classes, sub_size=backbone.cfg.embed_dim,
-                 num_divisions=D, teacher_size=args.teacher_size, family=family)
-    cls_t = jnp.zeros((D, 2, backbone.cfg.embed_dim))
-    ens_vars = ens.init(jax.random.key(args.seed + 1), cls_t, cls_t, distill=True, train=True)
-
-    teacher = t_vars = None
-    if args.distillation_type != "none":
-        teacher = C.build_model(args.teacher_model, num_classes, args)
-        t_tpl = teacher.init(jax.random.key(0), sample, distill_token=True)
-        t_params = C.load_params_for(teacher, args.teacher_path, t_tpl["params"]) \
-            if args.teacher_path else t_tpl["params"]
-        t_vars = {"params": t_params}
-
+def _run_ensemble_training(args, log, label, train_ds, val_ds, num_classes,
+                           D, bb_params, ens_params, build_steps, t_vars,
+                           gates) -> float:
+    """Shared stage-5 training tail for the ViT and CCT ensemble families:
+    dual optimizers + dual EMA (ensemble.py:315-348), resume, ('div','data')
+    mesh placement, the train/eval/save loops. The only family-specific
+    pieces come in through build_steps(mix_cfg) -> (jstep, ens_eval)."""
     steps_per_epoch = C.train_steps_per_epoch(train_ds, args)
-    # two optimizers: backbone lr vs ens lr (ensemble.py:343-348)
-    bb_args = C.optim_config_from_args(args, args.batch_size)
-    ens_cfg = C.optim_config_from_args(args, args.batch_size)
-    ens_cfg = type(ens_cfg)(**{**ens_cfg.__dict__, "lr": args.ens_lr or args.lr})
+    # two optimizers: backbone lr vs ens lr (ensemble.py:343-348). ens_lr is
+    # compared against None so `--ens-lr 0` freezes the fusion head instead
+    # of silently falling back to --lr
+    bb_cfg = C.optim_config_from_args(args, args.batch_size)
+    ens_lr = args.ens_lr if args.ens_lr is not None else args.lr
+    ens_cfg = type(bb_cfg)(**{**bb_cfg.__dict__, "lr": ens_lr})
     # EMA on both models, like the reference's dual ModelEma (ensemble.py:315-327)
-    bb_state = TrainState.create(stacked["params"], make_optimizer(bb_args, steps_per_epoch),
+    bb_state = TrainState.create(bb_params, make_optimizer(bb_cfg, steps_per_epoch),
                                  use_ema=args.model_ema, ema_decay=args.model_ema_decay)
-    ens_state = TrainState.create(ens_vars["params"], make_optimizer(ens_cfg, steps_per_epoch),
+    ens_state = TrainState.create(ens_params, make_optimizer(ens_cfg, steps_per_epoch),
                                   use_ema=args.model_ema, ema_decay=args.model_ema_decay)
 
     aug_cfg = C.augment_config_from_args(args, args.input_size, train_ds.images.shape[1])
     mix_cfg = C.mixup_config_from_args(args, num_classes)
     prep_train, host_tf = C.make_train_pipeline(args, aug_cfg, dtype=C.dtype_from_args(args))
     prep_eval = C.make_eval_prepare(args.input_size, dtype=C.dtype_from_args(args))
-
-    jstep = jax.jit(S.make_ensemble_train_step(
-        backbone, ens, teacher, mixup=mix_cfg, smoothing=args.smoothing,
-        distillation_type=args.distillation_type,
-        distillation_alpha=args.distillation_alpha,
-        distillation_tau=args.distillation_tau,
-    ))
-    ens_eval = jax.jit(S.make_ensemble_eval_step(backbone, ens))
+    jstep, ens_eval = build_steps(mix_cfg)
 
     bb_state, ens_state, start_epoch = _try_resume_ensemble(
         args, bb_state, ens_state, log, gates)
@@ -700,7 +630,7 @@ def ensemble_main(args) -> float:
 
     if args.eval:
         m = eval_fn((bb_state, ens_state))
-        log.info(f"ensemble eval: acc1 {m['acc1']:.2f}")
+        log.info(f"{label} eval: acc1 {m['acc1']:.2f}")
         return m["acc1"]
 
     carry, best = fit(
@@ -710,8 +640,105 @@ def ensemble_main(args) -> float:
         profile_dir=getattr(args, "profile_dir", None),
         start_epoch=start_epoch,
     )
-    log.info(f"ensemble best acc1: {best:.2f}")
+    log.info(f"{label} best acc1: {best:.2f}")
     return best
+
+
+def ensemble_main(args) -> float:
+    """Stage 5: token-fusion ensemble over N frozen-architecture backbones
+    (ensemble.py:245-456). Sub-model checkpoints load by NAME into the stacked
+    pytree (replacing the positional dict_map trick, ensemble.py:192-200)."""
+    log = C.setup(args)
+    train_ds = build_dataset(args.dataset, args.data_path, train=True, img_size=args.input_size)
+    val_ds = build_dataset(args.dataset, args.data_path, train=False, img_size=args.input_size)
+    num_classes = train_ds.num_classes
+    D = args.num_division
+    # no manifest needed: stage 5 trains the fusion over the FULL label set
+    # (ensemble.py:261 builds the undivided dataset); divisions enter only
+    # through the per-division checkpoints/gates loaded below
+
+    if args.compact_path:
+        return _ensemble_eval_compact(args, log, val_ds, num_classes, D)
+    cct_family = C.is_cct(args.model)
+    if cct_family:
+        return _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D)
+    backbone = C.build_model(args.model, 0, args)  # heads never materialised
+    sample = jnp.zeros((2, args.input_size, args.input_size, 3), jnp.bfloat16)
+
+    ckpt_gates = []
+    if args.sub_model_path:
+        div_params = []
+        tpl = backbone.init(jax.random.key(0), sample, features_only=True)["params"]
+        for i in range(D):
+            p = os.path.join(args.sub_model_path, f"sub-dataset{i}", "checkpoint.msgpack")
+            pth = os.path.join(args.sub_model_path, f"sub-dataset{i}", "checkpoint.pth")
+            # prefer .pth only when it actually exists; otherwise keep the
+            # .msgpack name so restore_pytree's .orbax sibling auto-detect works
+            if not os.path.exists(p) and os.path.exists(pth):
+                p = pth
+            if p.endswith((".pth", ".pt")):
+                # .pth checkpoints carry no gates; record the gap so a mixed
+                # .pth/.msgpack set falls through the all(...) guard below
+                # instead of stacking a short (k<D) gate list
+                div_params.append(C.load_params_for(backbone, p, tpl))
+                ckpt_gates.append(None)
+            else:
+                # ONE restore feeds both the by-name param merge and the
+                # gate extraction (these checkpoints are hundreds of MB at
+                # full scale — don't deserialize each twice)
+                raw = restore_pytree(p, None)
+                params = raw.get("params", raw) if isinstance(raw, dict) else raw
+                div_params.append(C.merge_params_into(backbone, params, tpl))
+                ckpt_gates.append(raw.get("gates") if isinstance(raw, dict) else None)
+        stacked = {"params": stack_division_params(div_params)}
+    else:
+        stacked = init_multivit(backbone, jax.random.key(args.seed), sample, D)
+
+    gates = None
+    if args.gates_path:
+        loaded = []
+        for i in range(D):
+            g = restore_pytree(os.path.join(args.gates_path, f"sub-dataset{i}", "gates.msgpack"), None)
+            loaded.append(Gates(jnp.asarray(g["head"]), jnp.asarray(g["neuron"])))
+        gates = stack_division_gates(loaded)
+    elif ckpt_gates and all(g is not None for g in ckpt_gates):
+        # distill-stage checkpoints carry their shrink gates (save_state,
+        # stage 4): apply them so EnsMLP trains on the SAME gated features the
+        # deployed compact artifacts serve. (The reference's gates are
+        # non-persistent module attributes, so its ensemble silently re-
+        # enables every pruned head/neuron with stale weights — a resolved
+        # reference bug, SURVEY.md §7: the deployment story is shrunk models.)
+        gates = stack_division_gates(
+            [Gates(jnp.asarray(g["head"]), jnp.asarray(g["neuron"]))
+             for g in ckpt_gates])
+        log.info("applied shrink gates from the distill checkpoints")
+
+    family = "deit" if backbone.cfg.distilled else "vit"
+    ens = EnsMLP(num_classes=num_classes, sub_size=backbone.cfg.embed_dim,
+                 num_divisions=D, teacher_size=args.teacher_size, family=family)
+    cls_t = jnp.zeros((D, 2, backbone.cfg.embed_dim))
+    ens_vars = ens.init(jax.random.key(args.seed + 1), cls_t, cls_t, distill=True, train=True)
+
+    teacher = t_vars = None
+    if args.distillation_type != "none":
+        teacher = C.build_model(args.teacher_model, num_classes, args)
+        t_tpl = teacher.init(jax.random.key(0), sample, distill_token=True)
+        t_params = C.load_params_for(teacher, args.teacher_path, t_tpl["params"]) \
+            if args.teacher_path else t_tpl["params"]
+        t_vars = {"params": t_params}
+
+    return _run_ensemble_training(
+        args, log, "ensemble", train_ds, val_ds, num_classes, D,
+        stacked["params"], ens_vars["params"],
+        build_steps=lambda mix_cfg: (
+            jax.jit(S.make_ensemble_train_step(
+                backbone, ens, teacher, mixup=mix_cfg, smoothing=args.smoothing,
+                distillation_type=args.distillation_type,
+                distillation_alpha=args.distillation_alpha,
+                distillation_tau=args.distillation_tau,
+            )),
+            jax.jit(S.make_ensemble_eval_step(backbone, ens))),
+        t_vars=t_vars, gates=gates)
 
 
 def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
@@ -734,9 +761,11 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
             path = os.path.join(args.sub_model_path, f"sub-dataset{i}", "checkpoint.msgpack")
             # by-name merge (not tree_map): the DEKD checkpoints carry the
             # classifier `fc` the headless backbone lacks, and merge drops it
-            # (ensemble.py loads the full CCT then takes backbone features)
-            div_params.append(C.load_params_for(backbone, path, tpl))
+            # (ensemble.py loads the full CCT then takes backbone features).
+            # One restore feeds both the merge and the gate extraction.
             raw = restore_pytree(path, None)
+            params = raw.get("params", raw) if isinstance(raw, dict) else raw
+            div_params.append(C.merge_params_into(backbone, params, tpl))
             ckpt_gates.append(raw.get("gates") if isinstance(raw, dict) else None)
         stacked = {"params": stack_division_params(div_params)}
     else:
@@ -769,82 +798,18 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
             t_params = ckpt.get("params", ckpt) if isinstance(ckpt, dict) else ckpt
         t_vars = {"params": t_params}
 
-    steps_per_epoch = C.train_steps_per_epoch(train_ds, args)
-    bb_cfg = C.optim_config_from_args(args, args.batch_size)
-    ens_cfg = type(bb_cfg)(**{**bb_cfg.__dict__, "lr": args.ens_lr or args.lr})
-    bb_state = TrainState.create(stacked["params"], make_optimizer(bb_cfg, steps_per_epoch),
-                                 use_ema=args.model_ema, ema_decay=args.model_ema_decay)
-    ens_state = TrainState.create(ens_vars["params"], make_optimizer(ens_cfg, steps_per_epoch),
-                                  use_ema=args.model_ema, ema_decay=args.model_ema_decay)
-
-    aug_cfg = C.augment_config_from_args(args, args.input_size, train_ds.images.shape[1])
-    mix_cfg = C.mixup_config_from_args(args, num_classes)
-    prep_train, host_tf = C.make_train_pipeline(args, aug_cfg, dtype=C.dtype_from_args(args))
-    prep_eval = C.make_eval_prepare(args.input_size, dtype=C.dtype_from_args(args))
-
-    jstep = jax.jit(S.make_cct_ensemble_train_step(
-        backbone, ens, teacher, mixup=mix_cfg, smoothing=args.smoothing,
-        distillation_type=args.distillation_type,
-        distillation_alpha=args.distillation_alpha,
-        distillation_tau=args.distillation_tau,
-    ))
-    ens_eval = jax.jit(S.make_cct_ensemble_eval_step(backbone, ens))
-
-    bb_state, ens_state, start_epoch = _try_resume_ensemble(
-        args, bb_state, ens_state, log, gates)
-
-    place_batch, place_rep, place_div, _ens_mesh = C.ensemble_parallel_context(D, log)
-    bb_state = place_div(bb_state)
-    ens_state = place_rep(ens_state)
-    if t_vars is not None:
-        t_vars = place_rep(t_vars)
-    if gates is not None:
-        gates = place_div(gates)
-
-    def step_fn(carry, images, labels, rng):
-        bb_state, ens_state = carry
-        r_aug, r_step = jax.random.split(rng)
-        x = prep_train(r_aug, place_batch(images))
-        bb_state, ens_state, metrics = jstep(
-            bb_state, ens_state, t_vars, gates, x, place_batch(labels), r_step
-        )
-        return (bb_state, ens_state), metrics
-
-    def eval_fn(carry):
-        bb_state, ens_state = carry
-        batches = BatchIterator(val_ds, args.eval_batch_size, shuffle=False,
-                                drop_last=False)
-        return run_eval(
-            lambda vs, g, im, lb: ens_eval(vs[0], vs[1], g, im, place_batch(lb)),
-            ({"params": bb_state.params}, {"params": ens_state.params}),
-            gates, batches, prepare=lambda im: prep_eval(place_batch(im)))
-
-    def save_state(path, carry, epoch):
-        bb_state, ens_state = carry
-        C.make_saver(args)(path, _ensemble_ckpt_tree(bb_state, ens_state, epoch,
-                                                     gates))
-
-    def train_batches(epoch):
-        it = BatchIterator(train_ds, args.batch_size, shuffle=True, seed=args.seed,
-                           repeated_aug=3 if args.repeated_aug else 0,
-                           host_transform=host_tf)
-        it.set_epoch(epoch)
-        return it
-
-    if args.eval:
-        m = eval_fn((bb_state, ens_state))
-        log.info(f"CCT ensemble eval: acc1 {m['acc1']:.2f}")
-        return m["acc1"]
-
-    carry, best = fit(
-        carry=(bb_state, ens_state), step_fn=step_fn, train_batches_fn=train_batches,
-        eval_fn=eval_fn, epochs=args.epochs, rng=jax.random.key(args.seed + 2),
-        output_dir=args.output_dir, log_fn=log.info, save_state_fn=save_state,
-        profile_dir=getattr(args, "profile_dir", None),
-        start_epoch=start_epoch,
-    )
-    log.info(f"CCT ensemble best acc1: {best:.2f}")
-    return best
+    return _run_ensemble_training(
+        args, log, "CCT ensemble", train_ds, val_ds, num_classes, D,
+        stacked["params"], ens_vars["params"],
+        build_steps=lambda mix_cfg: (
+            jax.jit(S.make_cct_ensemble_train_step(
+                backbone, ens, teacher, mixup=mix_cfg, smoothing=args.smoothing,
+                distillation_type=args.distillation_type,
+                distillation_alpha=args.distillation_alpha,
+                distillation_tau=args.distillation_tau,
+            )),
+            jax.jit(S.make_cct_ensemble_eval_step(backbone, ens))),
+        t_vars=t_vars, gates=gates)
 
 
 # ------------------------------------------------------------------ pipeline

@@ -15,7 +15,7 @@ RandAugment lives in devit_tpu/data/randaugment.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

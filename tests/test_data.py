@@ -14,21 +14,25 @@ from devit_tpu.data.splitter import DivisionManifest, local_label_map, split_cla
 
 def test_split_classes_matches_reference_semantics():
     """Bit-exact with splite_dataset.py:51-56: random.seed(42), shuffle,
-    contiguous chunks with remainder in the last."""
-    random.seed(42)
-    label_list = list(range(100))
-    random.shuffle(label_list)
-    expected = [label_list[i * 25 : (i + 1) * 25] if i < 3 else label_list[75:] for i in range(4)]
-    got = split_classes(100, 4, seed=42)
-    assert got == expected
-    # disjoint and complete
-    flat = sorted(x for d in got for x in d)
-    assert flat == list(range(100))
-
-
-def test_split_remainder_goes_to_last():
-    got = split_classes(10, 3, seed=42)
-    assert [len(d) for d in got] == [3, 3, 4]
+    PROPORTIONAL chunk boundaries i*n//D (NOT floor-chunks-with-remainder-
+    in-last — for remainder >= 2 those differ; the reference's own formula
+    at all five of its dataset branches is the proportional one)."""
+    for n, d in [(100, 4), (10, 3), (102, 4), (196, 8), (37, 4)]:
+        random.seed(42)
+        label_list = list(range(n))
+        random.shuffle(label_list)
+        expected = [
+            label_list[i * n // d : (i + 1) * n // d]
+            if i < d - 1 else label_list[(d - 1) * n // d :]
+            for i in range(d)
+        ]  # verbatim splite_dataset.py:55-56
+        got = split_classes(n, d, seed=42)
+        assert got == expected, (n, d)
+        flat = sorted(x for div in got for x in div)
+        assert flat == list(range(n))
+    # the flowers (102/4) case pins the proportional sizes — a remainder-to-
+    # last split would give [25,25,25,27] with different membership
+    assert [len(x) for x in split_classes(102, 4)] == [25, 26, 25, 26]
 
 
 def test_local_label_map_string_sorted():

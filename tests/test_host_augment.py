@@ -134,8 +134,8 @@ def test_mstdinf_uniform_magnitude_branch():
     from devit_tpu.data.host_augment import _rand_augment_pil
     from devit_tpu.data.randaugment import rand_augment
 
-    ra, mag, std = parse_ra_string("rand-m9-mstdinf")
-    assert ra and mag == 9 and np.isinf(std)
+    ra, mag, std, num_ops = parse_ra_string("rand-m9-mstdinf-inc1")
+    assert ra and mag == 9 and np.isinf(std) and num_ops == 2
 
     rng = np.random.default_rng(0)
     img = Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
@@ -148,3 +148,26 @@ def test_mstdinf_uniform_magnitude_branch():
                        magnitude=9.0, mag_std=float("inf"), num_ops=4)
     arr = np.asarray(dev)
     assert arr.shape == (32, 32, 3) and np.isfinite(arr).all()
+
+
+def test_parse_ra_string_contract():
+    """Recipe components we implement are parsed (m, n, mstd, inc1); every
+    timm component we do NOT implement is rejected loudly instead of
+    silently training a different policy (review finding: 'rand-m9-n4'
+    previously ran 2 ops, recipes without inc1 silently used the increasing
+    tables timm reserves for inc1)."""
+    import pytest
+
+    from devit_tpu.cli.common import parse_ra_string
+
+    assert parse_ra_string("rand-m9-mstd0.5-inc1") == (True, 9, 0.5, 2)
+    assert parse_ra_string("rand-m7-n4-mstd0.5-inc1") == (True, 7, 0.5, 4)
+    assert parse_ra_string("") == (False, 9, 0.5, 2)
+    assert parse_ra_string("original") == (False, 9, 0.5, 2)
+    for bad in ("rand-m9-mstd0.5",        # non-increasing transform set
+                "rand-m9-mstd0.5-inc0",   # explicit inc0
+                "rand-m9-w0-inc1",        # op-choice weights
+                "rand-m9-mmax20-inc1",    # timm>=0.6 component
+                "rand-m9-bogus-inc1"):    # unknown token
+        with pytest.raises(ValueError):
+            parse_ra_string(bad)
