@@ -59,21 +59,33 @@ def workdir(tmp_path_factory):
     return str(tmp_path_factory.mktemp("cct_pipe"))
 
 
+# learning-assertion recipe for the CCT stage tests (VERDICT r2 missing #3
+# applied to the CCT leg too: `best >= 0` is vacuous). Calibration on this
+# exact config: train_sub 60.6 (division chance 25), ensemble 21.4 (full
+# chance 12.5) — thresholds leave margin but reject chance-level runs.
+OPT3 = ["--batch-size", "32", "--eval-batch-size", "64", "--epochs", "3",
+        "--warmup-epochs", "0", "--cooldown-epochs", "0", "--lr", "2e-3",
+        "--no-scale-lr"]
+NOMIX = ["--mixup", "0", "--cutmix", "0", "--reprob", "0",
+         "--color-jitter", "0"]
+
+
 def test_cct_train_sub_stage(workdir):
     out = os.path.join(workdir, "sub-dataset0")
     best = run([
-        "train_sub", *TINY, *OPT, *DATA,
+        "train_sub", *TINY, *OPT3, *DATA, *NOMIX,
         "--model", "cct_2_3x1_32",
         "--start-division", "0", "--output_dir", out,
         "--no-repeated-aug", "--aa", "", "--no-model-ema",
     ])
     assert os.path.exists(os.path.join(out, "checkpoint.msgpack"))
+    assert best > 45.0, f"CCT stage 2 did not learn: acc1 {best:.1f} (chance 25)"
 
 
 def test_cct_ensemble_stage(workdir):
     out = os.path.join(workdir, "ens")
     best = run([
-        "ensemble", *TINY, *OPT, *DATA,
+        "ensemble", *TINY, *OPT3, *DATA, *NOMIX,
         "--model", "cct_2_3x1_32",
         "--teacher-size", "48",
         "--distillation-type", "none",
@@ -81,7 +93,7 @@ def test_cct_ensemble_stage(workdir):
         "--no-repeated-aug", "--aa", "",
     ])
     assert os.path.exists(os.path.join(out, "checkpoint.msgpack"))
-    assert best >= 0.0
+    assert best > 17.0, f"CCT ensemble did not learn: acc1 {best:.1f} (chance 12.5)"
 
 
 def test_cct_shrink_stage(workdir):
@@ -101,6 +113,9 @@ def test_cct_shrink_stage(workdir):
     accs = np.load(os.path.join(out, "shrinked_accuracy.npy"))
     assert pols.shape == (3, 4) and accs.shape == (3,)  # 2 layers -> 4 dims
     assert np.isfinite(accs).all()
+    # the gated eval really ran on the TRAINED checkpoint: the best candidate
+    # must stay above division chance (25%), not collapse to a broken forward
+    assert accs.max() > 25.0, f"all gated candidates at/below chance: {accs}"
 
 
 def test_cct_rank_capture_shapes():

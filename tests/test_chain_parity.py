@@ -232,17 +232,7 @@ def _div_data(chain, div):
             chain["val_full"].division_view(m, div))
 
 
-class _RecScaler:
-    def __init__(self):
-        self.losses = []
-
-    def __call__(self, loss, optimizer, clip_grad=None, parameters=None,
-                 create_graph=False):
-        self.losses.append(float(loss.detach()))
-        loss.backward(create_graph=create_graph)
-        if clip_grad:
-            torch.nn.utils.clip_grad_norm_(parameters, clip_grad)
-        optimizer.step()
+from tests.ref_shim.harness import RecordingScaler as _RecScaler
 
 
 def test_roundtrip_params_to_torch(chain):

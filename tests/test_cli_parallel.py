@@ -122,7 +122,12 @@ def test_ensemble_cli_division_mesh_matches_identity(tmp_path, monkeypatch):
 
 
 def test_ensemble_resume_reproduces_uninterrupted_run(tmp_path, monkeypatch):
-    base = ["ensemble", *TINY_MODEL, *TINY_OPT[:-4], "--lr", "1e-3", *DATA,
+    # explicit flags (no positional TINY_OPT surgery): same optimizer recipe
+    # as the other runs, minus --epochs which each run sets itself below
+    base = ["ensemble", *TINY_MODEL,
+            "--batch-size", "32", "--eval-batch-size", "64",
+            "--warmup-epochs", "0", "--cooldown-epochs", "0", "--lr", "1e-3",
+            *DATA,
             "--model", "dedeit", "--teacher-size", "48",
             "--distillation-type", "none"]
 

@@ -146,4 +146,7 @@ def test_accuracy_topk():
     logits[3, 3] = 3  # top-1 hit
     a1, a5 = L.accuracy_topk(jnp.asarray(logits), jnp.asarray(labels))
     assert float(a1) == 50.0
-    assert float(a5) >= 75.0
+    # deterministic: lax.top_k breaks the zero-score ties by ascending index,
+    # so sample 2's label (score 0, index 2) lands inside the top-5 window
+    # {9, 0, 1, 2, 3}; a >= 75 bound would also accept a tie-dropping bug
+    assert float(a5) == 100.0

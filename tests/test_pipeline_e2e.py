@@ -160,6 +160,9 @@ def test_stage4_rerank_fallback_gates_heads_after_neurons(workdir, tmp_path,
     L, hidden = neuron.shape
     expect_keep = [int(hidden * (1.0 - s)) for s in best[:L]]
     assert [int(r.sum()) for r in neuron] == expect_keep
+
+
+def test_stage5_ensemble(workdir):
     # train division 1 quickly so both checkpoints exist
     out1 = os.path.join(workdir, "sub-dataset1")
     run([
@@ -219,8 +222,11 @@ def test_stage6_deploy_and_compact_serving_eval(workdir):
         "--output_dir", os.path.join(workdir, "compact_eval"),
         "--no-repeated-aug", "--aa", "",
     ])
-    best = RESULTS["ensemble_best"]
     assert acc1 > 2 * FULL_CHANCE, f"compact serving at chance: {acc1:.1f}"
+    best = RESULTS.get("ensemble_best")
+    if best is None:  # stage-5 test deselected (pytest -k) — drift unknowable
+        import pytest
+        pytest.skip("stage-5 ensemble test did not run in this session")
     assert abs(acc1 - best) < 3.0, (
         f"compact serving acc {acc1:.1f} drifted from the gated stage-5 "
         f"best {best:.1f}")

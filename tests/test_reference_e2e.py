@@ -37,20 +37,7 @@ BATCH = 8
 LR = 1e-3
 
 
-class _RecordingScaler:
-    """NativeScaler stand-in for CPU: backward + optional clip + step,
-    recording the per-step loss (the quantity under comparison)."""
-
-    def __init__(self):
-        self.losses = []
-
-    def __call__(self, loss, optimizer, clip_grad=None, parameters=None,
-                 create_graph=False):
-        self.losses.append(float(loss.detach()))
-        loss.backward(create_graph=create_graph)
-        if clip_grad:
-            torch.nn.utils.clip_grad_norm_(parameters, clip_grad)
-        optimizer.step()
+from tests.ref_shim.harness import RecordingScaler as _RecordingScaler
 
 
 def _torch_models(ref_de_vit):
@@ -151,9 +138,17 @@ def test_eval_matches_reference_engine(monkeypatch):
     ref_engine, ref_de_vit, _, _ = load_reference()
     _patch_cpu(monkeypatch)
 
-    student_t, _ = _torch_models(ref_de_vit)
+    # 9 classes, NOT the shared 5-class GEOM_S: with 5 classes the top-5
+    # window covers every class and acc5 is tautologically 100.0 on both
+    # sides — the assertion would pass under any top-5 counter bug
+    geom = dict(GEOM_S, num_classes=9)
+    torch.manual_seed(0)
+    student_t = ref_de_vit.VisionTransformer(
+        in_chans=3, distilled=True, drop_rate=0.0, attn_drop_rate=0.0,
+        drop_path_rate=0.0, **geom)
     student_t.eval()
-    images, labels = _data()
+    images, _ = _data()
+    labels = np.random.default_rng(1).integers(0, 9, size=images.shape[:2])
     loader = [
         (torch.from_numpy(images[i].transpose(0, 3, 1, 2)),
          torch.from_numpy(labels[i]))
@@ -161,7 +156,7 @@ def test_eval_matches_reference_engine(monkeypatch):
     ]
     ref_stats = ref_engine.evaluate(loader, student_t, torch.device("cpu"))
 
-    cfg_s = get_vit_config("dedeit", drop_path_rate=0.0, **GEOM_S)
+    cfg_s = get_vit_config("dedeit", drop_path_rate=0.0, **geom)
     student_j = VisionTransformer(cfg_s, dtype=jnp.float32)
     params = _to_jax_params(student_t, cfg_s.depth)
     eval_step = jax.jit(S.make_eval_step(student_j))
@@ -174,6 +169,7 @@ def test_eval_matches_reference_engine(monkeypatch):
             totals[k] += float(out[k])
     acc1 = 100.0 * totals["top1"] / totals["count"]
     acc5 = 100.0 * totals["top5"] / totals["count"]
+    assert acc5 < 100.0, "9-class fixture must make acc5 discriminating"
     assert abs(acc1 - float(ref_stats["acc1"])) < 1e-6
     assert abs(acc5 - float(ref_stats["acc5"])) < 1e-6
     assert abs(totals["loss_sum"] / totals["count"] - float(ref_stats["loss"])) < 1e-4

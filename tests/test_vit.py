@@ -80,6 +80,16 @@ def test_head_gate_masks_heads(model_and_params):
     # Not equal to ungated output
     out_full = model.apply(params, x)
     assert not np.allclose(out.logits, out_full.logits, atol=1e-4)
+    # The promised EQUALITY: zeroing every head gate must equal zeroing the
+    # whole proj kernel in every layer (attention branch reduced to its proj
+    # bias) — this catches gating the wrong tensor (e.g. v instead of the
+    # per-head attention output), which the inequality above cannot.
+    import flax
+
+    p = flax.core.unfreeze(params)["params"]
+    p["blocks"]["proj"]["kernel"] = jnp.zeros_like(p["blocks"]["proj"]["kernel"])
+    out_mlp = model.apply({"params": p}, x)
+    np.testing.assert_allclose(out.logits, out_mlp.logits, rtol=1e-4, atol=1e-5)
     # Gating one head only changes things mildly; gated head's contribution removed.
     g1 = Gates(
         head=jnp.ones((cfg.depth, cfg.num_heads)).at[0, 0].set(0.0),
@@ -179,11 +189,14 @@ def test_fast_erf_gelu_exact_at_f32():
     np.testing.assert_allclose(fast_erf(x), jax.scipy.special.erf(x), atol=1e-6)
     ref = jax.nn.gelu(x, approximate=False)
     np.testing.assert_allclose(fast_gelu(x), ref, atol=2e-6)
-    # bf16 in, bf16 out, bitwise-equal to the exact computation at bf16
+    # bf16 in, bf16 out: NOT bitwise (measured ~69% of lattice points equal)
+    # but within 2e-5 absolute of the f32-exact-then-round value — one bf16
+    # ulp at the |gelu|~4e-3 scale where the error peaks (the old 2e-2 bound
+    # was 1000x looser than what the implementation achieves)
     xb = x[::100].astype(jnp.bfloat16)
     exact = jax.nn.gelu(xb.astype(jnp.float32), approximate=False).astype(jnp.bfloat16)
     assert jnp.max(jnp.abs(fast_gelu(xb).astype(jnp.float32)
-                           - exact.astype(jnp.float32))) <= 2e-2  # <= 1 bf16 ulp at |x|<12
+                           - exact.astype(jnp.float32))) <= 2e-5
     # gradient matches the analytic gelu'
     g_fast = jax.vmap(jax.grad(lambda v: fast_gelu(v)))(x[::100])
     g_ref = jax.vmap(jax.grad(lambda v: jax.nn.gelu(v, approximate=False)))(x[::100])
