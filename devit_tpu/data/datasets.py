@@ -162,10 +162,16 @@ def decode_files_to_dataset(files, num_classes: int, img_size: int,
 
     files = list(files)
     use_mmap = len(files) * S * S * 3 > _mmap_threshold_bytes()
+    # per-PID tmp names + os.replace: parallel per-division stage launches
+    # hit the same uncached tree concurrently; each writer builds its own
+    # tmp and the atomic replaces guarantee readers never see a torn file
+    # (both writers decode the same deterministic list, so last-wins is
+    # content-identical)
+    tmp_suffix = f".tmp.{os.getpid()}"
     if use_mmap:
         # decode straight into the file; failed decodes are skipped, so the
         # file is truncated to the real count afterwards and reopened r/o
-        buf = np.memmap(mmap_path + ".tmp", dtype=np.uint8, mode="w+",
+        buf = np.memmap(mmap_path + tmp_suffix, dtype=np.uint8, mode="w+",
                         shape=(len(files), S, S, 3))
     # threaded decode (PIL releases the GIL in decode/resize), ordered
     # chunked collection so peak RAM stays ~chunk regardless of dataset size
@@ -191,10 +197,14 @@ def decode_files_to_dataset(files, num_classes: int, img_size: int,
     if use_mmap:
         buf.flush()
         del buf
-        with open(mmap_path + ".tmp", "r+b") as f:
+        with open(mmap_path + tmp_suffix, "r+b") as f:
             f.truncate(m * S * S * 3)
-        os.replace(mmap_path + ".tmp", mmap_path)
-        np.savez(meta_path, labels=labels, num_classes=num_classes)
+        os.replace(mmap_path + tmp_suffix, mmap_path)
+        # meta LAST (its existence is the cache-hit signal) and atomically —
+        # np.savez appends '.npz' unless the name already ends with it
+        meta_tmp = meta_path[:-len(".npz")] + tmp_suffix + ".npz"
+        np.savez(meta_tmp, labels=labels, num_classes=num_classes)
+        os.replace(meta_tmp, meta_path)
         imgs = np.memmap(mmap_path, dtype=np.uint8, mode="r", shape=(m, S, S, 3))
         return ArrayDataset(imgs, labels, num_classes)
 
@@ -202,7 +212,10 @@ def decode_files_to_dataset(files, num_classes: int, img_size: int,
         images=np.stack(images), labels=labels, num_classes=num_classes
     )
     if cache:
-        np.savez(cache_path, images=ds.images, labels=ds.labels, num_classes=ds.num_classes)
+        cache_tmp = cache_path[:-len(".npz")] + tmp_suffix + ".npz"
+        np.savez(cache_tmp, images=ds.images, labels=ds.labels,
+                 num_classes=ds.num_classes)
+        os.replace(cache_tmp, cache_path)
     return ds
 
 
@@ -396,23 +409,28 @@ class BatchIterator:
             return np.repeat(base, self.repeated_aug)[: self._epoch_len()]
         return base
 
-    def _assemble(self, b: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def _assemble(self, b: np.ndarray, k: int, epoch: int) -> Tuple[np.ndarray, np.ndarray]:
         from devit_tpu.io.native import gather_rows
 
         imgs = gather_rows(self.ds.images, self.ds.rows(b))
         if self.host_transform is not None:
             # host-side PIL augmentation (data/host_augment.py) runs HERE, in
             # the prefetch thread, so it overlaps the consumer's device steps
-            # exactly like the reference's DataLoader workers
-            imgs = self.host_transform(imgs, self.epoch, k)
+            # exactly like the reference's DataLoader workers. `epoch` is the
+            # value captured at iteration start — reading self.epoch live
+            # would let a set_epoch() during a still-draining producer stamp
+            # augmentation seeds from one epoch onto the previous epoch's
+            # index permutation
+            imgs = self.host_transform(imgs, epoch, k)
         return imgs, self.ds.labels[b]
 
     def _batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        epoch = self.epoch
         idx = self._epoch_indices()
         n = len(idx)
         end = n - (n % self.batch_size) if self.drop_last else n
         for k, s in enumerate(range(0, end, self.batch_size)):
-            yield self._assemble(idx[s : s + self.batch_size], k)
+            yield self._assemble(idx[s : s + self.batch_size], k, epoch)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         if self.prefetch <= 0:

@@ -22,6 +22,7 @@ Generator seeded per (seed, epoch, batch_index, sample).
 from __future__ import annotations
 
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Tuple
 
@@ -29,12 +30,17 @@ import numpy as np
 
 _FILL = (124, 116, 104)  # timm aa_params img_mean fill
 _POOL: Optional[ThreadPoolExecutor] = None
+_POOL_LOCK = threading.Lock()
 
 
 def _pool() -> ThreadPoolExecutor:
+    # locked: two producer threads (an abandoned epoch's still-draining
+    # producer + the next epoch's) can race the first call; the loser's
+    # executor would leak its idle workers for the process lifetime
     global _POOL
-    if _POOL is None:
-        _POOL = ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 1))
+    with _POOL_LOCK:
+        if _POOL is None:
+            _POOL = ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 1))
     return _POOL
 
 

@@ -26,9 +26,15 @@ import flax
 
 
 def save_pytree(path: str, tree: Any) -> None:
+    """Atomic msgpack save: write to a tmp file, then os.replace. A naive
+    in-place open(path,'wb') truncates the previous epoch's good checkpoint
+    the instant the write starts, so a crash mid-write (the exact event
+    checkpointing guards against) would destroy the only resume artifact."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(flax.serialization.to_bytes(tree))
+    os.replace(tmp, path)
 
 
 def restore_pytree(path: str, template: Any) -> Any:
@@ -36,13 +42,14 @@ def restore_pytree(path: str, template: Any) -> Any:
     nested dicts via msgpack_restore. Orbax checkpoint directories (written
     by save_pytree_orbax) are detected and dispatched transparently, so
     --resume works with either format."""
-    if os.path.isdir(path):
+    if os.path.isdir(path) or os.path.isdir(path + ".new"):
+        # '.new': a durable orbax write whose promotion was cut by a crash
         return restore_pytree_orbax(path, template)
     if not os.path.exists(path) and path.endswith(".msgpack"):
         # --ckpt-format orbax rewrites '.msgpack' -> '.orbax' on save; accept
         # the documented .msgpack artifact name on restore too
         sibling = path[: -len(".msgpack")] + ".orbax"
-        if os.path.isdir(sibling):
+        if os.path.isdir(sibling) or os.path.isdir(sibling + ".new"):
             return restore_pytree_orbax(sibling, template)
     with open(path, "rb") as f:
         data = f.read()
@@ -65,38 +72,79 @@ def _orbax():
     return _ORBAX_CKPTR
 
 
+_PENDING_PROMOTE = set()
+
+
+def _promote_orbax(path: str) -> None:
+    """Promote a durable '<path>.new' write over <path>. Orbax writes into a
+    '*.orbax-checkpoint-tmp-*' directory and renames it on commit, so the
+    existence of '<path>.new' as a plain directory already implies a
+    COMPLETE write — the rmtree+replace here swaps whole valid checkpoints."""
+    new = path + ".new"
+    if os.path.isdir(new):
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+        os.replace(new, path)
+
+
 def save_pytree_orbax(path: str, tree: Any) -> None:
     """Async Orbax save (production checkpointing: training continues while
     the write flushes; call wait_for_checkpoints() before reading back or
-    exiting). `path` becomes a checkpoint DIRECTORY."""
+    exiting). `path` becomes a checkpoint DIRECTORY.
+
+    Two-phase write: the async save goes to '<path>.new'; the durable .new
+    is promoted over <path> on the NEXT save (or wait_for_checkpoints).
+    A direct save(path, force=True) would rmtree the LIVE checkpoint in the
+    blocking phase while the tmp->final commit rename happens minutes later
+    in the background thread — every epoch would have a window with ZERO
+    restorable checkpoint on disk. restore transparently picks up an
+    unpromoted .new after a crash."""
     import jax
 
     path = os.path.abspath(path)
-    # orbax rejects half-written dirs from a previous crash; overwrite
     tree = jax.tree_util.tree_map(
         lambda x: np.asarray(x) if np.isscalar(x) or isinstance(x, (int, float)) else x,
         tree,
     )
-    _orbax().save(path, tree, force=True)
+    ckptr = _orbax()
+    # the previous .new (if any) is durable once save() returns control to a
+    # new save — orbax serializes in-flight writes; make it the live ckpt
+    ckptr.wait_until_finished()
+    _promote_orbax(path)
+    # force=True only ever clobbers a stale uncommitted .new from a crash
+    ckptr.save(path + ".new", tree, force=True)
+    _PENDING_PROMOTE.add(path)
 
 
 def restore_pytree_orbax(path: str, template: Any = None) -> Any:
     ckptr = _orbax()
     ckptr.wait_until_finished()
+    path = os.path.abspath(path)
+    _promote_orbax(path)  # crash-between-commit-and-promotion recovery
     if template is None:
-        return ckptr.restore(os.path.abspath(path))
+        return ckptr.restore(path)
     import jax
 
+    # shape/dtype are metadata reads — np.asarray here would materialize
+    # every (possibly device-resident) template leaf on the host just to
+    # read its dtype, a full-model D2H sweep per resume
     abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), template
+        lambda x: jax.ShapeDtypeStruct(
+            np.shape(x), getattr(x, "dtype", None) or np.asarray(x).dtype),
+        template,
     )
-    return ckptr.restore(os.path.abspath(path), abstract)
+    return ckptr.restore(path, abstract)
 
 
 def wait_for_checkpoints() -> None:
-    """Block until pending async Orbax writes are durable."""
+    """Block until pending async Orbax writes are durable, then promote them
+    to their documented paths (save_pytree_orbax's two-phase scheme)."""
     if _ORBAX_CKPTR is not None:
         _ORBAX_CKPTR.wait_until_finished()
+    while _PENDING_PROMOTE:
+        _promote_orbax(_PENDING_PROMOTE.pop())
 
 
 # ------------------------------------------------------- torch ingestion

@@ -25,11 +25,16 @@ def _build_lib() -> str:
     out = os.path.join(os.path.dirname(_SRC), "devit_host.so")
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(_SRC):
         return out
+    # compile to a per-PID name + atomic replace: parallel per-division CLI
+    # launches can race the first build, and dlopen of a half-written .so
+    # either crashes or silently pins the slow numpy fallback
+    tmp = f"{out}.tmp.{os.getpid()}"
     subprocess.run(
         ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-         _SRC, "-o", out],
+         _SRC, "-o", tmp],
         check=True, capture_output=True,
     )
+    os.replace(tmp, out)
     return out
 
 
@@ -49,7 +54,12 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
             ]
             _LIB = lib
-        except Exception:
+        except Exception as e:
+            import sys
+
+            print(f"devit_tpu.io.native: native gather unavailable "
+                  f"({type(e).__name__}: {e}); falling back to numpy "
+                  f"fancy indexing (single-threaded)", file=sys.stderr)
             _LIB = False
     return _LIB if _LIB is not False else None
 

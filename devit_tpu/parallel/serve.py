@@ -89,6 +89,13 @@ def make_collaborative_server(
             lambda x: jax.device_put(x, dev) if hasattr(x, "shape") else x, cm))
 
     def _division_fn(cm):
+        # `cm` is DELIBERATELY closed into the jit (same pattern + rationale
+        # as bench.py): CompactViT mixes per-layer Python ints (must be
+        # static) with ragged weight arrays, and serving re-dispatches the
+        # same frozen weights every batch — baking them as program constants
+        # trades a slower one-time compile for constant-folded serving. The
+        # CLAUDE.md "never close big pytrees" rule targets TRAINING pytrees
+        # passed to fresh traces, where the compile stall repeats.
         def fn(images):
             return compact_forward(
                 cm, images, patch_size=patch_size, dtype=dtype,

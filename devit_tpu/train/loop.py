@@ -116,14 +116,35 @@ def fit(
     - profile_dir: if set, the first trained epoch runs under a jax.profiler
       trace (SURVEY.md §5.1) and HBM stats are logged after it
     """
-    import contextlib
-
-    from devit_tpu.utils_profile import device_memory_stats, trace
+    from devit_tpu.io.checkpoint import wait_for_checkpoints
 
     best_acc = -1.0
     stats_path = os.path.join(output_dir, "log_stats.txt") if output_dir else None
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
+    try:
+        best_acc = _fit_epochs(
+            carry_box := [carry], step_fn, train_batches_fn, eval_fn, epochs,
+            rng, output_dir, log_fn, save_state_fn, start_epoch, profile_dir,
+            stats_path, best_acc)
+        carry = carry_box[0]
+    finally:
+        # runs on EVERY exit path (incl. NonFiniteLossError / Ctrl-C): orbax
+        # surfaces background-commit failures only at the next save or
+        # wait_until_finished — skipping this on error would swallow a
+        # checkpoint-write failure and leave the .new unpromoted
+        wait_for_checkpoints()
+    return carry, best_acc
+
+
+def _fit_epochs(carry_box, step_fn, train_batches_fn, eval_fn, epochs, rng,
+                output_dir, log_fn, save_state_fn, start_epoch, profile_dir,
+                stats_path, best_acc):
+    import contextlib
+
+    from devit_tpu.utils_profile import device_memory_stats, trace
+
+    carry = carry_box[0]
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         profiling = profile_dir is not None and epoch == start_epoch
@@ -159,7 +180,5 @@ def fit(
                 f.write(json.dumps(
                     {"epoch": epoch, **{f"train_{k}": v for k, v in train_stats.items()},
                      **{f"test_{k}": v for k, v in eval_stats.items()}}) + "\n")
-    from devit_tpu.io.checkpoint import wait_for_checkpoints
-
-    wait_for_checkpoints()  # async orbax saves must be durable before return
-    return carry, best_acc
+        carry_box[0] = carry
+    return best_acc

@@ -95,3 +95,55 @@ def test_orbax_gated_ensemble_tree_roundtrip(tmp_path):
                                   np.zeros((2, 3, 8)))
     np.testing.assert_array_equal(np.asarray(restored["backbone_params"]["w"]),
                                   np.arange(4.0))
+
+
+def test_orbax_two_phase_never_leaves_zero_checkpoints(tmp_path):
+    """save_pytree_orbax writes async to '<path>.new' and promotes on the
+    next save/wait: the LIVE checkpoint dir must never be deleted while the
+    replacement is still flushing (a direct force=True save rmtree's it in
+    the blocking phase), and an unpromoted durable .new after a 'crash' must
+    be picked up transparently by restore."""
+    import os
+
+    import numpy as np
+
+    from devit_tpu.io import checkpoint as CK
+
+    p = str(tmp_path / "ck.orbax")
+    CK.save_pytree_orbax(p, {"a": np.arange(4)})
+    CK.wait_for_checkpoints()
+    assert os.path.isdir(p)
+    np.testing.assert_array_equal(CK.restore_pytree(p, None)["a"], np.arange(4))
+
+    # second save: the live dir survives the entire async write
+    CK.save_pytree_orbax(p, {"a": np.arange(4) + 1})
+    assert os.path.isdir(p), "live checkpoint deleted while the new one flushes"
+    CK.wait_for_checkpoints()
+    np.testing.assert_array_equal(CK.restore_pytree(p, None)["a"],
+                                  np.arange(4) + 1)
+    assert not os.path.isdir(p + ".new")
+
+    # crash between commit and promotion: durable .new, pending set lost
+    CK.save_pytree_orbax(p, {"a": np.arange(4) + 2})
+    CK._ORBAX_CKPTR.wait_until_finished()
+    CK._PENDING_PROMOTE.clear()
+    assert os.path.isdir(p + ".new")
+    np.testing.assert_array_equal(CK.restore_pytree(p, None)["a"],
+                                  np.arange(4) + 2)
+    assert os.path.isdir(p) and not os.path.isdir(p + ".new")
+
+
+def test_msgpack_save_is_atomic(tmp_path):
+    """save_pytree goes through tmp + os.replace — no tmp residue, and a
+    writer that dies mid-write can never have truncated the live file."""
+    import os
+
+    import numpy as np
+
+    from devit_tpu.io.checkpoint import restore_pytree, save_pytree
+
+    p = str(tmp_path / "ck.msgpack")
+    save_pytree(p, {"a": np.arange(3)})
+    save_pytree(p, {"a": np.arange(3) + 7})
+    np.testing.assert_array_equal(restore_pytree(p, None)["a"], np.arange(3) + 7)
+    assert [f for f in os.listdir(tmp_path) if ".tmp." in f] == []
