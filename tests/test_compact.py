@@ -106,3 +106,46 @@ def test_compact_rejects_fractional_gates():
         compact_vit_params(params, bad, CFG)
     with pytest.raises(ValueError, match="binary"):
         compact_vit_ragged(params, bad, CFG)
+
+
+def test_compact_equivalence_randomized_sweep():
+    """Both compaction forms (padded-stacked compact_vit_params and the
+    ragged deployment compact_vit_ragged) must equal the gated forward for
+    ARBITRARY per-layer binary gate patterns, including the edges (single
+    kept head, all heads kept, heavily pruned neurons) — the fixed patterns
+    above can't cover the gather/zero-pad index arithmetic space."""
+    from devit_tpu.models.compact_vit import compact_forward, compact_vit_ragged
+
+    model = VisionTransformer(CFG, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(10), (2, 32, 32, 3))
+    params = model.init(jax.random.key(11), x)["params"]
+    rng = np.random.default_rng(123)
+
+    for trial in range(4):
+        head = np.zeros((CFG.depth, CFG.num_heads), np.float32)
+        neuron = np.zeros((CFG.depth, CFG.hidden_dim), np.float32)
+        for l in range(CFG.depth):
+            hk = int(rng.integers(1, CFG.num_heads + 1))   # 1..H inclusive
+            nk = int(rng.integers(8, CFG.hidden_dim + 1))
+            head[l, rng.choice(CFG.num_heads, hk, replace=False)] = 1
+            neuron[l, rng.choice(CFG.hidden_dim, nk, replace=False)] = 1
+        gates = Gates(jnp.asarray(head), jnp.asarray(neuron))
+        ref = model.apply({"params": params}, x, gates=gates)
+
+        cparams, ccfg = compact_vit_params(params, gates, CFG,
+                                           head_multiple=1, neuron_multiple=8)
+        out_p = VisionTransformer(ccfg, dtype=jnp.float32).apply(
+            {"params": cparams}, x)
+        np.testing.assert_allclose(np.asarray(out_p.logits),
+                                   np.asarray(ref.logits),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"padded trial {trial}")
+
+        cm = compact_vit_ragged(params, gates, CFG, neuron_multiple=8)
+        out_r = compact_forward(cm, x.astype(jnp.float32), patch_size=CFG.patch_size,
+                                dtype=jnp.float32, use_pallas=False,
+                                fast_math=False)
+        np.testing.assert_allclose(np.asarray(out_r),
+                                   np.asarray(ref.logits),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"ragged trial {trial}")
