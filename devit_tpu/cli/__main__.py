@@ -119,7 +119,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "unless --weight-decay was moved off its default)")
     pp.add_argument("--deploy-num-classes", type=int, default=25)
     pp.add_argument("--neuron-multiple", type=int, default=128)
-    pp.set_defaults(fn=stages.pipeline_main, model="dedeit")
+    # None sentinels so pipeline_main can tell an EXPLICIT --lr 5e-4 /
+    # --weight-decay 0.0 from unset (the ensemble stage has its own
+    # reference recipe, 1e-5/0.05, that must only apply when unset)
+    pp.set_defaults(fn=stages.pipeline_main, model="dedeit",
+                    lr=None, weight_decay=None)
 
     dep = sub.add_parser("deploy", help="compact division checkpoints into serving artifacts")
     C.add_model_args(dep)

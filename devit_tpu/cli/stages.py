@@ -140,12 +140,12 @@ def split_main(args) -> str:
     else:
         num_classes = DATASET_NUM_CLASSES.get(args.dataset)
         if num_classes is None:
-            # INAT/INAT19: the class count is data-dependent (categories
-            # json), so derive it from the dataset itself (one-time decode,
-            # cached — build_dataset accepts these names, datasets.py)
-            num_classes = build_dataset(
-                args.dataset, args.data_path, train=True,
-                img_size=getattr(args, "input_size", 224)).num_classes
+            # INAT/INAT19: the class count is data-dependent but lives in
+            # categories.json — read that alone; a full build_dataset here
+            # would decode the ~437k-image split (hours) for one integer
+            from devit_tpu.data.fine_grained import inat_num_classes
+
+            num_classes = inat_num_classes(args.data_path)
     manifest = DivisionManifest.create(num_classes, args.num_division, seed=42)
     out = os.path.join(args.output_dir, f"division{args.num_division}")
     os.makedirs(out, exist_ok=True)
@@ -838,8 +838,17 @@ def pipeline_main(args):
     if bad:
         raise ValueError(f"unknown pipeline stage(s) {bad}; choose from {known}")
 
+    # the pipeline parser defaults --lr/--weight-decay to None sentinels so
+    # an EXPLICIT --lr 5e-4 is distinguishable from unset; resolve the
+    # generic optim defaults here for stages 2-4, and the ensemble recipe
+    # (ensemble.py lr 1e-5 / wd 0.05) below only when genuinely unset
+    shared_lr, shared_wd = args.lr, args.weight_decay
+    base_optim = {"lr": shared_lr if shared_lr is not None else 5e-4,
+                  "weight_decay": shared_wd if shared_wd is not None else 0.0}
+
     def ns(**overrides):
         d = {k: v for k, v in vars(args).items() if k not in ("fn", "stages", "force")}
+        d.update(base_optim)
         d.update(overrides)
         return argparse.Namespace(**d)
 
@@ -905,18 +914,17 @@ def pipeline_main(args):
         else:
             # the ensemble subcommand pins the reference stage-5 recipe
             # (ensemble.py lr 1e-5 / weight-decay 0.05 — cli/__main__.py
-            # ep.set_defaults); the shared pipeline parser carries the
-            # generic optim defaults (5e-4 / 0.0), so apply the stage-5
-            # recipe unless the user moved the shared flag off its default
+            # ep.set_defaults); apply it unless the user EXPLICITLY set the
+            # shared flag (None sentinel) or the stage-5 override
             # (fine-tuning distilled backbones at 5e-4 destroys them)
             ens_overrides = {}
             if getattr(args, "ens_backbone_lr", None) is not None:
                 ens_overrides["lr"] = args.ens_backbone_lr
-            elif args.lr == 5e-4:
+            elif shared_lr is None:
                 ens_overrides["lr"] = 1e-5
             if getattr(args, "ens_weight_decay", None) is not None:
                 ens_overrides["weight_decay"] = args.ens_weight_decay
-            elif args.weight_decay == 0.0:
+            elif shared_wd is None:
                 ens_overrides["weight_decay"] = 0.05
             results["ensemble"] = ensemble_main(
                 ns(output_dir=os.path.join(root, "ensemble"),

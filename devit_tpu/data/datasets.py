@@ -140,8 +140,20 @@ def decode_files_to_dataset(files, num_classes: int, img_size: int,
     meta_path = mmap_path + ".meta.npz"
     if cache and os.path.exists(meta_path):
         meta = np.load(meta_path)
+        n = len(meta["labels"])
+        # the .u8 and the meta are replaced independently by (possibly
+        # concurrent) writers; identical content is expected but enforce it —
+        # np.memmap(mode='r') would silently accept a LARGER file and pair
+        # every row past the divergence with the wrong label
+        actual = os.path.getsize(mmap_path)
+        if actual != n * S * S * 3:
+            raise ValueError(
+                f"dataset cache inconsistent: {mmap_path} holds "
+                f"{actual // (S * S * 3)} rows but {meta_path} lists {n} "
+                f"labels (torn concurrent ingest?) — delete both and re-run "
+                "`devit ingest`")
         images = np.memmap(mmap_path, dtype=np.uint8, mode="r",
-                           shape=(len(meta["labels"]), S, S, 3))
+                           shape=(n, S, S, 3))
         return ArrayDataset(images, meta["labels"], int(meta["num_classes"]))
     if cache and os.path.exists(cache_path):
         z = np.load(cache_path)
@@ -199,6 +211,16 @@ def decode_files_to_dataset(files, num_classes: int, img_size: int,
         del buf
         with open(mmap_path + tmp_suffix, "r+b") as f:
             f.truncate(m * S * S * 3)
+        if not cache:
+            # a memmap needs SOME backing file, but cache=False must not
+            # touch the canonical cache names — keep the per-PID tmp as the
+            # backing store and remove it at interpreter exit
+            import atexit
+
+            backing = mmap_path + tmp_suffix
+            atexit.register(lambda p=backing: os.path.exists(p) and os.unlink(p))
+            imgs = np.memmap(backing, dtype=np.uint8, mode="r", shape=(m, S, S, 3))
+            return ArrayDataset(imgs, labels, num_classes)
         os.replace(mmap_path + tmp_suffix, mmap_path)
         # meta LAST (its existence is the cache-hit signal) and atomically —
         # np.savez appends '.npz' unless the name already ends with it

@@ -120,3 +120,15 @@ def load_inat(root: str, split: str, year: int = 2018, category: str = "name",
         labels.append(targeter[cat[category]])
     return _decode(paths, labels, num_classes, img_size,
                    os.path.join(root, f".devit_v3_{split}{year}_{img_size}.npz"))
+
+
+def inat_num_classes(root: str, category: str = "name") -> int:
+    """Class count from categories.json alone — split_main needs only this
+    integer; deriving it via a full load_inat would decode the entire ~437k-
+    image split (hours + ~86 GB) to read one number."""
+    with open(os.path.join(root, "categories.json")) as f:
+        categories = json.load(f)
+    seen = set()
+    for c in categories:
+        seen.add(c[category])
+    return len(seen)

@@ -122,7 +122,13 @@ def restore_pytree_orbax(path: str, template: Any = None) -> Any:
     ckptr = _orbax()
     ckptr.wait_until_finished()
     path = os.path.abspath(path)
-    _promote_orbax(path)  # crash-between-commit-and-promotion recovery
+    # crash-between-commit-and-promotion recovery: restore DIRECTLY from the
+    # durable .new — restore must stay read-only (concurrent restorers
+    # promoting would race each other's rmtree/replace into zero remaining
+    # checkpoints, and read-only mounts must still restore). The writer
+    # promotes it on its next save/wait.
+    if os.path.isdir(path + ".new"):
+        path = path + ".new"
     if template is None:
         return ckptr.restore(path)
     import jax

@@ -123,11 +123,10 @@ def fit(
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
     try:
-        best_acc = _fit_epochs(
-            carry_box := [carry], step_fn, train_batches_fn, eval_fn, epochs,
+        carry, best_acc = _fit_epochs(
+            carry, step_fn, train_batches_fn, eval_fn, epochs,
             rng, output_dir, log_fn, save_state_fn, start_epoch, profile_dir,
             stats_path, best_acc)
-        carry = carry_box[0]
     finally:
         # runs on EVERY exit path (incl. NonFiniteLossError / Ctrl-C): orbax
         # surfaces background-commit failures only at the next save or
@@ -137,14 +136,13 @@ def fit(
     return carry, best_acc
 
 
-def _fit_epochs(carry_box, step_fn, train_batches_fn, eval_fn, epochs, rng,
+def _fit_epochs(carry, step_fn, train_batches_fn, eval_fn, epochs, rng,
                 output_dir, log_fn, save_state_fn, start_epoch, profile_dir,
                 stats_path, best_acc):
     import contextlib
 
     from devit_tpu.utils_profile import device_memory_stats, trace
 
-    carry = carry_box[0]
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         profiling = profile_dir is not None and epoch == start_epoch
@@ -180,5 +178,4 @@ def _fit_epochs(carry_box, step_fn, train_batches_fn, eval_fn, epochs, rng,
                 f.write(json.dumps(
                     {"epoch": epoch, **{f"train_{k}": v for k, v in train_stats.items()},
                      **{f"test_{k}": v for k, v in eval_stats.items()}}) + "\n")
-        carry_box[0] = carry
-    return best_acc
+    return carry, best_acc

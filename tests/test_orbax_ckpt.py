@@ -123,14 +123,22 @@ def test_orbax_two_phase_never_leaves_zero_checkpoints(tmp_path):
                                   np.arange(4) + 1)
     assert not os.path.isdir(p + ".new")
 
-    # crash between commit and promotion: durable .new, pending set lost
+    # crash between commit and promotion: durable .new, pending set lost.
+    # restore is READ-ONLY (concurrent restorers must not race a promotion;
+    # read-only mounts must restore): it reads the .new directly and leaves
+    # the disk untouched; the writer's NEXT save promotes.
     CK.save_pytree_orbax(p, {"a": np.arange(4) + 2})
     CK._ORBAX_CKPTR.wait_until_finished()
     CK._PENDING_PROMOTE.clear()
     assert os.path.isdir(p + ".new")
     np.testing.assert_array_equal(CK.restore_pytree(p, None)["a"],
                                   np.arange(4) + 2)
-    assert os.path.isdir(p) and not os.path.isdir(p + ".new")
+    assert os.path.isdir(p + ".new"), "restore must not mutate the disk"
+    CK.save_pytree_orbax(p, {"a": np.arange(4) + 3})
+    CK.wait_for_checkpoints()
+    np.testing.assert_array_equal(CK.restore_pytree(p, None)["a"],
+                                  np.arange(4) + 3)
+    assert not os.path.isdir(p + ".new")
 
 
 def test_msgpack_save_is_atomic(tmp_path):

@@ -325,6 +325,14 @@ def test_pipeline_stage5_recipe_and_deploy_fallback(tmp_path, monkeypatch):
     assert captured["ens"].lr == 3e-5
     assert captured["ens"].weight_decay == 0.1
 
+    # an EXPLICIT --lr equal to the generic default must be honored too (the
+    # pipeline parser uses None sentinels, not literal-default comparison)
+    captured.clear()
+    stages.pipeline_main(build_parser().parse_args(
+        argv + ["--lr", "5e-4", "--weight-decay", "0.0"]))
+    assert captured["ens"].lr == 5e-4
+    assert captured["ens"].weight_decay == 0.0
+
     # a .orbax ensemble artifact skips the stage AND routes deploy to the
     # ensemble checkpoint path (restore_pytree auto-detects the sibling)
     os.makedirs(os.path.join(root, "ensemble", "checkpoint.orbax"))
