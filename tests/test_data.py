@@ -1,5 +1,6 @@
 """Data layer tests: splitter parity, division views, device-side pipeline."""
 
+import os
 import random
 
 import jax
@@ -390,3 +391,51 @@ def test_ingest_cli_builds_cache(tmp_path, monkeypatch):
     for split in ("train", "val"):
         assert (tmp_path / split / ".devit_cache_v3_32.u8").exists()
         assert (tmp_path / split / ".devit_cache_v3_32.u8.meta.npz").exists()
+
+
+def test_train_sub_cli_runs_over_memmap_dataset(tmp_path, monkeypatch):
+    """A full training stage over a memmap-backed image-folder dataset: the
+    lazy division view, native gather over the memmap, aug pipeline, eval
+    and checkpointing must all compose (the ImageNet-scale path end-to-end,
+    not just BatchIterator parity)."""
+    from PIL import Image
+
+    from devit_tpu.cli.__main__ import build_parser
+
+    rng = np.random.default_rng(0)
+    data_root = tmp_path / "imnet"
+    for split, n in (("train", 6), ("val", 3)):
+        for cls in ("c0", "c1", "c2", "c3"):
+            d = data_root / split / cls
+            d.mkdir(parents=True)
+            base = rng.integers(0, 200, (1, 1, 3))
+            for j in range(n):
+                arr = (base + rng.integers(0, 56, (40, 40, 3))).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"{j}.png")
+    monkeypatch.setenv("DEVIT_MMAP_BYTES", "0")
+
+    out = str(tmp_path / "out")
+    split_args = build_parser().parse_args(
+        ["split", "--dataset", "IMNET", "--data-path", str(data_root),
+         "--num_division", "2", "--output_dir", out])
+    manifest = split_args.fn(split_args)
+
+    args = build_parser().parse_args([
+        "train_sub", "--dataset", "IMNET", "--data-path", str(data_root),
+        "--num_division", "2", "--manifest", manifest,
+        "--input-size", "32", "--patch-size", "8", "--embed-dim", "32",
+        "--depth", "1", "--num-heads", "2", "--drop-path", "0.0",
+        "--batch-size", "4", "--eval-batch-size", "4", "--epochs", "1",
+        "--warmup-epochs", "0", "--cooldown-epochs", "0", "--lr", "1e-3",
+        "--no-repeated-aug", "--aa", "", "--no-aug", "--mixup", "0",
+        "--cutmix", "0", "--reprob", "0", "--color-jitter", "0",
+        "--start-division", "0", "--output_dir", out + "/sub0",
+    ])
+    # the dataset really is memmap-backed in this configuration
+    from devit_tpu.data.datasets import build_dataset
+
+    ds = build_dataset("IMNET", str(data_root), train=True, img_size=32)
+    assert isinstance(ds.images, np.memmap)
+    best = args.fn(args)
+    assert os.path.exists(os.path.join(out, "sub0", "checkpoint.msgpack"))
+    assert np.isfinite(best)
