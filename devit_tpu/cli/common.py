@@ -125,6 +125,11 @@ def add_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--eval", action="store_true")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="write a jax.profiler trace of the first trained epoch")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also write TensorBoard scalars to output_dir "
+                        "(reference tags Train/*, Test/Top1|Top5|loss, "
+                        "train_subdata.py:437-472); the JSONL artifacts are "
+                        "always written")
     p.add_argument("--ckpt-format", choices=["msgpack", "orbax"], default="msgpack",
                    help="orbax = async directory checkpoints (training "
                         "continues while the write flushes); --resume and "

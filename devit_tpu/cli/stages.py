@@ -248,6 +248,7 @@ def train_sub_main(args) -> float:
         epochs=args.epochs, rng=jax.random.key(args.seed + 1),
         output_dir=args.output_dir, log_fn=log.info, save_state_fn=save_state,
         profile_dir=getattr(args, "profile_dir", None),
+        tensorboard=getattr(args, "tensorboard", False),
         start_epoch=start_epoch,
     )
     log.info(f"best acc1: {best:.2f}")
@@ -458,6 +459,7 @@ def distill_main(args) -> float:
         epochs=args.epochs, rng=jax.random.key(args.seed + 1),
         output_dir=args.output_dir, log_fn=log.info, save_state_fn=save_state,
         profile_dir=getattr(args, "profile_dir", None),
+        tensorboard=getattr(args, "tensorboard", False),
         start_epoch=start_epoch,
     )
     log.info(f"DEKD best acc1: {best:.2f}")
@@ -638,6 +640,7 @@ def _run_ensemble_training(args, log, label, train_ds, val_ds, num_classes,
         eval_fn=eval_fn, epochs=args.epochs, rng=jax.random.key(args.seed + 2),
         output_dir=args.output_dir, log_fn=log.info, save_state_fn=save_state,
         profile_dir=getattr(args, "profile_dir", None),
+        tensorboard=getattr(args, "tensorboard", False),
         start_epoch=start_epoch,
     )
     log.info(f"{label} best acc1: {best:.2f}")

@@ -107,6 +107,7 @@ def fit(
     save_state_fn: Optional[Callable] = None,
     start_epoch: int = 0,
     profile_dir: Optional[str] = None,
+    tensorboard: bool = False,
 ):
     """Standard stage driver: epoch loop + eval + best checkpointing + stats.
 
@@ -122,12 +123,23 @@ def fit(
     stats_path = os.path.join(output_dir, "log_stats.txt") if output_dir else None
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
+    tb_writer = None
+    if tensorboard and output_dir:
+        # reference parity: TensorBoard scalars to output_dir
+        # (train_subdata.py:437,460-472; tags Train/*, Test/Top1|Top5|loss).
+        # Opt-in (--tensorboard): the JSONL artifacts are always written and
+        # are the primary record here
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb_writer = SummaryWriter(log_dir=output_dir)
     try:
         carry, best_acc = _fit_epochs(
             carry, step_fn, train_batches_fn, eval_fn, epochs,
             rng, output_dir, log_fn, save_state_fn, start_epoch, profile_dir,
-            stats_path, best_acc)
+            stats_path, best_acc, tb_writer)
     finally:
+        if tb_writer is not None:
+            tb_writer.close()
         # runs on EVERY exit path (incl. NonFiniteLossError / Ctrl-C): orbax
         # surfaces background-commit failures only at the next save or
         # wait_until_finished — skipping this on error would swallow a
@@ -138,7 +150,7 @@ def fit(
 
 def _fit_epochs(carry, step_fn, train_batches_fn, eval_fn, epochs, rng,
                 output_dir, log_fn, save_state_fn, start_epoch, profile_dir,
-                stats_path, best_acc):
+                stats_path, best_acc, tb_writer=None):
     import contextlib
 
     from devit_tpu.utils_profile import device_memory_stats, trace
@@ -178,4 +190,14 @@ def _fit_epochs(carry, step_fn, train_batches_fn, eval_fn, epochs, rng,
                 f.write(json.dumps(
                     {"epoch": epoch, **{f"train_{k}": v for k, v in train_stats.items()},
                      **{f"test_{k}": v for k, v in eval_stats.items()}}) + "\n")
+        if tb_writer is not None:
+            # reference tag layout (train_subdata.py:461-472): every train
+            # metric under Train/ (loss, lr, cls_loss/token_loss when
+            # present), eval under Test/ with Top1/Top5
+            for k, v in train_stats.items():
+                tb_writer.add_scalar(f"Train/{k}", float(v), epoch)
+            tags = {"acc1": "Top1", "acc5": "Top5"}
+            for k, v in eval_stats.items():
+                tb_writer.add_scalar(f"Test/{tags.get(k, k)}", float(v), epoch)
+            tb_writer.flush()
     return carry, best_acc

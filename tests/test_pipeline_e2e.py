@@ -340,3 +340,27 @@ def test_pipeline_stage5_recipe_and_deploy_fallback(tmp_path, monkeypatch):
     stages.pipeline_main(build_parser().parse_args(argv))
     assert "ens" not in captured, "orbax artifact must skip the stage"
     assert captured["dep"].ensemble_path.endswith("checkpoint.msgpack")
+
+
+def test_tensorboard_flag_writes_event_file(tmp_path):
+    """--tensorboard writes reference-parity scalars (Train/*, Test/Top1...)
+    as TB event files in output_dir (train_subdata.py:437-472); off by
+    default — the JSONL artifacts remain the primary record."""
+    out = str(tmp_path / "tb")
+    run([
+        "train_sub", *TINY_MODEL, *DATA, *NO_MIX,
+        "--batch-size", "32", "--eval-batch-size", "64", "--epochs", "1",
+        "--warmup-epochs", "0", "--cooldown-epochs", "0", "--lr", "1e-3",
+        "--start-division", "0", "--output_dir", out,
+        "--no-repeated-aug", "--aa", "", "--no-aug", "--tensorboard",
+    ])
+    events = [f for f in os.listdir(out) if f.startswith("events.out.tfevents")]
+    assert events, f"no TB event file in {os.listdir(out)}"
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(out)
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert {"Train/loss", "Test/Top1", "Test/Top5", "Test/loss"} <= tags, tags
