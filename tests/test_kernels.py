@@ -215,3 +215,41 @@ def test_compact_forward_pallas_flag_parity_interpret():
                         force_pallas=True)
     b = compact_forward(cm, x, patch_size=8, dtype=jnp.float32, use_pallas=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)
+
+
+def test_attention_kernels_randomized_shape_sweep():
+    """Forward + custom-VJP kernels across randomized (B, N, H, dh, gate,
+    block_b) combinations, including N odd / N < block rows / ragged final
+    batch blocks — the fixed-shape tests can't cover the index arithmetic
+    space, and shape bugs in Pallas tend to be silent (reads of garbage
+    rows), not crashes."""
+    from devit_tpu.kernels.attention import make_trainable_attention
+
+    rng = np.random.default_rng(99)
+    for trial in range(6):
+        B = int(rng.integers(1, 7))
+        N = int(rng.integers(3, 24))
+        H = int(rng.choice([1, 2, 3, 4]))
+        dh = int(rng.choice([4, 8, 16]))
+        block_b = int(rng.choice([1, 2, 4]))
+        qkv = jnp.asarray(rng.normal(size=(B, N, 3 * H * dh)), jnp.float32)
+        gate = (jnp.asarray((rng.random(H) > 0.4).astype(np.float32))
+                if trial % 2 else None)
+        if gate is not None and float(gate.sum()) == 0.0:
+            gate = gate.at[0].set(1.0)
+        tag = f"trial {trial}: B{B} N{N} H{H} dh{dh} bb{block_b}"
+
+        out = fused_attention(qkv, gate, num_heads=H, block_b=block_b,
+                              interpret=True)
+        ref = reference_attention(qkv, gate, num_heads=H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5, err_msg=tag)
+
+        if gate is None:  # the training kernel is the ungated path
+            attn = make_trainable_attention(H, block_b=block_b, interpret=True)
+            cot = jnp.asarray(rng.normal(size=(B, N, H * dh)), jnp.float32)
+            g_pal = jax.grad(lambda x: jnp.sum(attn(x) * cot))(qkv)
+            g_ref = jax.grad(lambda x: jnp.sum(
+                reference_attention(x, None, num_heads=H) * cot))(qkv)
+            np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                                       rtol=2e-4, atol=2e-5, err_msg=tag)
