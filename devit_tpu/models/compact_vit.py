@@ -7,10 +7,14 @@ reference's policy search samples per-layer sparsities uniformly,
 shrink_imp.py:71). This module compacts WITHOUT padding: each layer keeps its
 exact kept-head/kept-neuron width (rounded only to MXU alignment) and the
 forward unrolls the 12 layers with per-layer shapes. This is the deployment
-artifact — identical math to the gated model (weights are exact gathers; with
-fast_math the GELU uses the tanh lowering, a deviation below bf16 activation
-rounding — see the measured note in compact_forward), running the analytic
-MACs for real.
+artifact — identical math to the gated model (weights are exact gathers),
+running the analytic MACs for real. fast_math (the serving default) deviates
+in TWO ways: the tanh GELU lowering (below bf16 activation rounding at f32 —
+measured 1.5e-5 rel) AND bf16 LayerNorm statistics (`stat = dtype`); the
+combined bf16 deviation vs fast_math=False is ~1.1% relative on logits
+(pinned in tests/test_compact_ragged.py). Attention softmax is f32 under
+every flag combination (reference_attention and the Pallas kernel both
+compute f32 logits+softmax). Parity comparisons use fast_math=False.
 
 Pure-function style: parameters are a pytree (list of per-layer dicts), the
 forward is jit-compatible, and divisions with different policies are simply

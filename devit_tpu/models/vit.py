@@ -180,7 +180,11 @@ class Block(nn.Module):
     capture_block_outputs: bool = False  # att/encoder outputs (de_vit.py:268-284)
     capture_rank_stats: bool = False  # neuron_act/head_out for HSIC ranking
     dtype: Any = jnp.bfloat16
-    softmax_dtype: Any = jnp.float32  # bf16 for inference-speed mode
+    # attention softmax stays f32 under EVERY flag combination, matching the
+    # fused Pallas kernel (f32 QK^T + f32 softmax, probs rounded to dtype) —
+    # a softmax precision that depended on use_pallas would make the flag
+    # numerics-visible. fast_math flips only LN statistics + GELU lowering.
+    softmax_dtype: Any = jnp.float32
     norm_dtype: Any = jnp.float32
     use_pallas: bool = False  # fused attention kernel (inference path)
     fast_math: bool = False  # tanh GELU lowering (deviation < bf16 rounding)
@@ -302,9 +306,11 @@ class VisionTransformer(nn.Module):
 
     cfg: ViTConfig
     dtype: Any = jnp.bfloat16
-    # inference-speed mode: bf16 softmax + bf16 LayerNorm statistics.
-    # Training keeps fp32 for both (the bf16 analogue of the reference's AMP
-    # policy, which also kept softmax/LN in fp32).
+    # inference-speed mode: bf16 LayerNorm statistics + tanh GELU lowering.
+    # Attention softmax stays f32 under every flag combination (kernel
+    # parity — see Block.softmax_dtype). Enforced INFERENCE-only: a call
+    # with train=True keeps f32 stats and erf GELU regardless (the bf16
+    # analogue of the reference's AMP policy, which kept softmax/LN fp32).
     fast_math: bool = False
     use_pallas: bool = False  # fused attention kernel on the inference path
     # Rematerialize block activations in the backward pass (jax.checkpoint on
@@ -381,7 +387,13 @@ class VisionTransformer(nn.Module):
         layer_ids = jnp.arange(cfg.depth)
         qkv_slot = jnp.zeros((3, B, cfg.num_heads, cfg.seq_len, cfg.head_dim), self.dtype)
 
-        stat_dtype = self.dtype if self.fast_math else jnp.float32
+        # fast_math is an INFERENCE mode: if this instance is driven with
+        # train=True anyway (e.g. a serving-configured model reused for
+        # fine-tuning), the pinned training numerics must hold — f32 LN
+        # statistics and erf GELU (the reference's AMP policy also kept
+        # softmax/LN fp32; CLAUDE.md pins the tanh lowering to serving only)
+        fast_math = self.fast_math and not train
+        stat_dtype = self.dtype if fast_math else jnp.float32
         if self.use_remat and train:
             # whitelist: jax.checkpoint_policies also exports FACTORIES
             # (save_only_these_names, ...) which, passed bare, are truthy for
@@ -423,10 +435,10 @@ class VisionTransformer(nn.Module):
             capture_block_outputs=capture_block_outputs,
             capture_rank_stats=capture_rank_stats,
             dtype=self.dtype,
-            softmax_dtype=stat_dtype,
+            softmax_dtype=jnp.float32,  # kernel parity — see Block attr note
             norm_dtype=stat_dtype,
             use_pallas=self.use_pallas,
-            fast_math=self.fast_math,
+            fast_math=fast_math,
             name="blocks",
         )((x, qkv_slot), (gates.head, gates.neuron, dp_rates, layer_ids))
 

@@ -234,3 +234,30 @@ def test_remat_policy_grads_match_full_remat():
     with pytest.raises(ValueError, match="remat_policy"):
         jax.grad(loss_fn)(params, VisionTransformer(
             cfg, dtype=jnp.float32, remat_policy="save_only_these_names"))
+
+
+def test_fast_math_is_inference_only():
+    """fast_math must not change TRAINING numerics: a serving-configured
+    model (fast_math=True) driven with train=True keeps the pinned f32 LN
+    statistics and erf GELU — bit-identical to the fast_math=False model.
+    In eval the fast path IS active (tanh GELU differs at ~1e-5 at f32)."""
+    from devit_tpu.configs import get_vit_config
+
+    cfg = get_vit_config("dedeit", img_size=32, patch_size=8, embed_dim=64,
+                         depth=2, num_heads=4, num_classes=5,
+                         drop_path_rate=0.0)
+    x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    fast = VisionTransformer(cfg, dtype=jnp.float32, fast_math=True)
+    ref = VisionTransformer(cfg, dtype=jnp.float32, fast_math=False)
+    params = ref.init(jax.random.key(1), x)
+
+    rngs = {"dropout": jax.random.key(7)}  # same key -> identical draws
+    tr_fast = fast.apply(params, x, train=True, rngs=rngs)
+    tr_ref = ref.apply(params, x, train=True, rngs=rngs)
+    np.testing.assert_array_equal(np.asarray(tr_fast.logits[0]),
+                                  np.asarray(tr_ref.logits[0]))
+
+    ev_fast = np.asarray(fast.apply(params, x).logits)
+    ev_ref = np.asarray(ref.apply(params, x).logits)
+    assert not np.array_equal(ev_fast, ev_ref), "fast path inactive in eval"
+    np.testing.assert_allclose(ev_fast, ev_ref, rtol=0, atol=1e-3)
