@@ -335,38 +335,89 @@ def load_params_for(model: VisionTransformer, path: str, template_params):
     return merge_params_into(model, params, template_params)
 
 
-def merge_params_into(model: VisionTransformer, params, template_params):
+# Fresh-classifier roots that are EXPECTED to keep their init when loading a
+# pretrained backbone (reference shrink.py:298-332 filters exactly the head
+# keys). Everything else keeping init is a geometry mismatch.
+_HEAD_PARAM_ROOTS = ("head", "head_dist", "fc", "resize")
+
+
+def merge_params_into(model: VisionTransformer, params, template_params,
+                      log=None, max_init_fraction: float = 0.25):
     """By-name merge of an already-loaded param tree into the model's
     template (load_params_for's tail, exposed for callers that restored the
     checkpoint themselves — e.g. the ensemble stage reads params AND gates
-    from one restore instead of deserializing each checkpoint twice)."""
-    cfg = model.cfg
+    from one restore instead of deserializing each checkpoint twice).
 
-    def merge(tpl, new):
+    Mismatch handling (loud, unlike the silent round-3 version):
+      * ViT `pos_embed` -> bicubic grid resize (de_vit.py:452-473);
+        CCT `positional_emb` -> bilinear resize (helpers.py:26-32 pe_check,
+        num_tokens=0 under seq-pool).
+      * every other missing/shape-mismatched key keeps its init and is
+        LOGGED (the reference's shrink.py at least prints dropped keys);
+      * if the kept-init fraction of NON-head parameters exceeds
+        `max_init_fraction`, raise — a wrong-geometry checkpoint must not
+        train from random weights silently.
+    """
+    cfg = model.cfg
+    is_cct = hasattr(cfg, "num_layers")  # CCTConfig
+    if log is None:
+        import logging
+
+        log = logging.getLogger("devit_tpu")
+    kept_init = []  # (path, reason, n_params)
+
+    def resize_pe(nv, tpl_shape):
+        if is_cct:
+            from devit_tpu.io.checkpoint import resize_cct_pos_embed
+
+            return resize_cct_pos_embed(nv, tpl_shape[1],
+                                        0 if cfg.seq_pool else 1)
+        return resize_pos_embed(nv, cfg.seq_len, cfg.num_prefix_tokens)
+
+    def merge(tpl, new, path):
         out = {}
         for k, v in tpl.items():
+            p = f"{path}/{k}" if path else str(k)
             if k not in new:
                 out[k] = v  # missing (e.g. fresh head) -> keep init
+                kept_init.append((p, "missing from checkpoint", int(np.size(v))))
             elif isinstance(v, dict):
-                out[k] = merge(v, new[k])
+                out[k] = merge(v, new[k], p)
             else:
                 nv = np.asarray(new[k])
                 if nv.shape != v.shape:
-                    if "pos_embed" in str(k):
-                        nv = resize_pos_embed(nv, cfg.seq_len, cfg.num_prefix_tokens)
-                        out[k] = jnp.asarray(nv)
+                    if k in ("pos_embed", "positional_emb"):
+                        out[k] = jnp.asarray(resize_pe(nv, v.shape))
+                        log.info("checkpoint load: resized %s %s -> %s",
+                                 p, nv.shape, v.shape)
                     else:
                         out[k] = v  # shape mismatch (e.g. head) -> keep init
+                        kept_init.append(
+                            (p, f"shape {nv.shape} != model {v.shape}",
+                             int(np.size(v))))
                 else:
                     out[k] = jnp.asarray(nv)
         return out
 
-    # pos_embed may need interpolation
-    if "pos_embed" in params and np.asarray(params["pos_embed"]).shape != template_params["pos_embed"].shape:
-        params["pos_embed"] = resize_pos_embed(
-            np.asarray(params["pos_embed"]), cfg.seq_len, cfg.num_prefix_tokens
-        )
-    return merge(template_params, params)
+    merged = merge(template_params, params, "")
+    if kept_init:
+        for p, reason, _ in kept_init:
+            log.info("checkpoint load: kept init for %s (%s)", p, reason)
+        non_head = [e for e in kept_init
+                    if e[0].split("/", 1)[0] not in _HEAD_PARAM_ROOTS]
+        non_head_total = sum(
+            int(np.size(leaf))
+            for k, sub in template_params.items() if k not in _HEAD_PARAM_ROOTS
+            for leaf in jax.tree_util.tree_leaves(sub))
+        frac = sum(s for _, _, s in non_head) / max(1, non_head_total)
+        if frac > max_init_fraction:
+            offenders = ", ".join(p for p, _, _ in non_head[:6])
+            raise ValueError(
+                f"checkpoint/model geometry mismatch: {frac:.0%} of non-head "
+                f"parameters would keep their random init (first offenders: "
+                f"{offenders}). Refusing to train from effectively random "
+                f"weights — check --model geometry vs the checkpoint.")
+    return merged
 
 
 def make_saver(args):

@@ -359,6 +359,31 @@ def resize_pos_embed(
     return np.concatenate([tok, grid], axis=1)
 
 
+def resize_cct_pos_embed(
+    pos_embed: np.ndarray, new_seq_len: int, num_prefix_tokens: int = 0
+) -> np.ndarray:
+    """Bilinear grid resize of CCT learnable positional embeddings
+    (reference models/utils/helpers.py:26-32 `pe_check`, which calls
+    resize_pos_embed with mode='bilinear'; num_tokens is 0 under seq-pool,
+    1 with a class token). Loading a 224px CCT checkpoint into a 32px model
+    must land the RESIZED pretrained PE, not the random init."""
+    tok = pos_embed[:, :num_prefix_tokens]
+    grid = pos_embed[0, num_prefix_tokens:]
+    gs_old = int(np.sqrt(grid.shape[0]))
+    gs_new = int(np.sqrt(new_seq_len - num_prefix_tokens))
+    if gs_old == gs_new:
+        return pos_embed
+    grid = grid.reshape(1, gs_old, gs_old, -1)
+    # antialias=False matches torch F.interpolate(mode='bilinear',
+    # align_corners=False) on the canonical 224px->32px DOWNSCALE too.
+    grid = jax.image.resize(
+        jnp.asarray(grid, jnp.float32), (1, gs_new, gs_new, grid.shape[-1]),
+        method="linear", antialias=False,
+    )
+    grid = np.asarray(grid).reshape(1, gs_new * gs_new, -1)
+    return np.concatenate([tok, grid], axis=1)
+
+
 def load_flax_npz_vit(path: str, depth: int) -> Dict:
     """Google-Brain Flax .npz ViT checkpoints (de_vit.py:372-449) -> our pytree."""
     w = np.load(path)

@@ -144,3 +144,52 @@ def test_cct_layer_parity_with_torch():
                       jnp.asarray(x8), capture_outputs=True)
     assert out.hidden.shape[0] == 2  # embedding + 1 block
     np.testing.assert_allclose(np.asarray(out.hidden[-1]), t_tokens, rtol=2e-4, atol=2e-5)
+
+
+def test_cct_pe_check_resizes_on_image_size_mismatch():
+    """Loading a 224px learnable-PE CCT checkpoint into a 32px model must land
+    the BILINEAR-resized pretrained PE, not the random init (reference
+    models/utils/helpers.py:26-32 pe_check; round-3 VERDICT gap #1)."""
+    from devit_tpu.cli.common import merge_params_into
+
+    big = create_cct("cct_7_7x2_224", num_classes=10, dtype=jnp.float32,
+                     stochastic_depth=0.0, attention_dropout=0.0)
+    small = create_cct("cct_7_7x2_224", img_size=32, num_classes=10,
+                       dtype=jnp.float32, stochastic_depth=0.0,
+                       attention_dropout=0.0)
+    assert big.cfg.seq_pool and big.cfg.positional_embedding == "learnable"
+    big_params = big.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))["params"]
+    small_tpl = small.init(jax.random.key(1), jnp.zeros((1, 32, 32, 3)))["params"]
+
+    merged = merge_params_into(small, big_params, small_tpl)
+    got = np.asarray(merged["positional_emb"])
+    assert got.shape == small_tpl["positional_emb"].shape
+    # not the init: the resized pretrained PE actually landed
+    assert not np.allclose(got, np.asarray(small_tpl["positional_emb"]))
+
+    # reference semantics: torch F.interpolate bilinear, num_tokens=0 (seq-pool)
+    pe = torch.from_numpy(np.asarray(big_params["positional_emb"], np.float32))
+    D = pe.shape[-1]
+    gs_old = int(np.sqrt(pe.shape[1]))
+    gs_new = int(np.sqrt(got.shape[1]))
+    ref = F.interpolate(pe.reshape(1, gs_old, gs_old, D).permute(0, 3, 1, 2),
+                        size=(gs_new, gs_new), mode="bilinear")
+    ref = ref.permute(0, 2, 3, 1).reshape(1, gs_new * gs_new, D).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_cct_pe_check_with_class_token():
+    """num_tokens=1 path: seq_pool=False prepends a class token the resize
+    must pass through untouched (helpers.py:29-31 num_tokens argument)."""
+    from devit_tpu.io.checkpoint import resize_cct_pos_embed
+
+    rng = np.random.default_rng(0)
+    pe = rng.standard_normal((1, 1 + 16, 8)).astype(np.float32)  # 4x4 grid + cls
+    out = resize_cct_pos_embed(pe, new_seq_len=1 + 4, num_prefix_tokens=1)
+    assert out.shape == (1, 5, 8)
+    np.testing.assert_array_equal(out[:, :1], pe[:, :1])
+    ref = F.interpolate(
+        torch.from_numpy(pe[0, 1:].reshape(1, 4, 4, 8)).permute(0, 3, 1, 2),
+        size=(2, 2), mode="bilinear",
+    ).permute(0, 2, 3, 1).reshape(1, 4, 8).numpy()
+    np.testing.assert_allclose(out[:, 1:], ref, rtol=1e-5, atol=1e-5)

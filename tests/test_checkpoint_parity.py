@@ -175,3 +175,38 @@ def test_resize_pos_embed_roundtrip():
     np.testing.assert_allclose(out[:, :2], pe[:, :2])  # prefix tokens untouched
     same = resize_pos_embed(pe, new_seq_len=2 + 16, num_prefix_tokens=2)
     np.testing.assert_allclose(same, pe)
+
+
+def test_merge_params_into_raises_on_geometry_mismatch():
+    """A wrong-geometry checkpoint must not silently train from random
+    weights (round-3 VERDICT weak #5): >25% of non-head params kept-init
+    -> ValueError. A fresh head alone stays allowed (reference
+    shrink.py:298-332 head filtering)."""
+    import pytest
+
+    from devit_tpu.cli.common import merge_params_into
+
+    cfg64 = get_vit_config("deit_tiny_patch16_224", img_size=32, patch_size=8,
+                           embed_dim=64, depth=2, num_heads=2, num_classes=10)
+    cfg48 = get_vit_config("deit_tiny_patch16_224", img_size=32, patch_size=8,
+                           embed_dim=48, depth=2, num_heads=2, num_classes=10)
+    m64 = VisionTransformer(cfg64, dtype=jnp.float32)
+    m48 = VisionTransformer(cfg48, dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 32, 3))
+    p64 = m64.init(jax.random.key(0), x)["params"]
+    p48 = m48.init(jax.random.key(1), x)["params"]
+
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        merge_params_into(m64, p48, p64)
+
+    # same geometry but different num_classes: head keeps init, no raise
+    cfg64c = get_vit_config("deit_tiny_patch16_224", img_size=32, patch_size=8,
+                            embed_dim=64, depth=2, num_heads=2, num_classes=7)
+    m64c = VisionTransformer(cfg64c, dtype=jnp.float32)
+    tpl = m64c.init(jax.random.key(2), x)["params"]
+    merged = merge_params_into(m64c, p64, tpl)
+    # backbone loaded, head kept init
+    np.testing.assert_array_equal(np.asarray(merged["cls_token"]),
+                                  np.asarray(p64["cls_token"]))
+    np.testing.assert_array_equal(np.asarray(merged["head"]["kernel"]),
+                                  np.asarray(tpl["head"]["kernel"]))
