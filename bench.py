@@ -258,6 +258,119 @@ def latency_report(fwd, ens_vars, batch_sizes) -> dict:
     return out
 
 
+def measure_topology(cms, ens_apply, ens_vars, *, batch: int, devices=None,
+                     iters: int = 5, repeats: int = 3, image_size: int = 224,
+                     patch_size: int = 16, dtype=jnp.bfloat16,
+                     use_pallas: bool = True, fast_math: bool = True) -> dict:
+    """Deployment-topology measurement (VERDICT r3 #8). With more than one
+    local device, runs the parallel/serve.py collaborative topology end-to-end
+    over the devices present (one compact division committed per chip + token
+    fusion on the first spare chip) and reports MEASURED img/s — both the
+    synchronous ensemble forward and the lag-2 streamed steady state. With one
+    device, measures each division's program ALONE plus the EnsMLP fusion
+    ALONE and reports the measured-component PROJECTION for the D-chip
+    (fusion shares division 0's chip: period = max(div)+fusion) and D+1-chip
+    (fusion on its own chip: steady-state period = max(div)) topologies —
+    the numbers previously buried in scripts/probe_division_times.py.
+
+    ens_apply: (ens_vars, cls_stack, dist_stack) -> output with .logits
+    (the make_collaborative_server contract)."""
+    from devit_tpu.models.compact_vit import compact_forward
+    from devit_tpu.parallel.serve import make_collaborative_server
+
+    devices = list(devices if devices is not None else jax.local_devices())
+    img = jax.random.normal(jax.random.key(2),
+                            (batch, image_size, image_size, 3), dtype)
+    base = {"batch": batch, "num_divisions": len(cms),
+            "num_devices": len(devices)}
+
+    if len(devices) > 1:
+        serve = make_collaborative_server(
+            cms, ens_apply, ens_vars, patch_size=patch_size, devices=devices,
+            dtype=dtype, use_pallas=use_pallas, fast_math=fast_math)
+        ms_sync = time_fn(serve, ens_vars, img, iters=iters, repeats=repeats)
+        # streamed steady state: wall time over nb batches with 2 in flight,
+        # so fusion of batch k overlaps the divisions' forwards of k+1..k+2
+        nb = max(2 * iters, 4)
+        for _ in serve.stream(ens_vars, [img] * 2, depth=2):
+            pass  # warmup (all programs compiled by time_fn already)
+        best_stream = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _ in serve.stream(ens_vars, [img] * nb, depth=2):
+                pass
+            best_stream = min(best_stream, (time.perf_counter() - t0) / nb)
+        stream_ms = best_stream * 1e3
+        return {
+            **base, "mode": "measured-multichip",
+            "value": round(batch / stream_ms * 1e3, 1),
+            "img_per_sec_stream": round(batch / stream_ms * 1e3, 1),
+            "img_per_sec_sync": round(batch / ms_sync * 1e3, 1),
+            "ms_per_batch_stream": round(stream_ms, 2),
+            "ms_per_batch_sync": round(ms_sync, 2),
+            "division_devices": [str(d) for d in serve.division_devices],
+            "fusion_device": str(serve.fusion_device),
+        }
+
+    # one device: measured-component projection
+    div_ms = []
+    for cm in cms:
+        f = jax.jit(lambda x, cm=cm: compact_forward(
+            cm, x, patch_size=patch_size, dtype=dtype, use_pallas=use_pallas,
+            fast_math=fast_math, features_only=True))
+        div_ms.append(time_fn(f, img, iters=iters, repeats=repeats))
+    C = cms[0].embed["pos_embed"].shape[-1]
+    cls_t = jax.random.normal(jax.random.key(3), (len(cms), batch, C), dtype)
+    f_fuse = jax.jit(lambda ev, c, t: ens_apply(ev, c, t).logits)
+    fuse_ms = time_fn(f_fuse, ens_vars, cls_t, cls_t,
+                      iters=iters, repeats=repeats)
+    worst = max(div_ms)
+    return {
+        **base, "mode": "projection",
+        # headline value: the D-chip deployment (fusion shares a chip) — the
+        # conservative projection; ICI transfer of 2*(B,C) bf16 tokens
+        # (~0.4 MB at bs256) is negligible at ICI bandwidths
+        "value": round(batch / (worst + fuse_ms) * 1e3, 1),
+        "projected_img_per_sec_dchip": round(batch / (worst + fuse_ms) * 1e3, 1),
+        "projected_img_per_sec_stream": round(batch / worst * 1e3, 1),
+        "division_ms": [round(m, 2) for m in div_ms],
+        "fusion_ms": round(fuse_ms, 2),
+        "note": "projection from per-program measurements on the single local "
+                "device; with >1 device this mode runs parallel/serve.py for "
+                "real (dchip = D chips, fusion sharing division 0's chip; "
+                "stream = D+1 chips, fusion on its own chip)",
+    }
+
+
+def topology_main():
+    """Topology mode (`devit bench --topology` / DEVIT_BENCH_TOPOLOGY=1):
+    the deployed 4-division ensemble over the local device topology — the one
+    command that verifies the multi-chip 10k+ claim the day multi-chip
+    hardware exists, and prints the measured-component projection until then.
+    Prints ONE JSON line."""
+    from devit_tpu.models.compact_vit import compact_vit_ragged
+    from devit_tpu.models.ensemble import EnsMLP
+
+    batch = int(os.environ.get("DEVIT_BENCH_BATCH", "256"))
+    num_div = 4
+    cfg, params, gates_list = build_inputs(num_div)
+    cms = [compact_vit_ragged(p, g, cfg) for p, g in zip(params, gates_list)]
+    ens = EnsMLP(num_classes=100, sub_size=cfg.embed_dim,
+                 num_divisions=num_div, teacher_size=768, family="deit")
+    cls_t = jnp.zeros((num_div, 2, cfg.embed_dim))
+    ens_vars = ens.init(jax.random.key(9), cls_t, cls_t)
+    res = measure_topology(cms, lambda ev, c, t: ens.apply(ev, c, t),
+                           ens_vars, batch=batch)
+    print(json.dumps({
+        "metric": "4-division dedeit ensemble deployment topology "
+                  "(parallel/serve.py: one compact division per chip + token "
+                  "fusion, bs=%d)" % batch,
+        "unit": "img/s",
+        "vs_baseline": round(res["value"] / 10000.0, 4),
+        **res,
+    }))
+
+
 def train_main():
     """Training-throughput mode (`devit bench --train` / DEVIT_BENCH_TRAIN=1):
     the stage-2 train step on the full dedeit at bs256 (remat + mixup + EMA +
@@ -321,6 +434,9 @@ def main():
     setup_runtime()
     if os.environ.get("DEVIT_BENCH_TRAIN"):
         train_main()
+        return
+    if os.environ.get("DEVIT_BENCH_TOPOLOGY"):
+        topology_main()
         return
     fwd, ens_vars, cms = build()
     if os.environ.get("DEVIT_BENCH_LATENCY"):

@@ -89,6 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
     mode.add_argument("--train", action="store_true",
                       help="training mode: stage-2 train step ms/step + MFU "
                            "instead of serving throughput")
+    mode.add_argument("--topology", action="store_true",
+                      help="deployment-topology mode: with >1 local device, "
+                           "run the collaborative serving topology "
+                           "(parallel/serve.py) end-to-end and report "
+                           "measured img/s; with 1 device, print the "
+                           "measured-component multi-chip projection")
     bp.set_defaults(fn=_bench_main)
 
     pp = sub.add_parser("pipeline", help="run the whole chain: split -> "
@@ -171,6 +177,10 @@ def _bench_main(args):
         os.environ["DEVIT_BENCH_TRAIN"] = "1"
     else:
         os.environ.pop("DEVIT_BENCH_TRAIN", None)
+    if getattr(args, "topology", False):
+        os.environ["DEVIT_BENCH_TOPOLOGY"] = "1"
+    else:
+        os.environ.pop("DEVIT_BENCH_TOPOLOGY", None)
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     runpy.run_path(os.path.join(repo_root, "bench.py"), run_name="__main__")
 
