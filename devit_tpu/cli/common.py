@@ -67,6 +67,11 @@ def add_optim_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scale-lr", action="store_true", default=True,
                    help="linear scale lr by global_batch/512 (train_subdata.py:405)")
     p.add_argument("--no-scale-lr", action="store_false", dest="scale_lr")
+    p.add_argument("--sched-per-epoch", action="store_true",
+                   help="bit-parity LR mode: the reference's per-epoch timm "
+                        "staircase incl. its one-epoch step(epoch) lag "
+                        "(train_subdata.py:449) instead of the smooth "
+                        "per-step cosine")
 
 
 def add_aug_args(p: argparse.ArgumentParser) -> None:
@@ -241,6 +246,7 @@ def optim_config_from_args(args, global_batch: int) -> OptimConfig:
         epochs=args.epochs, weight_decay=args.weight_decay, opt_eps=args.opt_eps,
         clip_grad=args.clip_grad, scale_lr_by_batch=args.scale_lr,
         global_batch=global_batch,
+        sched_per_epoch=getattr(args, "sched_per_epoch", False),
     )
 
 

@@ -38,6 +38,11 @@ class OptimConfig:
     clip_grad: Optional[float] = None
     scale_lr_by_batch: bool = False
     global_batch: int = 512
+    # bit-parity mode: reproduce the reference's PER-EPOCH staircase exactly,
+    # including the one-epoch lag of `lr_scheduler.step(epoch)` being called
+    # at the END of epoch `epoch` (train_subdata.py:449) — see
+    # timm_epoch_schedule. Default False: the smooth per-step cosine.
+    sched_per_epoch: bool = False
 
     def scaled_lr(self) -> float:
         if self.scale_lr_by_batch:
@@ -69,6 +74,52 @@ def cosine_schedule(cfg: OptimConfig, steps_per_epoch: int) -> optax.Schedule:
         progress = jnp.minimum(step / total_steps, 1.0)
         cos = cfg.min_lr + 0.5 * (peak - cfg.min_lr) * (1.0 + jnp.cos(jnp.pi * progress))
         return jnp.where(step < warmup_steps, warm, cos)
+
+    if cfg.sched_per_epoch:
+        return timm_epoch_schedule(cfg, steps_per_epoch)
+    return schedule
+
+
+def timm_epoch_schedule(cfg: OptimConfig, steps_per_epoch: int) -> optax.Schedule:
+    """The reference's LR trajectory BIT-EXACTLY (--sched-per-epoch): timm-0.5.4
+    CosineLRScheduler with t_in_epochs=True, stepped per epoch, INCLUDING the
+    one-epoch lag — every reference stage calls `lr_scheduler.step(epoch)` at
+    the END of epoch `epoch` (train_subdata.py:449, distill_sub.py /
+    ensemble.py / shrink.py likewise), so epoch e trains at the value computed
+    for t = e-1, and epoch 0 trains at the constructor-set value.
+
+    timm-0.5.4 semantics reproduced (scheduler.py Scheduler.step +
+    cosine_lr.py _get_lr, defaults t_mul=1, warmup_prefix=False,
+    cycle_limit=1 from scheduler_factory.py):
+      __init__: warmup_t>0 -> groups set to warmup_lr_init  (epoch 0's LR)
+      _get_lr(t): t < warmup_t -> warmup_lr_init + t*(peak-warmup_lr)/warmup_t
+                  warmup_t <= t < t_initial ->
+                      min_lr + 0.5*(peak-min_lr)*(1+cos(pi*t/t_initial))
+                      (t counts FROM ZERO INCLUDING warmup: warmup_prefix=False)
+                  t >= t_initial -> min_lr  (i >= cycle_limit=1)
+    With warmup_t>0, the constructor value equals _get_lr(0), so the lagged
+    trajectory is uniformly lr(epoch e) = _get_lr(max(e-1, 0)) — which also
+    holds at warmup_t=0 where _get_lr(0) = peak = the constructor base value.
+    Consequences the smooth schedule does not have: epochs 0 AND 1 both run
+    at warmup_lr; the LR is constant within an epoch; the exact peak is never
+    reached (the staircase jumps from the last warmup value into the cosine)."""
+    import jax.numpy as jnp
+
+    peak = cfg.scaled_lr()
+    wt = cfg.warmup_epochs
+    t_initial = max(cfg.epochs, 1)
+
+    def get_lr(t):  # timm _get_lr, vectorized
+        t = jnp.asarray(t, jnp.float32)
+        warm = cfg.warmup_lr + t * (peak - cfg.warmup_lr) / max(wt, 1)
+        cos = cfg.min_lr + 0.5 * (peak - cfg.min_lr) * (
+            1.0 + jnp.cos(jnp.pi * t / t_initial))
+        cos = jnp.where(t >= t_initial, cfg.min_lr, cos)
+        return jnp.where(t < wt, warm, cos)
+
+    def schedule(step):
+        epoch = jnp.asarray(step, jnp.int32) // steps_per_epoch
+        return get_lr(jnp.maximum(epoch - 1, 0))
 
     return schedule
 

@@ -234,6 +234,44 @@ def test_cosine_schedule_shape():
     assert abs(cfg2.scaled_lr() - 1e-3) < 1e-9
 
 
+def test_sched_per_epoch_timm_staircase():
+    """--sched-per-epoch (VERDICT r3 #9): the reference's per-epoch LR
+    trajectory bit-for-bit — timm-0.5.4 CosineLRScheduler(t_in_epochs=True)
+    driven by `lr_scheduler.step(epoch)` at the END of epoch `epoch`
+    (train_subdata.py:449). Expected values computed here by an independent
+    pure-Python simulation of that loop (timm defaults: t_mul=1,
+    warmup_prefix=False, cycle_limit=1)."""
+    import math
+
+    spe = 10
+    cfg = OptimConfig(lr=5e-4, warmup_lr=1e-6, min_lr=1e-5, epochs=20,
+                      warmup_epochs=5, cooldown_epochs=10, sched_per_epoch=True)
+    sched = cosine_schedule(cfg, steps_per_epoch=spe)
+
+    def timm_get_lr(t):  # cosine_lr.py _get_lr at the reference's settings
+        if t < 5:
+            return 1e-6 + t * (5e-4 - 1e-6) / 5
+        if t >= 20:  # i >= cycle_limit=1
+            return 1e-5
+        return 1e-5 + 0.5 * (5e-4 - 1e-5) * (1 + math.cos(math.pi * t / 20))
+
+    # epoch 0 runs at the constructor-set warmup_lr; step(e) after epoch e
+    # sets epoch e+1's LR to _get_lr(e) — the one-epoch lag
+    lr_by_epoch = [1e-6] + [timm_get_lr(e) for e in range(0, 24)]
+    for e in range(25):
+        for s in (0, spe - 1):  # constant within an epoch (staircase)
+            got = float(sched(e * spe + s))
+            assert abs(got - lr_by_epoch[e]) < 1e-8, (e, s, got, lr_by_epoch[e])
+    # lag quirks pinned: epochs 0 AND 1 both at warmup_lr; peak never reached
+    assert float(sched(0)) == float(sched(spe))
+    assert max(float(sched(e * spe)) for e in range(25)) < 5e-4
+    # warmup_epochs=0: epoch 0 then runs at the base (peak) LR, like timm's
+    # constructor leaving the group LR untouched
+    cfg0 = OptimConfig(lr=5e-4, min_lr=1e-5, epochs=20, warmup_epochs=0,
+                       sched_per_epoch=True)
+    assert abs(float(cosine_schedule(cfg0, spe)(0)) - 5e-4) < 1e-8
+
+
 def test_ensemble_train_step_uses_stochastic_depth():
     """Stage-5 backbones must train with drop-path ACTIVE (the reference sets
     model.train(True) in train_1epoch_ens_disjoint, engine.py:146, on
