@@ -26,12 +26,45 @@ import numpy as np
 from devit_tpu.data.datasets import ArrayDataset, decode_files_to_dataset
 
 
+def _check_extraction(paths: List[str], labels: List[int], num_classes: int,
+                      name: str) -> None:
+    """Torn-extraction diagnosis (VERDICT r3 #10): the reference's vendored
+    torchvision datasets verify archive md5s at download time
+    (/root/reference/data/datasets.py:107-127); with no egress here the
+    archives are pre-extracted, so verify the EXTRACTION instead — every
+    annotated image must exist and be non-empty, and every label must be in
+    range. Without this, a truncated `cars_train.tgz` extraction surfaces as
+    silent decode skips (wrong dataset size) or an index error deep in
+    training."""
+    bad = sorted({int(l) for l in labels if not 0 <= int(l) < num_classes})
+    if bad:
+        raise ValueError(
+            f"{name}: annotation labels out of range [0, {num_classes}): "
+            f"{bad[:10]}{'...' if len(bad) > 10 else ''} — corrupt or "
+            f"mismatched annotation files?")
+    missing = [p for p in paths if not os.path.isfile(p)]
+    empty = [] if missing else [p for p in paths
+                                if os.path.getsize(p) == 0]
+    if missing or empty:
+        ex = (missing or empty)[:5]
+        raise FileNotFoundError(
+            f"{name}: {len(missing)} of {len(paths)} annotated images "
+            f"missing, {len(empty)} empty (torn archive extraction?) — "
+            f"first few: {ex}. Re-extract the dataset archive and re-run.")
+
+
 def _decode(paths: List[str], labels: List[int], num_classes: int,
-            img_size: int, cache_path: str) -> ArrayDataset:
+            img_size: int, cache_path: str, name: str = "dataset") -> ArrayDataset:
     """Shared decode+cache (datasets.decode_files_to_dataset): .npz in RAM
     below DEVIT_MMAP_BYTES, raw uint8 memmap above it (iNat-2018 train is
     ~437k images ≈ 86 GB at the 256² cache side — RAM-infeasible)."""
     base = cache_path[:-len(".npz")] if cache_path.endswith(".npz") else cache_path
+    # only on a cache MISS: after ingest the source images may legitimately
+    # be gone (cache is self-contained), and stat-ing ~437k files on every
+    # cached load would be wasted work
+    if not (os.path.exists(base + ".npz")
+            or os.path.exists(base + ".u8.meta.npz")):
+        _check_extraction(paths, labels, num_classes, name)
     return decode_files_to_dataset(zip(paths, labels), num_classes, img_size,
                                    base, cache=True)
 
@@ -54,7 +87,8 @@ def load_flowers102(root: str, split: str, img_size: int = 224) -> ArrayDataset:
     paths = [os.path.join(base, "jpg", f"image_{i:05d}.jpg") for i in split_ids]
     labels = [int(labels_all[i - 1]) for i in split_ids]
     return _decode(paths, labels, 102, img_size,
-                   os.path.join(base, f".devit_v3_{split}_{img_size}.npz"))
+                   os.path.join(base, f".devit_v3_{split}_{img_size}.npz"),
+                   name=f"flowers-102/{split}")
 
 
 def load_stanford_cars(root: str, split: str, img_size: int = 224) -> ArrayDataset:
@@ -74,7 +108,8 @@ def load_stanford_cars(root: str, split: str, img_size: int = 224) -> ArrayDatas
         labels.append(int(a["class"][0, 0]) - 1)
         paths.append(os.path.join(img_dir, str(a["fname"][0])))
     return _decode(paths, labels, 196, img_size,
-                   os.path.join(base, f".devit_v3_{split}_{img_size}.npz"))
+                   os.path.join(base, f".devit_v3_{split}_{img_size}.npz"),
+                   name=f"stanford_cars/{split}")
 
 
 def load_oxford_pets(root: str, split: str, img_size: int = 224) -> ArrayDataset:
@@ -90,7 +125,8 @@ def load_oxford_pets(root: str, split: str, img_size: int = 224) -> ArrayDataset
             paths.append(os.path.join(base, "images", name + ".jpg"))
             labels.append(int(class_id) - 1)
     return _decode(paths, labels, 37, img_size,
-                   os.path.join(base, f".devit_v3_{split}_{img_size}.npz"))
+                   os.path.join(base, f".devit_v3_{split}_{img_size}.npz"),
+                   name=f"oxford-iiit-pet/{split}")
 
 
 def load_inat(root: str, split: str, year: int = 2018, category: str = "name",
@@ -119,7 +155,8 @@ def load_inat(root: str, split: str, year: int = 2018, category: str = "name",
         paths.append(os.path.join(root, img_by_id[ann["image_id"]]))
         labels.append(targeter[cat[category]])
     return _decode(paths, labels, num_classes, img_size,
-                   os.path.join(root, f".devit_v3_{split}{year}_{img_size}.npz"))
+                   os.path.join(root, f".devit_v3_{split}{year}_{img_size}.npz"),
+                   name=f"inat{year}/{split}")
 
 
 def inat_num_classes(root: str, category: str = "name") -> int:

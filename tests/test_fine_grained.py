@@ -132,6 +132,38 @@ def test_oxford_pets_reader(pets_root):
     np.testing.assert_array_equal(test.labels, [4])
 
 
+def test_torn_extraction_fails_with_diagnosis(pets_root):
+    """VERDICT r3 #10: a torn archive extraction (annotated image missing or
+    zero bytes) must fail loudly with counts + examples, not surface as a
+    silent decode skip; out-of-range labels likewise. A warm cache skips the
+    check (the cache is self-contained; sources may legitimately be gone)."""
+    img = os.path.join(pets_root, "oxford-iiit-pet", "images",
+                       "Abyssinian_2.jpg")
+    os.remove(img)
+    with pytest.raises(FileNotFoundError, match=r"1 of 3 .* missing"):
+        FG.load_oxford_pets(pets_root, "train", img_size=IMG)
+    # zero-byte file = torn too
+    open(img, "wb").close()
+    with pytest.raises(FileNotFoundError, match="empty"):
+        FG.load_oxford_pets(pets_root, "train", img_size=IMG)
+    _write_jpg(img, seed=201)
+
+    # out-of-range label (breed id 50 > 37) diagnosed before any decode
+    ann = os.path.join(pets_root, "oxford-iiit-pet", "annotations",
+                       "trainval.txt")
+    good = open(ann).read()
+    open(ann, "w").write(good + "bogus_1 50 1 1\n")
+    with pytest.raises(ValueError, match=r"out of range \[0, 37\)"):
+        FG.load_oxford_pets(pets_root, "train", img_size=IMG)
+    open(ann, "w").write(good)
+
+    # warm the cache, then delete a source image: cached load must still work
+    FG.load_oxford_pets(pets_root, "train", img_size=IMG)
+    os.remove(img)
+    again = FG.load_oxford_pets(pets_root, "train", img_size=IMG)
+    assert len(again) == 3
+
+
 # ----------------------------------------------------------- iNaturalist
 
 
