@@ -295,13 +295,123 @@ def _attention_bwd_impl(qkv: Array, g: Array, num_heads: int, block_b: int,
     )(qkv, g)
 
 
-@functools.lru_cache(maxsize=None)
-def make_trainable_attention(num_heads: int, block_b: int = 8,
-                             interpret: Optional[bool] = None):
-    """Differentiable fused attention (no gate, no dropout): forward is the
-    fused kernel; backward recomputes p in a second kernel. The residual is
-    just the qkv activations — O(B N C) instead of O(B H N^2)."""
+# Split backward (VERDICT r3 #7 experiment): dv needs only p and g; dq/dk
+# needs p, dp, ds. Splitting halves neither kernel's dominant term alone
+# (dq/dk still holds p+dp+ds), but it drops the dv slice from the big
+# kernel's output tile and lets each half pick its own batch tile — the
+# monolithic kernel's block_b=8 VMEM compile failure (CLAUDE.md) may not
+# apply to the halves. Cost: p is recomputed twice (2 extra QK^T matmuls).
 
+
+def _attn_bwd_dv_kernel(qkv_ref, g_ref, dv_ref, *, num_heads: int,
+                        head_dim: int, scale: float):
+    C = num_heads * head_dim
+    x = qkv_ref[...]
+    g = g_ref[...]
+    for h in range(num_heads):
+        lo = h * head_dim
+        q = x[:, :, lo : lo + head_dim]
+        k = x[:, :, C + lo : C + lo + head_dim]
+        gh = g[:, :, lo : lo + head_dim]
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+        dv = jax.lax.dot_general(p, gh, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dv_ref[:, :, lo : lo + head_dim] = dv.astype(dv_ref.dtype)
+
+
+def _attn_bwd_dqdk_kernel(qkv_ref, g_ref, dqk_ref, *, num_heads: int,
+                          head_dim: int, scale: float):
+    C = num_heads * head_dim
+    x = qkv_ref[...]
+    g = g_ref[...]
+    for h in range(num_heads):
+        lo = h * head_dim
+        q = x[:, :, lo : lo + head_dim]
+        k = x[:, :, C + lo : C + lo + head_dim]
+        v = x[:, :, 2 * C + lo : 2 * C + lo + head_dim]
+        gh = g[:, :, lo : lo + head_dim]
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)  # f32 (TB, N, N)
+        dp = jax.lax.dot_general(gh, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(v.dtype)
+        dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dqk_ref[:, :, lo : lo + head_dim] = dq.astype(dqk_ref.dtype)
+        dqk_ref[:, :, C + lo : C + lo + head_dim] = dk.astype(dqk_ref.dtype)
+
+
+def _attention_bwd_split_impl(qkv: Array, g: Array, num_heads: int,
+                              block_b: int, interpret: Optional[bool]) -> Array:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N, threeC = qkv.shape
+    C = threeC // 3
+    if threeC % (3 * num_heads) != 0:
+        raise ValueError(f"num_heads={num_heads} must divide C={C}")
+    dh = C // num_heads
+    block_b = min(block_b, B)
+    in_specs = [
+        pl.BlockSpec((block_b, N, threeC), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, N, C), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dqk = pl.pallas_call(
+        functools.partial(_attn_bwd_dqdk_kernel, num_heads=num_heads,
+                          head_dim=dh, scale=dh ** -0.5),
+        grid=(pl.cdiv(B, block_b),),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_b, N, 2 * C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, 2 * C), qkv.dtype),
+        interpret=interpret,
+    )(qkv, g)
+    dv = pl.pallas_call(
+        functools.partial(_attn_bwd_dv_kernel, num_heads=num_heads,
+                          head_dim=dh, scale=dh ** -0.5),
+        grid=(pl.cdiv(B, block_b),),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_b, N, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+        interpret=interpret,
+    )(qkv, g)
+    # concat, not scatter: Mosaic has no scatter lowering (CLAUDE.md), and
+    # [dq|dk] already share the dqdk kernel's output tile
+    return jnp.concatenate([dqk, dv], axis=-1)
+
+
+def make_trainable_attention(num_heads: int, block_b: int = 8,
+                             interpret: Optional[bool] = None,
+                             bwd_mode: Optional[str] = None):
+    """Differentiable fused attention (no gate, no dropout): forward is the
+    fused kernel; backward recomputes p flash-style. The residual is just the
+    qkv activations — O(B N C) instead of O(B H N^2).
+
+    bwd_mode: 'monolithic' (default; one kernel at block_b//2 — the measured
+    105.5 ms/step training path) or 'split' (dv and dq/dk as separate kernels,
+    each at the forward's block_b — VERDICT r3 #7). Defaults from
+    DEVIT_ATTN_BWD so the experiment can drive the REAL training step without
+    code changes."""
+    if bwd_mode is None:
+        import os
+
+        bwd_mode = os.environ.get("DEVIT_ATTN_BWD", "monolithic")
+    if bwd_mode not in ("monolithic", "split"):
+        raise ValueError(f"unknown bwd_mode {bwd_mode!r}")
+    return _make_trainable_attention(num_heads, block_b, interpret, bwd_mode)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_trainable_attention(num_heads: int, block_b: int,
+                              interpret: Optional[bool], bwd_mode: str):
     @jax.custom_vjp
     def attn(qkv: Array) -> Array:
         return fused_attention(qkv, None, num_heads=num_heads,
@@ -311,9 +421,13 @@ def make_trainable_attention(num_heads: int, block_b: int = 8,
         return attn(qkv), qkv
 
     def bwd(qkv, g):
-        # the backward kernel holds ~2.5x the forward's VMEM working set
-        # (p, dp, ds in f32 plus dqkv) — halve the batch tile to fit
-        return (_attention_bwd_impl(qkv, g, num_heads, max(block_b // 2, 2), interpret),)
+        if bwd_mode == "split":
+            return (_attention_bwd_split_impl(qkv, g, num_heads, block_b,
+                                              interpret),)
+        # the monolithic backward kernel holds ~2.5x the forward's VMEM
+        # working set (p, dp, ds in f32 plus dqkv) — halve the batch tile
+        return (_attention_bwd_impl(qkv, g, num_heads, max(block_b // 2, 2),
+                                    interpret),)
 
     attn.defvjp(fwd, bwd)
     return attn

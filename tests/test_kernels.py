@@ -117,6 +117,70 @@ def test_trainable_attention_gradients_match_reference():
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), rtol=2e-4, atol=2e-5)
 
 
+def test_split_backward_matches_reference_and_monolithic():
+    """bwd_mode='split' (VERDICT r3 #7): the dv kernel + dq/dk kernel pair
+    must produce the same gradients as XLA autodiff and as the monolithic
+    backward kernel."""
+    from devit_tpu.kernels.attention import (
+        make_trainable_attention, reference_attention,
+    )
+
+    B, N, H, dh = 5, 12, 3, 8
+    qkv = jax.random.normal(jax.random.key(4), (B, N, 3 * H * dh), jnp.float32)
+    cot = jax.random.normal(jax.random.key(5), (B, N, H * dh), jnp.float32)
+
+    def g_of(fn):
+        return np.asarray(jax.grad(lambda x: jnp.sum(fn(x) * cot))(qkv))
+
+    g_split = g_of(make_trainable_attention(H, block_b=2, interpret=True,
+                                            bwd_mode="split"))
+    g_mono = g_of(make_trainable_attention(H, block_b=2, interpret=True,
+                                           bwd_mode="monolithic"))
+    g_ref = g_of(lambda x: reference_attention(x, None, num_heads=H))
+    np.testing.assert_allclose(g_split, g_ref, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(g_split, g_mono, rtol=2e-5, atol=2e-6)
+
+    # env-knob default resolution (the experiment drives the real training
+    # step through DEVIT_ATTN_BWD without code changes)
+    import os
+
+    import pytest
+
+    os.environ["DEVIT_ATTN_BWD"] = "split"
+    try:
+        g_env = g_of(make_trainable_attention(H, block_b=2, interpret=True))
+        np.testing.assert_allclose(g_env, g_split, rtol=1e-6)
+    finally:
+        del os.environ["DEVIT_ATTN_BWD"]
+    with pytest.raises(ValueError, match="bwd_mode"):
+        make_trainable_attention(H, bwd_mode="bogus")
+
+
+def test_fused_int8_matmul_matches_dynamic():
+    """Fused Pallas quant-matmul (VERDICT r3 #6 / perf roadmap #1): identical
+    quantization math to the XLA-level dynamic_int8_matmul — per-row RNE
+    quantize, int8 dot, rescale(+bias) — in one kernel."""
+    from devit_tpu.kernels.quant import (
+        dynamic_int8_matmul, fused_int8_matmul, quantize_weight,
+    )
+
+    K, N = 32, 24
+    w = jax.random.normal(jax.random.key(6), (K, N), jnp.float32)
+    b = jax.random.normal(jax.random.key(7), (N,), jnp.float32)
+    for bias in (b, None):
+        q = quantize_weight(w, bias)
+        for shape in ((10, K), (2, 7, K)):
+            x = jax.random.normal(jax.random.key(8), shape, jnp.bfloat16)
+            want = np.asarray(dynamic_int8_matmul(x, q), np.float32)
+            got = np.asarray(
+                fused_int8_matmul(x, q, block_m=4, interpret=True), np.float32)
+            assert got.shape == want.shape == (*shape[:-1], N)
+            np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+            # quantized accumulators are identical (both int8 RNE paths);
+            # only the bf16 output rounding may differ
+            assert np.mean(np.abs(got - want)) < 1e-2
+
+
 def test_model_pallas_training_grads_match_xla():
     """Full model: grads through the pallas training path == XLA path."""
     from devit_tpu.configs import get_vit_config
