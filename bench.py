@@ -61,22 +61,31 @@ def build_inputs(num_div: int = 4):
     return cfg, [make_params(i) for i in range(num_div)], gates_list
 
 
-def build():
-    from devit_tpu.models.compact_vit import compact_forward, compact_vit_ragged
+def build_artifacts(num_div: int = 4):
+    """The canonical deployed-bench artifacts — compact ragged divisions +
+    the EnsMLP fusion — shared by the throughput mode (build) and the
+    topology mode (topology_main) so both measure the SAME programs.
+    Returns (cfg, cms, ens, ens_vars)."""
+    from devit_tpu.models.compact_vit import compact_vit_ragged
     from devit_tpu.models.ensemble import EnsMLP
 
-    num_div = 4
     cfg, params, gates_list = build_inputs(num_div)
     cms = [compact_vit_ragged(p, g, cfg) for p, g in zip(params, gates_list)]
-    # move arrays onto the default (TPU) device; keep static ints intact
-    cms = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x) if hasattr(x, "shape") else x, cms
-    )
-
     ens = EnsMLP(num_classes=100, sub_size=cfg.embed_dim, num_divisions=num_div,
                  teacher_size=768, family="deit")
     cls_t = jnp.zeros((num_div, 2, cfg.embed_dim))
     ens_vars = ens.init(jax.random.key(9), cls_t, cls_t)
+    return cfg, cms, ens, ens_vars
+
+
+def build():
+    from devit_tpu.models.compact_vit import compact_forward
+
+    cfg, cms, ens, ens_vars = build_artifacts()
+    # move arrays onto the default (TPU) device; keep static ints intact
+    cms = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x) if hasattr(x, "shape") else x, cms
+    )
 
     def fwd(ev, img):
         cls_list, dist_list = [], []
@@ -348,17 +357,8 @@ def topology_main():
     command that verifies the multi-chip 10k+ claim the day multi-chip
     hardware exists, and prints the measured-component projection until then.
     Prints ONE JSON line."""
-    from devit_tpu.models.compact_vit import compact_vit_ragged
-    from devit_tpu.models.ensemble import EnsMLP
-
     batch = int(os.environ.get("DEVIT_BENCH_BATCH", "256"))
-    num_div = 4
-    cfg, params, gates_list = build_inputs(num_div)
-    cms = [compact_vit_ragged(p, g, cfg) for p, g in zip(params, gates_list)]
-    ens = EnsMLP(num_classes=100, sub_size=cfg.embed_dim,
-                 num_divisions=num_div, teacher_size=768, family="deit")
-    cls_t = jnp.zeros((num_div, 2, cfg.embed_dim))
-    ens_vars = ens.init(jax.random.key(9), cls_t, cls_t)
+    cfg, cms, ens, ens_vars = build_artifacts()
     res = measure_topology(cms, lambda ev, c, t: ens.apply(ev, c, t),
                            ens_vars, batch=batch)
     print(json.dumps({

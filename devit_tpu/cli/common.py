@@ -344,7 +344,19 @@ def load_params_for(model: VisionTransformer, path: str, template_params):
 # Fresh-classifier roots that are EXPECTED to keep their init when loading a
 # pretrained backbone (reference shrink.py:298-332 filters exactly the head
 # keys). Everything else keeping init is a geometry mismatch.
-_HEAD_PARAM_ROOTS = ("head", "head_dist", "fc", "resize")
+_HEAD_PARAM_ROOTS = ("head", "head_dist", "fc")
+
+
+def _is_head_root(root: str) -> bool:
+    # the ViT resize heads are resize_mlp / resize_att_mlp /
+    # resize_encoder_mlp (models/vit.py) — a stage-2 checkpoint legitimately
+    # lacks all three when stage 4 builds the student with resize_dim set
+    return root in _HEAD_PARAM_ROOTS or root.startswith("resize")
+
+
+def _n_params(v) -> int:
+    # v may be a whole missing SUBTREE (dict), not just a leaf — count leaves
+    return sum(int(np.size(l)) for l in jax.tree_util.tree_leaves(v))
 
 
 def merge_params_into(model: VisionTransformer, params, template_params,
@@ -386,14 +398,25 @@ def merge_params_into(model: VisionTransformer, params, template_params,
             p = f"{path}/{k}" if path else str(k)
             if k not in new:
                 out[k] = v  # missing (e.g. fresh head) -> keep init
-                kept_init.append((p, "missing from checkpoint", int(np.size(v))))
+                kept_init.append((p, "missing from checkpoint", _n_params(v)))
             elif isinstance(v, dict):
                 out[k] = merge(v, new[k], p)
             else:
                 nv = np.asarray(new[k])
                 if nv.shape != v.shape:
+                    rv = None
                     if k in ("pos_embed", "positional_emb"):
-                        out[k] = jnp.asarray(resize_pe(nv, v.shape))
+                        try:
+                            rv = np.asarray(resize_pe(nv, v.shape))
+                        except ValueError:
+                            rv = None  # non-square grid etc. -> keep init
+                        # prefix-token mismatches can slip past the grid-size
+                        # check (e.g. 197 vs 196 truncate to the same
+                        # int(sqrt)); never insert a wrong-shaped array
+                        if rv is not None and rv.shape != tuple(v.shape):
+                            rv = None
+                    if rv is not None:
+                        out[k] = jnp.asarray(rv)
                         log.info("checkpoint load: resized %s %s -> %s",
                                  p, nv.shape, v.shape)
                     else:
@@ -410,10 +433,10 @@ def merge_params_into(model: VisionTransformer, params, template_params,
         for p, reason, _ in kept_init:
             log.info("checkpoint load: kept init for %s (%s)", p, reason)
         non_head = [e for e in kept_init
-                    if e[0].split("/", 1)[0] not in _HEAD_PARAM_ROOTS]
+                    if not _is_head_root(e[0].split("/", 1)[0])]
         non_head_total = sum(
             int(np.size(leaf))
-            for k, sub in template_params.items() if k not in _HEAD_PARAM_ROOTS
+            for k, sub in template_params.items() if not _is_head_root(str(k))
             for leaf in jax.tree_util.tree_leaves(sub))
         frac = sum(s for _, _, s in non_head) / max(1, non_head_total)
         if frac > max_init_fraction:

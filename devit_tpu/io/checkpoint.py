@@ -349,6 +349,15 @@ def resize_pos_embed(
     grid = pos_embed[0, num_prefix_tokens:]
     gs_old = int(np.sqrt(grid.shape[0]))
     gs_new = int(np.sqrt(new_seq_len - num_prefix_tokens))
+    if gs_old * gs_old != grid.shape[0] or gs_new * gs_new != new_seq_len - num_prefix_tokens:
+        # not a square patch grid after stripping THIS model's prefix tokens —
+        # usually a prefix-count mismatch (e.g. a distilled 198-token ckpt
+        # into an undistilled 197-token model, whose 197 and 196 truncate to
+        # the same int(sqrt)); resizing would silently misalign every token
+        raise ValueError(
+            f"pos-embed grid not square: ckpt {grid.shape[0]} tokens, target "
+            f"{new_seq_len - num_prefix_tokens} (prefix {num_prefix_tokens}) "
+            f"— prefix-token mismatch?")
     if gs_old == gs_new:
         return pos_embed
     grid = grid.reshape(1, gs_old, gs_old, -1)
@@ -371,6 +380,14 @@ def resize_cct_pos_embed(
     grid = pos_embed[0, num_prefix_tokens:]
     gs_old = int(np.sqrt(grid.shape[0]))
     gs_new = int(np.sqrt(new_seq_len - num_prefix_tokens))
+    if gs_old * gs_old != grid.shape[0] or gs_new * gs_new != new_seq_len - num_prefix_tokens:
+        # see resize_pos_embed: a class-token CCT ckpt loaded into a seq-pool
+        # model (197 vs 196 tokens) must fail loudly, not collide on
+        # int(sqrt) and return the wrong shape
+        raise ValueError(
+            f"CCT positional_emb grid not square: ckpt {grid.shape[0]} "
+            f"tokens, target {new_seq_len - num_prefix_tokens} (prefix "
+            f"{num_prefix_tokens}) — class-token vs seq-pool mismatch?")
     if gs_old == gs_new:
         return pos_embed
     grid = grid.reshape(1, gs_old, gs_old, -1)

@@ -210,3 +210,49 @@ def test_merge_params_into_raises_on_geometry_mismatch():
                                   np.asarray(p64["cls_token"]))
     np.testing.assert_array_equal(np.asarray(merged["head"]["kernel"]),
                                   np.asarray(tpl["head"]["kernel"]))
+
+    # a wholesale-MISSING subtree must count its full parameter mass, not 1
+    # (np.size of a dict is 1): dropping 'blocks' leaves an effectively
+    # random backbone and must raise
+    p_no_blocks = {k: v for k, v in p64.items() if k != "blocks"}
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        merge_params_into(m64, p_no_blocks, p64)
+
+    # missing resize_* heads are EXPECTED fresh params (stage-4 builds the
+    # student with resize_dim while the stage-2 checkpoint has none) — they
+    # must count as head-like, not as suspicious non-head kept-init
+    cfg_rs = get_vit_config("deit_tiny_patch16_224", img_size=32, patch_size=8,
+                            embed_dim=64, depth=2, num_heads=2, num_classes=10,
+                            resize_dim=96)
+    m_rs = VisionTransformer(cfg_rs, dtype=jnp.float32)
+    tpl_rs = m_rs.init(jax.random.key(3), x)["params"]
+    assert any(k.startswith("resize") for k in tpl_rs)  # fixture is real
+    merged_rs = merge_params_into(m_rs, p64, tpl_rs)  # must NOT raise
+    np.testing.assert_array_equal(np.asarray(merged_rs["cls_token"]),
+                                  np.asarray(p64["cls_token"]))
+
+
+def test_merge_never_inserts_wrong_shaped_pos_embed():
+    """int(sqrt) grid-size collisions (e.g. a distilled 198-token checkpoint
+    into an undistilled 197-token model: grids 196 vs 197 both truncate to
+    gs 14) must keep the init loudly — never insert the unresized checkpoint
+    array into a different-shaped slot."""
+    from devit_tpu.cli.common import merge_params_into
+
+    x = jnp.zeros((1, 32, 32, 3))
+    cfg_d = get_vit_config("dedeit", img_size=32, patch_size=8, embed_dim=64,
+                           depth=2, num_heads=2, num_classes=10)  # distilled
+    cfg_u = get_vit_config("deit_tiny_patch16_224", img_size=32, patch_size=8,
+                           embed_dim=64, depth=2, num_heads=2, num_classes=10)
+    m_d = VisionTransformer(cfg_d, dtype=jnp.float32)
+    m_u = VisionTransformer(cfg_u, dtype=jnp.float32)
+    p_d = m_d.init(jax.random.key(0), x)["params"]
+    tpl_u = m_u.init(jax.random.key(1), x)["params"]
+    assert p_d["pos_embed"].shape[1] == tpl_u["pos_embed"].shape[1] + 1
+    merged = merge_params_into(m_u, p_d, tpl_u)
+    # template shape preserved; value is the INIT (resize would misalign
+    # every token), and the tree stays apply-able
+    assert merged["pos_embed"].shape == tpl_u["pos_embed"].shape
+    np.testing.assert_array_equal(np.asarray(merged["pos_embed"]),
+                                  np.asarray(tpl_u["pos_embed"]))
+    m_u.apply({"params": merged}, x, train=False)

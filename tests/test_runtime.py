@@ -79,16 +79,19 @@ def test_real_two_process_rendezvous():
     a process-spanning ('data',) mesh, and the loss matches the
     single-process run of the identical program. This is what the reference
     exercises on every torch.distributed.launch (dist_utils.py:215-237)."""
-    with socket.socket() as s:  # reserve a free port
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
-    # single-process baseline (4 virtual devices, same mesh topology)
-    base = _spawn_worker(1, 0, port)
+    # single-process baseline (4 virtual devices, same mesh topology);
+    # nproc=1 never touches the coordinator port
+    base = _spawn_worker(1, 0, 0)
     base_out, _ = base.communicate(timeout=240)
     assert base.returncode == 0, base_out[-2000:]
     expected = _worker_loss(base_out)
 
+    # pick the free port RIGHT before spawning the pair — reserving it before
+    # the ~1 min baseline run left a wide window for another process to grab
+    # it, flaking jax.distributed.initialize's coordinator bind
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     p0 = _spawn_worker(2, 0, port)
     p1 = _spawn_worker(2, 1, port)
     try:
