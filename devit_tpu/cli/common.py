@@ -453,15 +453,26 @@ def make_saver(args):
     """Stage checkpoint writer honoring --ckpt-format. For orbax the
     '.msgpack' suffix becomes '.orbax' (a checkpoint directory); saves are
     async — fit() waits for durability at the end of training."""
+    from devit_tpu.runtime import is_main_process
+
     if getattr(args, "ckpt_format", "msgpack") == "orbax":
         from devit_tpu.io.checkpoint import save_pytree_orbax
 
+        # NOT gated on the main process: orbax distributed save is a
+        # collective (every process persists its addressable shards) — the
+        # multihost-correct format for cross-process-sharded trees
         def save(path, tree):
             if path.endswith(".msgpack"):
                 path = path[: -len(".msgpack")] + ".orbax"
             save_pytree_orbax(path, tree)
 
         return save
+    if not is_main_process():
+        # reference save_on_master (dist_utils.py:210-212): non-main hosts
+        # skip the msgpack write — replicated state means process 0's copy is
+        # the whole checkpoint (cross-process-SHARDED trees need --ckpt-format
+        # orbax; jax.device_get of non-addressable shards fails loudly)
+        return lambda path, tree: None
     return save_pytree
 
 

@@ -30,6 +30,17 @@ def setup_runtime(cache_dir: str | None = None) -> None:
         pass  # cache is an optimization; never fail startup over it
 
 
+def is_main_process() -> bool:
+    """TPU-native `dist_utils.is_main_process()` (reference
+    dist_utils.py:206-212): process 0 of the jax.distributed job; always True
+    single-process. Gates file artifacts (JSONL stats, result.txt,
+    TensorBoard, msgpack checkpoints) so a multi-host run doesn't have every
+    host race-writing identical files — the analogue of `save_on_master`.
+    Orbax checkpointing is deliberately NOT gated: its distributed save is a
+    collective where every process writes its own addressable shards."""
+    return jax.process_index() == 0
+
+
 def _maybe_init_multihost() -> None:
     """Multi-host rendezvous — the TPU-native replacement for the reference's
     env-var/SLURM NCCL process-group setup (utils/dist_utils.py:215-237).

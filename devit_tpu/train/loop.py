@@ -118,13 +118,20 @@ def fit(
       trace (SURVEY.md §5.1) and HBM stats are logged after it
     """
     from devit_tpu.io.checkpoint import wait_for_checkpoints
+    from devit_tpu.runtime import is_main_process
 
     best_acc = -1.0
-    stats_path = os.path.join(output_dir, "log_stats.txt") if output_dir else None
+    # multihost: file artifacts (stats JSONL, result.txt, TB) only on the
+    # main process (reference rank-gated I/O, dist_utils.py:206-212);
+    # save_state_fn itself stays UNgated — make_saver decides per format
+    # (msgpack: main only; orbax: collective across processes)
+    main = is_main_process()
+    stats_path = (os.path.join(output_dir, "log_stats.txt")
+                  if output_dir and main else None)
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
     tb_writer = None
-    if tensorboard and output_dir:
+    if tensorboard and output_dir and main:
         # reference parity: TensorBoard scalars to output_dir
         # (train_subdata.py:437,460-472; tags Train/*, Test/Top1|Top5|loss).
         # Opt-in (--tensorboard): the JSONL artifacts are always written and
@@ -136,7 +143,7 @@ def fit(
         carry, best_acc = _fit_epochs(
             carry, step_fn, train_batches_fn, eval_fn, epochs,
             rng, output_dir, log_fn, save_state_fn, start_epoch, profile_dir,
-            stats_path, best_acc, tb_writer)
+            stats_path, best_acc, tb_writer, main_process=main)
     finally:
         if tb_writer is not None:
             tb_writer.close()
@@ -150,7 +157,7 @@ def fit(
 
 def _fit_epochs(carry, step_fn, train_batches_fn, eval_fn, epochs, rng,
                 output_dir, log_fn, save_state_fn, start_epoch, profile_dir,
-                stats_path, best_acc, tb_writer=None):
+                stats_path, best_acc, tb_writer=None, main_process=True):
     import contextlib
 
     from devit_tpu.utils_profile import device_memory_stats, trace
@@ -182,7 +189,7 @@ def _fit_epochs(carry, step_fn, train_batches_fn, eval_fn, epochs, rng,
             best_acc = eval_stats["acc1"]
             if output_dir and save_state_fn is not None:
                 save_state_fn(os.path.join(output_dir, "checkpoint.msgpack"), carry, epoch)
-            if output_dir:
+            if output_dir and main_process:
                 with open(os.path.join(output_dir, "result.txt"), "a") as f:
                     f.write(json.dumps({"epoch": epoch, "best_acc1": best_acc}) + "\n")
         if stats_path:

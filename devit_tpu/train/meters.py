@@ -104,24 +104,34 @@ class MetricLogger:
 
 
 def create_logger(output_dir: Optional[str] = None, name: str = "devit_tpu"):
-    """Console + optional file logger (reference utils/logger.py:12-35; no
-    per-rank files — one process drives the whole mesh)."""
+    """Console (main process only) + per-process file logger — reference
+    utils/logger.py:12-35 semantics: console handler on rank 0, every rank
+    its own file. Single-process keeps the plain `log.txt` name; under
+    jax.distributed multihost, non-main processes write `log_rank{r}.txt`
+    so hosts never interleave one file."""
     import logging
     import os
 
+    import jax
+
+    rank = jax.process_index()
     logger = logging.getLogger(name)
     fmt = logging.Formatter("[%(asctime)s] %(message)s", datefmt="%H:%M:%S")
-    if not logger.handlers:
+    if not any(isinstance(h, logging.StreamHandler)
+               and not isinstance(h, logging.FileHandler)
+               for h in logger.handlers):
         logger.setLevel(logging.INFO)
-        sh = logging.StreamHandler()
-        sh.setFormatter(fmt)
-        logger.addHandler(sh)
+        if rank == 0:
+            sh = logging.StreamHandler()
+            sh.setFormatter(fmt)
+            logger.addHandler(sh)
         logger.propagate = False
     if output_dir:
         # re-point the file handler when the output dir changes (several
         # stage mains can run in one process; each must log to ITS log.txt)
         os.makedirs(output_dir, exist_ok=True)
-        target = os.path.abspath(os.path.join(output_dir, "log.txt"))
+        fname = "log.txt" if rank == 0 else f"log_rank{rank}.txt"
+        target = os.path.abspath(os.path.join(output_dir, fname))
         file_handlers = [h for h in logger.handlers
                          if isinstance(h, logging.FileHandler)]
         if not any(os.path.abspath(h.baseFilename) == target for h in file_handlers):

@@ -12,6 +12,7 @@ import socket
 import subprocess
 import sys
 
+import jax.numpy as jnp
 import pytest
 
 import devit_tpu.runtime as R
@@ -50,6 +51,58 @@ def test_multihost_autodetect(monkeypatch):
     monkeypatch.setattr(R, "_DONE", False)
     R.setup_runtime()
     assert calls == [{}]
+
+
+def test_main_process_io_gating(monkeypatch, tmp_path):
+    """Multihost rank-gated I/O (reference dist_utils.py:206-212
+    is_main_process/save_on_master + utils/logger.py per-rank files):
+    non-main processes skip msgpack checkpoint writes, all fit() file
+    artifacts, and the console handler, and log to log_rank{r}.txt."""
+    import logging
+
+    import jax
+
+    from devit_tpu.cli.common import make_saver
+    from devit_tpu.train import loop as L
+    from devit_tpu.train.meters import create_logger
+
+    assert R.is_main_process()  # single-process default
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    assert not R.is_main_process()
+
+    # msgpack saver is a no-op off-main (orbax would stay collective)
+    args = type("A", (), {"ckpt_format": "msgpack"})()
+    ck = tmp_path / "ck.msgpack"
+    make_saver(args)(str(ck), {"a": 1})
+    assert not ck.exists()
+
+    # per-rank log file; no console handler off-main
+    lg = create_logger(str(tmp_path), name="devit_rank1_test")
+    lg.info("hello")
+    assert (tmp_path / "log_rank1.txt").exists()
+    assert not (tmp_path / "log.txt").exists()
+    assert not any(type(h) is logging.StreamHandler for h in lg.handlers)
+
+    # fit() writes no stats/result/checkpoint files off-main (the save_fn
+    # itself must still be CALLED every epoch — orbax saves are collective)
+    calls = []
+    out = tmp_path / "fit_out"
+    L.fit(carry=0,
+          step_fn=None,
+          train_batches_fn=lambda e: [],
+          eval_fn=lambda c: {"acc1": 1.0, "acc5": 1.0},
+          epochs=1, rng=jax.random.key(0), output_dir=str(out),
+          log_fn=lambda *a, **k: None,
+          save_state_fn=lambda path, c, e: calls.append(path))
+    assert calls, "save_state_fn must still run off-main (orbax collective)"
+    assert not (out / "log_stats.txt").exists()
+    assert not (out / "result.txt").exists()
+
+    # back on main: saver writes for real
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    make_saver(args)(str(ck), {"a": jnp.zeros((2,))})
+    assert ck.exists()
 
 
 def _spawn_worker(nproc, pid, port):
