@@ -83,6 +83,60 @@ def main() -> None:
     loss = float(jax.device_get(metrics["loss"]))
     print(f"WORKER_LOSS {loss:.10f}", flush=True)
 
+    # ---- eval-counter sync across processes (the reference's
+    # SmoothedValue.synchronize_between_processes / all_reduce analogue,
+    # dist_utils.py:35-46): summed counters over a process-spanning batch
+    # come back replicated, so every process reads the GLOBAL accuracy
+    eval_step = jax.jit(S.make_eval_step(model))
+    counters = jax.device_get(eval_step(
+        {"params": state.params}, None, g_images, g_labels))
+    acc1 = 100.0 * float(counters["top1"]) / float(counters["count"])
+    assert int(counters["count"]) == GLOBAL_BATCH, counters["count"]
+    print(f"WORKER_EVAL {acc1:.10f}", flush=True)
+
+    # ---- stage-5 ('div','data') with the DIV axis SPANNING the processes
+    # (the ImageNet-1K 8-division pod config maps div across hosts,
+    # docs/OPERATIONS.md): one ensemble train step, loss replicated
+    from devit_tpu.models.ensemble import (
+        EnsMLP, init_multivit, stack_division_gates,
+    )
+    from devit_tpu.models.vit import full_gates
+    from devit_tpu.parallel import mesh as M
+
+    num_div = 2
+    ens_mesh = Mesh(np.asarray(jax.devices()).reshape(num_div, -1),
+                    (M.DIV_AXIS, M.DATA_AXIS))
+    teacher = VisionTransformer(
+        get_vit_config("deit_base_distilled_patch16_224", img_size=16,
+                       patch_size=8, embed_dim=64, depth=2, num_heads=4,
+                       num_classes=5 * num_div, drop_path_rate=0.0),
+        dtype=jnp.float32)
+    ens = EnsMLP(num_classes=5 * num_div, sub_size=32, num_divisions=num_div,
+                 teacher_size=64, family="deit", dtype=jnp.float32)
+    xz = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    stacked = init_multivit(model, jax.random.key(2), xz, num_div)
+    t_vars = teacher.init(jax.random.key(3), xz, distill_token=True)
+    cls_t = jnp.zeros((num_div, 2, 32))
+    ens_vars = ens.init(jax.random.key(4), cls_t, cls_t, distill=True,
+                        train=True)
+    bb_state = M.shard_division_tree(
+        TrainState.create(stacked["params"], optax.adamw(1e-3)),
+        ens_mesh, num_div)
+    ens_state = M.replicate_tree(
+        TrainState.create(ens_vars["params"], optax.adamw(1e-3)), ens_mesh)
+    t_sh = M.replicate_tree(t_vars, ens_mesh)
+    gates_sh = M.shard_division_tree(
+        stack_division_gates([full_gates(model.cfg)] * num_div),
+        ens_mesh, num_div)
+    eimg = jax.device_put(jnp.asarray(images), M.batch_sharding(ens_mesh))
+    elab = jax.device_put(jnp.asarray(labels, jnp.int32) % (5 * num_div),
+                          M.batch_sharding(ens_mesh))
+    ens_step = jax.jit(S.make_ensemble_train_step(
+        model, ens, teacher, distillation_type="hard"))
+    _, _, em = ens_step(bb_state, ens_state, t_sh, gates_sh, eimg, elab,
+                        jax.random.key(5))
+    print(f"WORKER_ENS {float(jax.device_get(em['loss'])):.10f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -119,10 +119,13 @@ def _spawn_worker(nproc, pid, port):
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
 
 
-def _worker_loss(out: str) -> float:
-    m = re.search(r"WORKER_LOSS ([0-9.eE+-]+)", out)
-    assert m, f"worker printed no loss:\n{out[-2000:]}"
-    return float(m.group(1))
+def _worker_vals(out: str) -> dict:
+    vals = {}
+    for tag in ("WORKER_LOSS", "WORKER_EVAL", "WORKER_ENS"):
+        m = re.search(rf"{tag} ([0-9.eE+-]+)", out)
+        assert m, f"worker printed no {tag}:\n{out[-2000:]}"
+        vals[tag] = float(m.group(1))
+    return vals
 
 
 def test_real_two_process_rendezvous():
@@ -137,7 +140,7 @@ def test_real_two_process_rendezvous():
     base = _spawn_worker(1, 0, 0)
     base_out, _ = base.communicate(timeout=240)
     assert base.returncode == 0, base_out[-2000:]
-    expected = _worker_loss(base_out)
+    expected = _worker_vals(base_out)
 
     # pick the free port RIGHT before spawning the pair — reserving it before
     # the ~1 min baseline run left a wide window for another process to grab
@@ -156,7 +159,13 @@ def test_real_two_process_rendezvous():
         pytest.fail("two-process rendezvous timed out (coordinator bind?)")
     assert p0.returncode == 0, out0[-2000:]
     assert p1.returncode == 0, out1[-2000:]
-    loss0 = _worker_loss(out0)
-    loss1 = _worker_loss(out1)
-    assert loss0 == loss1  # replicated loss identical across processes
-    assert abs(loss0 - expected) < 1e-6, (loss0, expected)
+    v0 = _worker_vals(out0)
+    v1 = _worker_vals(out1)
+    # replicated outputs identical across processes, and each leg matches the
+    # single-process run of the identical program: the stage-2 data-parallel
+    # loss, the globally-summed eval counters (the reference's
+    # synchronize_between_processes analogue), and the stage-5 ensemble step
+    # with the DIV axis spanning the two processes
+    assert v0 == v1, (v0, v1)
+    for tag, got in v0.items():
+        assert abs(got - expected[tag]) < 1e-5, (tag, got, expected[tag])
