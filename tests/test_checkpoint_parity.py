@@ -232,6 +232,57 @@ def test_merge_params_into_raises_on_geometry_mismatch():
                                   np.asarray(p64["cls_token"]))
 
 
+def test_merge_params_property_random_geometry_pairs():
+    """Property sweep over cross-geometry checkpoint loads (distilled and
+    undistilled, different grids/widths/depths/heads/classes): every merge
+    either raises the loud geometry-mismatch error or yields a tree with
+    EXACTLY the template's shapes that the template model can apply —
+    a corrupt leaf (the bug class fixed this round) is never produced."""
+    import pytest
+
+    from devit_tpu.cli.common import merge_params_into
+
+    geoms = [
+        ("dedeit", dict(img_size=16, embed_dim=32, depth=2, num_heads=2,
+                        num_classes=5)),
+        ("dedeit", dict(img_size=32, embed_dim=32, depth=2, num_heads=2,
+                        num_classes=5)),
+        ("deit_tiny_patch16_224", dict(img_size=16, embed_dim=32, depth=2,
+                                       num_heads=2, num_classes=5)),
+        ("deit_tiny_patch16_224", dict(img_size=32, embed_dim=64, depth=3,
+                                       num_heads=4, num_classes=9)),
+        ("dedeit", dict(img_size=32, embed_dim=64, depth=3, num_heads=4,
+                        num_classes=9)),
+    ]
+    built = []
+    for i, (name, g) in enumerate(geoms):
+        cfg = get_vit_config(name, patch_size=8, **g)
+        m = VisionTransformer(cfg, dtype=jnp.float32)
+        x = jnp.zeros((1, g["img_size"], g["img_size"], 3))
+        built.append((m, x, m.init(jax.random.key(i), x)["params"]))
+
+    n_ok = n_raise = 0
+    for ms, _, ps in built:
+        for mt, xt, pt in built:
+            try:
+                merged = merge_params_into(mt, ps, pt)
+            except ValueError as e:
+                assert "geometry mismatch" in str(e)
+                n_raise += 1
+                continue
+            n_ok += 1
+            flat_m = jax.tree_util.tree_leaves_with_path(merged)
+            flat_t = dict(jax.tree_util.tree_leaves_with_path(pt))
+            for path, leaf in flat_m:
+                assert leaf.shape == flat_t[path].shape, (
+                    ms is mt, path, leaf.shape, flat_t[path].shape)
+            mt.apply({"params": merged}, xt, train=False)
+    # both outcomes occur: identical-geometry loads succeed, width/depth
+    # mismatches raise
+    assert n_ok >= len(built)  # at least every self-load
+    assert n_raise > 0
+
+
 def test_merge_never_inserts_wrong_shaped_pos_embed():
     """int(sqrt) grid-size collisions (e.g. a distilled 198-token checkpoint
     into an undistilled 197-token model: grids 196 vs 197 both truncate to
