@@ -42,22 +42,4 @@ void devit_gather_u8(const uint8_t* src, const int64_t* idx, int64_t n,
   for (auto& th : threads) th.join();
 }
 
-// Parallel memcpy (page-in / staging buffers).
-void devit_memcpy(const uint8_t* src, uint8_t* dst, int64_t n_bytes,
-                  int n_threads) {
-  if (n_threads < 1) n_threads = 1;
-  if (n_threads > 64) n_threads = 64;
-  int64_t chunk = (n_bytes + n_threads - 1) / n_threads;
-  std::vector<std::thread> threads;
-  for (int t = 0; t < n_threads; ++t) {
-    int64_t lo = t * chunk;
-    int64_t hi = lo + chunk < n_bytes ? lo + chunk : n_bytes;
-    if (lo >= hi) break;
-    threads.emplace_back([=]() {
-      std::memcpy(dst + lo, src + lo, static_cast<size_t>(hi - lo));
-    });
-  }
-  for (auto& th : threads) th.join();
-}
-
 }  // extern "C"

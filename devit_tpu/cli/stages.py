@@ -297,9 +297,12 @@ def shrink_main(args):
         return model.apply(v, imgs, gates=gates).logits
 
     def val_batches():
+        # RAW host batches: evaluate_policies pads the ragged tail FIRST and
+        # only then runs the jitted eval transform (one compiled shape, no
+        # device->host round trip through pad_batch_to_steady)
         for imgs, labels in BatchIterator(val_ds, args.eval_batch_size, shuffle=False,
                                           drop_last=False):
-            yield prep_eval(place_batch(imgs)), place_batch(jnp.asarray(labels))
+            yield imgs, np.asarray(labels)
 
     # the reference 9.19 anchor and its seq=197 hardcode only apply to the
     # canonical dedeit geometry (shrink_imp.py:75,144 — real dedeit seq is
@@ -316,6 +319,7 @@ def shrink_main(args):
         seq_length=seq_length, mlp_ratio=cfg.mlp_ratio,
         full_gmacs=9.19 if canonical else None,
         candidate_chunk=args.candidate_chunk, seed=args.seed, log=log,
+        prepare=lambda imgs: prep_eval(place_batch(imgs)),
     )
     np.save(os.path.join(args.output_dir, "shrinked_policy.npy"), result.policies)
     np.save(os.path.join(args.output_dir, "shrinked_accuracy.npy"), result.accuracies)

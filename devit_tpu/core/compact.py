@@ -130,8 +130,14 @@ def compact_divisions(
     the stacked/vmapped ensemble forward still compiles to a single program."""
     heads = [np.asarray(jax.device_get(g.head)) for g in gates_list]
     neurons = [np.asarray(jax.device_get(g.neuron)) for g in gates_list]
-    kw.setdefault("min_keep_heads", max(int(h.sum(-1).max()) for h in heads))
-    kw.setdefault("min_keep_neurons", max(int(n.sum(-1).max()) for n in neurons))
+    # the cross-division max is a FLOOR, not a default: an explicit min_keep_*
+    # below some division's kept count would otherwise give each division its
+    # own geometry while final_cfg reports only the last one's — breaking the
+    # one-common-geometry contract with a confusing downstream shape error
+    kw["min_keep_heads"] = max(kw.get("min_keep_heads", 0),
+                               max(int(h.sum(-1).max()) for h in heads))
+    kw["min_keep_neurons"] = max(kw.get("min_keep_neurons", 0),
+                                 max(int(n.sum(-1).max()) for n in neurons))
     out, final_cfg = [], None
     for p, g in zip(params_list, gates_list):
         cp, final_cfg = compact_vit_params(p, g, cfg, **kw)

@@ -58,7 +58,10 @@ def _head_scores(head_out: Array, probs: Array) -> Array:
         rel = hsic_relevance_many(xs, probs)  # (H,)
         red = hsic_redundancy_matrix(xs)  # (H, H)
         H = xs.shape[0]
-        off_diag_mean = (jnp.sum(red, axis=1) - jnp.diagonal(red)) / (H - 1)
+        # H=1: no other heads to be redundant WITH — redundancy is 0, not
+        # the 0/0 NaN that would give argsort garbage ranks (the reference
+        # crashes with ZeroDivisionError here, imp_rank.py:119)
+        off_diag_mean = (jnp.sum(red, axis=1) - jnp.diagonal(red)) / max(H - 1, 1)
         return rel - 0.1 * off_diag_mean  # imp_rank.py:121
 
     return jax.lax.map(per_layer, head_out.astype(jnp.float32))

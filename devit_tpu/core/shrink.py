@@ -119,10 +119,17 @@ def evaluate_policies(
     val_batches: Iterable[Tuple[np.ndarray, np.ndarray]],
     *,
     candidate_chunk: int = 8,
+    prepare: Optional[Callable] = None,
 ) -> np.ndarray:
     """Top-1 accuracy (percent) per candidate, chunked over candidates to bound
     activation memory. Replaces shrink_imp.shrink_evaluate's per-candidate val
-    passes (shrink_imp.py:41-63, 149-174)."""
+    passes (shrink_imp.py:41-63, 149-174).
+
+    `val_batches` must yield RAW HOST batches and `prepare` the jitted eval
+    transform (run_eval's contract, train/loop.py:26-44): padding the ragged
+    tail must happen BEFORE the transform, or the tail still compiles a
+    second transform program AND every already-on-device batch takes a
+    device->host->device round trip through pad_batch_to_steady."""
     step = make_batched_policy_eval(apply_logits)
     C = stacked_gates.head.shape[0]
     # pad the candidate axis to a chunk multiple: a ragged final chunk would
@@ -146,6 +153,8 @@ def evaluate_policies(
         images, labels, batch_size, n = pad_batch_to_steady(images, labels,
                                                             batch_size)
         total += int(n)
+        if prepare is not None:
+            images = prepare(images)
         images = jnp.asarray(images)
         labels = jnp.asarray(labels)
         for c0 in range(0, C_pad, candidate_chunk):
@@ -191,11 +200,13 @@ def model_shrink(
     mlp_ratio: float = 4,
     candidate_chunk: int = 8,
     seed: Optional[int] = None,
+    prepare: Optional[Callable] = None,
     log=None,
 ) -> ShrinkResult:
     """End-to-end policy search (shrink_imp.model_shrink, shrink_imp.py:138-179).
 
-    `val_batches_fn()` returns a fresh iterable of (images, labels) batches.
+    `val_batches_fn()` returns a fresh iterable of RAW HOST (images, labels)
+    batches; `prepare` is the jitted eval transform (see evaluate_policies).
     """
     if full_gmacs is None:
         zeros = [0.0] * layer
@@ -210,7 +221,8 @@ def model_shrink(
     )
     stacked = policies_to_gates(candidates, neuron_rank, head_rank, layer)
     accs = evaluate_policies(
-        apply_logits, variables, stacked, val_batches_fn(), candidate_chunk=candidate_chunk
+        apply_logits, variables, stacked, val_batches_fn(),
+        candidate_chunk=candidate_chunk, prepare=prepare,
     )
     if log is not None:
         for ratio, acc in zip(candidates, accs):

@@ -205,6 +205,14 @@ def decode_files_to_dataset(files, num_classes: int, img_size: int,
                 labels.append(li)
                 m += 1
     labels = np.asarray(labels, np.int64)
+    if m == 0:
+        # every decode failed (undecodable files are skipped by design,
+        # torchvision tolerance) — without this the in-RAM path dies at
+        # np.stack([]) and the memmap path at 'cannot mmap an empty file',
+        # neither naming the actual cause
+        raise ValueError(
+            f"{cache_base}: none of the {len(files)} listed files decoded as "
+            f"images — wrong --data-path, or a corrupt/truncated extraction?")
 
     if use_mmap:
         buf.flush()

@@ -341,31 +341,76 @@ def torch_cct_to_params(
     return params
 
 
-def resize_pos_embed(
-    pos_embed: np.ndarray, new_seq_len: int, num_prefix_tokens: int = 1
-) -> np.ndarray:
-    """Bicubic grid resize of position embeddings (de_vit.py:452-473)."""
+def _torch_cubic_weight(t: np.ndarray, A: float = -0.75) -> np.ndarray:
+    """torch F.interpolate bicubic kernel (cubic convolution, A=-0.75 —
+    NOT the Keys a=-0.5 spline jax.image.resize uses)."""
+    t = np.abs(t)
+    return np.where(t <= 1, ((A + 2) * t - (A + 3)) * t * t + 1,
+                    np.where(t < 2, ((A * t - 5 * A) * t + 8 * A) * t - 4 * A,
+                             0.0))
+
+
+def _torch_resize_1d(x: np.ndarray, out_len: int, axis: int,
+                     kind: str) -> np.ndarray:
+    """One separable axis of torch F.interpolate(align_corners=False,
+    antialias off): half-pixel source coords, edge-clamped taps. Bit-matches
+    torch bicubic/bilinear at f32 (verified against F.interpolate on up- and
+    downscales; jax.image.resize 'cubic' differs on every resize because of
+    its a=-0.5 kernel, and its default antialias diverges on downscale —
+    the 224px-checkpoint-into-32px-model path)."""
+    in_len = x.shape[axis]
+    src = (np.arange(out_len) + 0.5) * in_len / out_len - 0.5
+    i0 = np.floor(src).astype(int)
+    taps = range(-1, 3) if kind == "cubic" else range(0, 2)
+    out = 0.0
+    for k in taps:
+        idx = np.clip(i0 + k, 0, in_len - 1)
+        if kind == "cubic":
+            w = _torch_cubic_weight(src - (i0 + k))
+        else:  # linear tent kernel
+            w = np.maximum(0.0, 1.0 - np.abs(src - (i0 + k)))
+        shape = [1] * x.ndim
+        shape[axis] = out_len
+        out = out + np.take(x, idx, axis=axis) * w.reshape(shape)
+    return out
+
+
+def _resize_pe_grid(pos_embed: np.ndarray, new_seq_len: int,
+                    num_prefix_tokens: int, *, method: str,
+                    family: str) -> np.ndarray:
+    """Shared pos-embed grid resize (the ViT and CCT wrappers below differ
+    only in interpolation method; one body so they cannot drift — they
+    previously diverged on antialias)."""
     tok = pos_embed[:, :num_prefix_tokens]
-    grid = pos_embed[0, num_prefix_tokens:]
+    grid = np.asarray(pos_embed[0, num_prefix_tokens:], np.float64)
     gs_old = int(np.sqrt(grid.shape[0]))
     gs_new = int(np.sqrt(new_seq_len - num_prefix_tokens))
     if gs_old * gs_old != grid.shape[0] or gs_new * gs_new != new_seq_len - num_prefix_tokens:
         # not a square patch grid after stripping THIS model's prefix tokens —
         # usually a prefix-count mismatch (e.g. a distilled 198-token ckpt
-        # into an undistilled 197-token model, whose 197 and 196 truncate to
-        # the same int(sqrt)); resizing would silently misalign every token
+        # into an undistilled 197-token model, or a class-token CCT ckpt into
+        # a seq-pool model: 197 and 196 truncate to the same int(sqrt));
+        # resizing would silently misalign every token
         raise ValueError(
-            f"pos-embed grid not square: ckpt {grid.shape[0]} tokens, target "
-            f"{new_seq_len - num_prefix_tokens} (prefix {num_prefix_tokens}) "
-            f"— prefix-token mismatch?")
+            f"{family} pos-embed grid not square: ckpt {grid.shape[0]} "
+            f"tokens, target {new_seq_len - num_prefix_tokens} (prefix "
+            f"{num_prefix_tokens}) — prefix-token mismatch?")
     if gs_old == gs_new:
         return pos_embed
     grid = grid.reshape(1, gs_old, gs_old, -1)
-    grid = jax.image.resize(
-        jnp.asarray(grid, jnp.float32), (1, gs_new, gs_new, grid.shape[-1]), method="cubic"
-    )
-    grid = np.asarray(grid).reshape(1, gs_new * gs_new, -1)
+    grid = _torch_resize_1d(_torch_resize_1d(grid, gs_new, 1, method),
+                            gs_new, 2, method)
+    grid = grid.astype(np.float32).reshape(1, gs_new * gs_new, -1)
     return np.concatenate([tok, grid], axis=1)
+
+
+def resize_pos_embed(
+    pos_embed: np.ndarray, new_seq_len: int, num_prefix_tokens: int = 1
+) -> np.ndarray:
+    """Bicubic grid resize of position embeddings (de_vit.py:452-473:
+    F.interpolate(mode='bicubic', align_corners=False), NO antialias)."""
+    return _resize_pe_grid(pos_embed, new_seq_len, num_prefix_tokens,
+                           method="cubic", family="ViT")
 
 
 def resize_cct_pos_embed(
@@ -376,29 +421,8 @@ def resize_cct_pos_embed(
     resize_pos_embed with mode='bilinear'; num_tokens is 0 under seq-pool,
     1 with a class token). Loading a 224px CCT checkpoint into a 32px model
     must land the RESIZED pretrained PE, not the random init."""
-    tok = pos_embed[:, :num_prefix_tokens]
-    grid = pos_embed[0, num_prefix_tokens:]
-    gs_old = int(np.sqrt(grid.shape[0]))
-    gs_new = int(np.sqrt(new_seq_len - num_prefix_tokens))
-    if gs_old * gs_old != grid.shape[0] or gs_new * gs_new != new_seq_len - num_prefix_tokens:
-        # see resize_pos_embed: a class-token CCT ckpt loaded into a seq-pool
-        # model (197 vs 196 tokens) must fail loudly, not collide on
-        # int(sqrt) and return the wrong shape
-        raise ValueError(
-            f"CCT positional_emb grid not square: ckpt {grid.shape[0]} "
-            f"tokens, target {new_seq_len - num_prefix_tokens} (prefix "
-            f"{num_prefix_tokens}) — class-token vs seq-pool mismatch?")
-    if gs_old == gs_new:
-        return pos_embed
-    grid = grid.reshape(1, gs_old, gs_old, -1)
-    # antialias=False matches torch F.interpolate(mode='bilinear',
-    # align_corners=False) on the canonical 224px->32px DOWNSCALE too.
-    grid = jax.image.resize(
-        jnp.asarray(grid, jnp.float32), (1, gs_new, gs_new, grid.shape[-1]),
-        method="linear", antialias=False,
-    )
-    grid = np.asarray(grid).reshape(1, gs_new * gs_new, -1)
-    return np.concatenate([tok, grid], axis=1)
+    return _resize_pe_grid(pos_embed, new_seq_len, num_prefix_tokens,
+                           method="linear", family="CCT")
 
 
 def load_flax_npz_vit(path: str, depth: int) -> Dict:

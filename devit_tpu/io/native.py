@@ -50,9 +50,6 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
             ]
-            lib.devit_memcpy.argtypes = [
-                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
-            ]
             _LIB = lib
         except Exception as e:
             import sys
@@ -65,11 +62,23 @@ def get_lib():
 
 
 def gather_rows(src: np.ndarray, idx: np.ndarray, n_threads: int = 0) -> np.ndarray:
-    """dst[i] = src[idx[i]] with a native thread pool; numpy fallback."""
+    """dst[i] = src[idx[i]] with a native thread pool; numpy fallback.
+
+    Indices are range-checked HERE (same contract as numpy fancy indexing,
+    which raises IndexError): the C memcpy loop (csrc/devit_host.cpp) is
+    unchecked, so a negative or out-of-range index would otherwise silently
+    copy out-of-bounds host memory on native hosts while wrapping/raising on
+    fallback hosts — different training data per host. Negative indices are
+    rejected outright (numpy's wraparound is never intended for row ids; the
+    codebase uses -1 as a padded-label sentinel that must never reach here)."""
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    if idx.size and (int(idx.min()) < 0 or int(idx.max()) >= src.shape[0]):
+        raise IndexError(
+            f"gather_rows: index out of range [0, {src.shape[0]}): "
+            f"min {int(idx.min())}, max {int(idx.max())}")
     lib = get_lib()
     if lib is None or not src.flags["C_CONTIGUOUS"] or src.dtype != np.uint8:
         return src[idx]
-    idx = np.ascontiguousarray(idx, dtype=np.int64)
     n = idx.shape[0]
     item_bytes = src.strides[0]
     dst = np.empty((n,) + src.shape[1:], dtype=src.dtype)

@@ -177,6 +177,41 @@ def test_resize_pos_embed_roundtrip():
     np.testing.assert_allclose(same, pe)
 
 
+def test_resize_pos_embed_matches_torch_interpolate_exactly():
+    """Both pos-embed resizes must BIT-match torch F.interpolate
+    (align_corners=False, no antialias) — what the reference runs
+    (de_vit.py:452-473 bicubic; helpers.py pe_check bilinear) — on upscale
+    AND downscale. The downscale (224px checkpoint into a 32px model, grid
+    14->2, the canonical CIFAR finetune) is the case jax.image.resize gets
+    wrong twice over: its default antialias filters downscales and its
+    'cubic' kernel is a=-0.5, torch's is a=-0.75."""
+    import torch
+    import torch.nn.functional as F
+
+    from devit_tpu.io.checkpoint import resize_cct_pos_embed
+
+    rng = np.random.default_rng(11)
+    for gs_old, gs_new, prefix, fn, mode in [
+        (14, 2, 2, resize_pos_embed, "bicubic"),     # dedeit 224 -> 32
+        (2, 14, 2, resize_pos_embed, "bicubic"),
+        (14, 4, 1, resize_pos_embed, "bicubic"),
+        (14, 2, 0, resize_cct_pos_embed, "bilinear"),  # CCT seq-pool
+        (4, 16, 1, resize_cct_pos_embed, "bilinear"),  # CCT class-token
+    ]:
+        C = 8
+        pe = rng.normal(size=(1, prefix + gs_old * gs_old, C)).astype(np.float32)
+        got = fn(pe, new_seq_len=prefix + gs_new * gs_new,
+                 num_prefix_tokens=prefix)
+        grid = torch.from_numpy(pe[:, prefix:].reshape(1, gs_old, gs_old, C)
+                                ).permute(0, 3, 1, 2)
+        want = F.interpolate(grid, size=(gs_new, gs_new), mode=mode,
+                             align_corners=False
+                             ).permute(0, 2, 3, 1).reshape(1, -1, C).numpy()
+        np.testing.assert_allclose(got[:, prefix:], want, rtol=0, atol=5e-6,
+                                   err_msg=f"{mode} {gs_old}->{gs_new}")
+        np.testing.assert_array_equal(got[:, :prefix], pe[:, :prefix])
+
+
 def test_merge_params_into_raises_on_geometry_mismatch():
     """A wrong-geometry checkpoint must not silently train from random
     weights (round-3 VERDICT weak #5): >25% of non-head params kept-init
