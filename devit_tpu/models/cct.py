@@ -259,15 +259,25 @@ class CCT(nn.Module):
         else:
             pooled = x[:, 0]
 
+        resize = None
+        if cfg.resize_dim is not None:
+            resize = nn.Dense(cfg.resize_dim, dtype=self.dtype,
+                              kernel_init=trunc_init, name="resize")
+            if self.is_initializing():
+                # materialise the resize params regardless of which capture
+                # flags the INIT call used, so any apply-time flag combination
+                # works (same guard as vit.py's resize heads — without it,
+                # init with capture_outputs=False then apply with
+                # capture_outputs=True dies with ScopeParamNotFoundError)
+                resize(jnp.zeros((1, cfg.embed_dim), self.dtype))
+
         attn = hidden_states = None
         if capture_outputs:
             attn = layer_outs["attn"]
             # (L+1, ...): the reference seeds hidden states with the post-PE
             # embedding before the per-block appends (transformers.py:214)
             hidden_states = jnp.concatenate([x_emb[None], layer_outs["hidden"]])
-            if cfg.resize_dim is not None:
-                resize = nn.Dense(cfg.resize_dim, dtype=self.dtype,
-                                  kernel_init=trunc_init, name="resize")
+            if resize is not None:
                 attn, hidden_states = resize(attn), resize(hidden_states)
 
         qkv = layer_outs.get("qkv") if capture_qkv == "all" else (

@@ -64,6 +64,9 @@ def cosine_schedule(cfg: OptimConfig, steps_per_epoch: int) -> optax.Schedule:
     per-epoch staircase (and its step(epoch) one-epoch-lag quirk)."""
     import jax.numpy as jnp
 
+    if cfg.sched_per_epoch:
+        return timm_epoch_schedule(cfg, steps_per_epoch)
+
     peak = cfg.scaled_lr()
     warmup_steps = cfg.warmup_epochs * steps_per_epoch
     total_steps = max(cfg.epochs * steps_per_epoch, warmup_steps + 1)
@@ -75,8 +78,6 @@ def cosine_schedule(cfg: OptimConfig, steps_per_epoch: int) -> optax.Schedule:
         cos = cfg.min_lr + 0.5 * (peak - cfg.min_lr) * (1.0 + jnp.cos(jnp.pi * progress))
         return jnp.where(step < warmup_steps, warm, cos)
 
-    if cfg.sched_per_epoch:
-        return timm_epoch_schedule(cfg, steps_per_epoch)
     return schedule
 
 

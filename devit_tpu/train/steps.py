@@ -88,6 +88,12 @@ def make_stage2_step(
     Signature: step(state, teacher_variables, images, labels, rng) ->
     (state, metrics). teacher_variables may be None when distillation is off.
     """
+    if distillation_type != "none" and teacher_model is None:
+        # fail at build time with a clear message, not at trace time with
+        # AttributeError: 'NoneType' object has no attribute 'apply'
+        raise ValueError(
+            f"distillation_type={distillation_type!r} requires a teacher "
+            "model (--teacher-path)")
     mixup_active = mixup is not None and mixup.active
     base_criterion = L.make_base_criterion(mixup_active, smoothing)
 
@@ -223,6 +229,17 @@ def make_ensemble_train_step(
     Signature: step(backbone_state, ens_state, teacher_variables, stacked_gates,
     images, labels, rng) -> (backbone_state, ens_state, metrics).
     """
+    if distillation_type != "none":
+        if teacher is None:
+            raise ValueError(
+                f"distillation_type={distillation_type!r} requires a teacher "
+                "model (--teacher-path)")
+        if getattr(ens_model, "teacher_size", None) is None:
+            # EnsMLP(teacher_size=None) returns ens_tokens=None, which
+            # L.ens_loss would dereference deep inside the jit trace
+            raise ValueError(
+                "ensemble distillation requires EnsMLP(teacher_size=...) so "
+                "the fused tokens are projected for the token loss")
     mixup_active = mixup is not None and mixup.active
     base_criterion = L.make_base_criterion(mixup_active, smoothing)
     family = "deit" if backbone.cfg.distilled else "vit"
@@ -304,9 +321,13 @@ def make_cct_ensemble_train_step(
     """CCT collaborative-ensemble step (MultiCCT + EnsembleCCT,
     ensemble_models.py:93-151): single pooled token per division, 'vit'-style
     EnsLoss (one token, one classifier)."""
-    if distillation_type != "none" and teacher is not None:
+    if distillation_type != "none":
         from devit_tpu.models.cct import CCT
 
+        if teacher is None:
+            raise ValueError(
+                f"distillation_type={distillation_type!r} requires a teacher "
+                "model (--teacher-path)")
         if not isinstance(teacher, CCT):
             # the token loss consumes the teacher's POOLED feature; a ViT
             # teacher (the CLI default) has no pooled output — fail at build
@@ -314,6 +335,10 @@ def make_cct_ensemble_train_step(
             raise ValueError(
                 "CCT ensemble distillation requires a CCT teacher "
                 f"(--teacher-model cct_*); got {type(teacher).__name__}")
+        if getattr(ens_model, "teacher_size", None) is None:
+            raise ValueError(
+                "ensemble distillation requires EnsembleCCT(teacher_size=...) "
+                "so the fused token is projected for the token loss")
     mixup_active = mixup is not None and mixup.active
     base_criterion = L.make_base_criterion(mixup_active, smoothing)
 

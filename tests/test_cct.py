@@ -193,3 +193,22 @@ def test_cct_pe_check_with_class_token():
         size=(2, 2), mode="bilinear",
     ).permute(0, 2, 3, 1).reshape(1, 4, 8).numpy()
     np.testing.assert_allclose(out[:, 1:], ref, rtol=1e-5, atol=1e-5)
+
+
+def test_cct_resize_params_exist_regardless_of_init_flags():
+    """A resize_dim CCT initialized with DEFAULT flags must still be
+    apply-able with capture_outputs=True (vit.py materializes its resize
+    heads at init for exactly this init/apply flag asymmetry; cct.py
+    previously created 'resize' only under capture_outputs=True and died
+    with ScopeParamNotFoundError)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(get_cct_config("cct_2_3x2_32"), img_size=16,
+                              resize_dim=48, num_classes=5)
+    model = CCT(cfg, dtype=jnp.float32)
+    x = jnp.zeros((2, 16, 16, 3))
+    params = model.init(jax.random.key(0), x)["params"]  # default flags
+    assert "resize" in params
+    out = model.apply({"params": params}, x, capture_outputs=True)
+    assert out.attn is not None and out.attn.shape[-1] == 48
+    assert out.hidden.shape[-1] == 48

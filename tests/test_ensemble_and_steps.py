@@ -300,3 +300,38 @@ def test_ensemble_train_step_uses_stochastic_depth():
                        jax.random.key(seed))
         losses.append(float(m["loss"]))
     assert len(set(losses)) > 1, f"drop-path inactive: identical losses {losses}"
+
+
+def test_step_builders_reject_distillation_without_teacher():
+    """Distillation without a teacher (or without a token-projection width on
+    the fusion head) must fail AT BUILD TIME with a clear message, not at
+    trace time with 'NoneType' has no attribute 'apply'."""
+    import pytest
+
+    from devit_tpu.configs import get_vit_config
+    from devit_tpu.models.ensemble import EnsMLP
+    from devit_tpu.models.vit import VisionTransformer
+    from devit_tpu.train import steps as S
+
+    cfg = get_vit_config("dedeit", img_size=16, patch_size=8, embed_dim=32,
+                         depth=2, num_heads=2, num_classes=5)
+    model = VisionTransformer(cfg, dtype=jnp.float32)
+    ens = EnsMLP(num_classes=10, sub_size=32, num_divisions=2,
+                 teacher_size=64, family="deit", dtype=jnp.float32)
+    ens_no_proj = EnsMLP(num_classes=10, sub_size=32, num_divisions=2,
+                         teacher_size=None, family="deit", dtype=jnp.float32)
+
+    with pytest.raises(ValueError, match="requires a teacher"):
+        S.make_stage2_step(model, None, distillation_type="hard")
+    with pytest.raises(ValueError, match="requires a teacher"):
+        S.make_ensemble_train_step(model, ens, None, distillation_type="hard")
+    with pytest.raises(ValueError, match="teacher_size"):
+        S.make_ensemble_train_step(model, ens_no_proj, model,
+                                   distillation_type="hard")
+    with pytest.raises(ValueError, match="requires a teacher"):
+        S.make_cct_ensemble_train_step(model, ens, None,
+                                       distillation_type="hard")
+    # distillation off: teacher-less builds stay fine
+    S.make_stage2_step(model, None, distillation_type="none")
+    S.make_ensemble_train_step(model, ens_no_proj, None,
+                               distillation_type="none")
