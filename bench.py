@@ -79,7 +79,7 @@ def build_artifacts(num_div: int = 4):
 
 
 def build():
-    from devit_tpu.models.compact_vit import compact_forward
+    from devit_tpu.models.compact_vit import stack_division_features
 
     cfg, cms, ens, ens_vars = build_artifacts()
     # move arrays onto the default (TPU) device; keep static ints intact
@@ -88,12 +88,8 @@ def build():
     )
 
     def fwd(ev, img):
-        cls_list, dist_list = [], []
-        for cm in cms:
-            c, d = compact_forward(cm, img, patch_size=16, features_only=True)
-            cls_list.append(c)
-            dist_list.append(d)
-        return ens.apply(ev, jnp.stack(cls_list), jnp.stack(dist_list)).logits
+        cls_stack, dist_stack = stack_division_features(cms, img, patch_size=16)
+        return ens.apply(ev, cls_stack, dist_stack).logits
 
     return jax.jit(fwd), ens_vars, cms
 

@@ -396,11 +396,19 @@ def merge_params_into(model: VisionTransformer, params, template_params,
         out = {}
         for k, v in tpl.items():
             p = f"{path}/{k}" if path else str(k)
-            if k not in new:
+            if not isinstance(new, dict) or k not in new:
+                # `new` not a dict: the checkpoint has a LEAF where the model
+                # has a subtree (foreign layout) — treat the whole subtree as
+                # missing rather than letting numpy's elementwise `in` run
                 out[k] = v  # missing (e.g. fresh head) -> keep init
                 kept_init.append((p, "missing from checkpoint", _n_params(v)))
             elif isinstance(v, dict):
-                out[k] = merge(v, new[k], p)
+                if not isinstance(new[k], dict):
+                    out[k] = v
+                    kept_init.append((p, "checkpoint has a leaf where the "
+                                         "model has a subtree", _n_params(v)))
+                else:
+                    out[k] = merge(v, new[k], p)
             else:
                 nv = np.asarray(new[k])
                 if nv.shape != v.shape:

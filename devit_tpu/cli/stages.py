@@ -179,10 +179,16 @@ def train_sub_main(args) -> float:
 
     teacher = t_vars = None
     if args.distillation_type != "none":
+        if not args.teacher_path:
+            # a RANDOM-INIT teacher would silently pull half the loss toward
+            # noise; the reference hard-fails on the missing checkpoint too
+            # (train_subdata.py:216 torch.load)
+            raise ValueError(
+                f"--distillation-type {args.distillation_type} requires "
+                "--teacher-path (a trained teacher checkpoint)")
         teacher = C.build_backbone(args.teacher_model, num_classes, args)
         t_tpl = teacher.init(jax.random.key(0), sample, distill_token=args.distillation_token)
-        t_params = C.load_params_for(teacher, args.teacher_path, t_tpl["params"]) \
-            if args.teacher_path else t_tpl["params"]
+        t_params = C.load_params_for(teacher, args.teacher_path, t_tpl["params"])
         t_vars = {"params": t_params}
 
     steps_per_epoch = C.train_steps_per_epoch(train_ds, args)
@@ -341,11 +347,19 @@ def distill_main(args) -> float:
     val_ds = val_full.division_view(manifest, div)
     num_classes = train_ds.num_classes
 
+    if not args.teacher_path:
+        # DEKD consumes the teacher's middle-layer qkv for EVERY gama loss,
+        # not just the logit distillation — a random-init teacher silently
+        # corrupts the student. The reference hard-fails on the missing
+        # checkpoint (distill_sub.py:229-230 torch.load).
+        raise ValueError(
+            "distill (DEKD) requires --teacher-path: the relation losses "
+            "match the teacher's middle-layer Q/K/V (engine.py:91-106); "
+            "the pipeline subcommand wires this automatically")
     teacher = C.build_backbone(args.teacher_model, num_classes, args)
     sample = jnp.zeros((2, args.input_size, args.input_size, 3), jnp.bfloat16)
     t_tpl = teacher.init(jax.random.key(0), sample, capture_qkv="middle")
-    t_params = C.load_params_for(teacher, args.teacher_path, t_tpl["params"]) \
-        if args.teacher_path else t_tpl["params"]
+    t_params = C.load_params_for(teacher, args.teacher_path, t_tpl["params"])
     t_vars = {"params": t_params}
 
     # student gets resize heads to teacher width when token-distilling
@@ -476,7 +490,7 @@ def distill_main(args) -> float:
 def _ensemble_eval_compact(args, log, val_ds, num_classes, D) -> float:
     """Collaborative-inference eval straight from deploy-stage compact
     artifacts (the serving path bench.py measures)."""
-    from devit_tpu.models.compact_vit import compact_forward, load_compact
+    from devit_tpu.models.compact_vit import load_compact
     from devit_tpu.models.ensemble import EnsMLP
 
     cms = [load_compact(os.path.join(args.compact_path, f"sub-dataset{i}", "compact.msgpack"))
@@ -513,16 +527,13 @@ def _ensemble_eval_compact(args, log, val_ds, num_classes, D) -> float:
         # single chip: one fused program, one dispatch per batch (over the
         # tunnel each dispatch costs ~0.7 ms, so D+1 per-division dispatches
         # would be pure overhead here; same math as serve.py on one device)
+        from devit_tpu.models.compact_vit import stack_division_features
+
         @jax.jit
         def fwd(ev, img):
-            cls_list, dist_list = [], []
-            for cm in cms:
-                c, d = compact_forward(cm, img, patch_size=args.patch_size,
-                                       features_only=True)
-                cls_list.append(c)
-                dist_list.append(d)
-            dist = None if dist_list[0] is None else jnp.stack(dist_list)
-            return ens.apply(ev, jnp.stack(cls_list), dist).logits
+            cls_stack, dist_stack = stack_division_features(
+                cms, img, patch_size=args.patch_size)
+            return ens.apply(ev, cls_stack, dist_stack).logits
 
         stream_fn = None
 
@@ -728,10 +739,14 @@ def ensemble_main(args) -> float:
 
     teacher = t_vars = None
     if args.distillation_type != "none":
+        if not args.teacher_path:
+            raise ValueError(
+                f"--distillation-type {args.distillation_type} requires "
+                "--teacher-path (the stage-5 EnsLoss matches the global "
+                "teacher's tokens/logits, ensemble.py:359-361)")
         teacher = C.build_model(args.teacher_model, num_classes, args)
         t_tpl = teacher.init(jax.random.key(0), sample, distill_token=True)
-        t_params = C.load_params_for(teacher, args.teacher_path, t_tpl["params"]) \
-            if args.teacher_path else t_tpl["params"]
+        t_params = C.load_params_for(teacher, args.teacher_path, t_tpl["params"])
         t_vars = {"params": t_params}
 
     return _run_ensemble_training(
@@ -797,12 +812,13 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
 
     teacher = t_vars = None
     if args.distillation_type != "none":
+        if not args.teacher_path:
+            raise ValueError(
+                f"--distillation-type {args.distillation_type} requires "
+                "--teacher-path (a trained CCT teacher checkpoint)")
         teacher = C.build_backbone(args.teacher_model, num_classes, args)
-        t_tpl = teacher.init(jax.random.key(0), sample)
-        t_params = t_tpl["params"]
-        if args.teacher_path:
-            ckpt = restore_pytree(args.teacher_path, None)
-            t_params = ckpt.get("params", ckpt) if isinstance(ckpt, dict) else ckpt
+        ckpt = restore_pytree(args.teacher_path, None)
+        t_params = ckpt.get("params", ckpt) if isinstance(ckpt, dict) else ckpt
         t_vars = {"params": t_params}
 
     return _run_ensemble_training(
@@ -859,14 +875,29 @@ def pipeline_main(args):
         d.update(overrides)
         return argparse.Namespace(**d)
 
-    def artifact_exists(*path):
-        p = os.path.join(root, *path)
+    def artifact_exists_abs(p):
         # make_saver rewrites '.msgpack' -> '.orbax' under --ckpt-format
         # orbax; accept either artifact so completed stages are skipped
         # regardless of the checkpoint format
         return os.path.exists(p) or (
             p.endswith(".msgpack")
             and os.path.exists(p[: -len(".msgpack")] + ".orbax"))
+
+    def artifact_exists(*path):
+        return artifact_exists_abs(os.path.join(root, *path))
+
+    def stage_resume(stage_dir):
+        """Intra-stage resume (the docstring's promise): a killed stage
+        leaves <stage_dir>/checkpoint_temp.msgpack (per-epoch crash
+        artifact); re-running the pipeline resumes it instead of silently
+        retraining from epoch 0."""
+        ptmp = os.path.join(stage_dir, "checkpoint_temp.msgpack")
+        if artifact_exists_abs(ptmp):
+            if not os.path.exists(ptmp):
+                ptmp = ptmp[: -len(".msgpack")] + ".orbax"
+            log.info(f"pipeline: resuming interrupted stage from {ptmp}")
+            return ptmp
+        return ""
 
     def done(*path):
         return not args.force and artifact_exists(*path)
@@ -887,7 +918,7 @@ def pipeline_main(args):
             else:
                 results[f"train_sub{d}"] = train_sub_main(
                     ns(start_division=d, output_dir=sub, manifest=manifest,
-                       resume=""))
+                       resume=stage_resume(sub)))
         shrink_dir = os.path.join(root, f"shrink{d}")
         ckpt = os.path.join(sub, "checkpoint.msgpack")
         if "shrink" in selected:
@@ -900,6 +931,30 @@ def pipeline_main(args):
             if done(f"sub-dataset{d}", "checkpoint.msgpack"):
                 log.info(f"pipeline: distill division {d} exists — skipping")
             else:
+                # DEKD needs a REAL teacher (the relation losses consume its
+                # middle-layer qkv; distill_main refuses a random one).
+                # Explicit --teacher-path is treated as a root holding
+                # per-division teacher checkpoints (the reference's
+                # teacher_path/sub-dataset{i}/checkpoint.pth layout,
+                # distill_sub.py:229, with our stage-2 sub-model{i} layout
+                # and a literal file as fallbacks). Without it, SELF-distill
+                # from the division's own stage-2 checkpoint (--model as its
+                # own teacher) — the strongest trained teacher the pipeline
+                # has actually built.
+                if args.teacher_path:
+                    t_model = args.teacher_model
+                    cands = [os.path.join(args.teacher_path,
+                                          f"sub-dataset{d}", "checkpoint.msgpack"),
+                             os.path.join(args.teacher_path,
+                                          f"sub-model{d}", "checkpoint.msgpack"),
+                             args.teacher_path]
+                    t_path = next((c for c in cands if artifact_exists_abs(c)),
+                                  cands[-1])
+                else:
+                    t_model, t_path = args.model, ckpt
+                    log.info(f"pipeline: no --teacher-path — division {d} "
+                             f"self-distills from its stage-2 checkpoint "
+                             f"({args.model} as its own teacher)")
                 # DEKD always distills (the reference's distill_sub defaults:
                 # hard + clip 1.0); the shared --distillation-type flag
                 # governs stages 2/5, where 'none' is the working default
@@ -908,7 +963,9 @@ def pipeline_main(args):
                     ns(start_division=d,
                        output_dir=os.path.join(root, f"sub-dataset{d}"),
                        manifest=manifest, model_path=ckpt,
-                       policy_path=shrink_dir, resume="",
+                       policy_path=shrink_dir,
+                       resume=stage_resume(os.path.join(root, f"sub-dataset{d}")),
+                       teacher_model=t_model, teacher_path=t_path,
                        distillation_type=(args.distillation_type
                                           if args.distillation_type != "none"
                                           else "hard"),
@@ -935,7 +992,8 @@ def pipeline_main(args):
                 ens_overrides["weight_decay"] = 0.05
             results["ensemble"] = ensemble_main(
                 ns(output_dir=os.path.join(root, "ensemble"),
-                   sub_model_path=root, manifest=manifest, resume="",
+                   sub_model_path=root, manifest=manifest,
+                   resume=stage_resume(os.path.join(root, "ensemble")),
                    compact_path=None, ens_path=None, gates_path=None,
                    **ens_overrides))
     if "deploy" in selected and C.is_cct(args.model):

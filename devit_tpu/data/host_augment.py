@@ -51,11 +51,18 @@ def _enhance_factor(mag: float) -> float:
     return 1.0 + 0.9 * mag / 10.0  # increasing variant; sign applied by caller
 
 
-def _apply_op(img, name: str, mag: float, rng: np.random.Generator):
+def _apply_op(img, name: str, mag: float, rng: np.random.Generator,
+              resample=None):
     """One timm rand_augment_ops op at (possibly negative) magnitude `mag` —
-    each body is the PIL call timm 0.5.4 makes."""
+    each body is the PIL call timm 0.5.4 makes. `resample` is the geometric
+    ops' filter: a PIL constant, or a tuple for timm's 'random' train
+    interpolation (_RANDOM_INTERPOLATION: choose per op application)."""
     from PIL import Image, ImageEnhance, ImageOps
 
+    if resample is None:
+        resample = Image.BICUBIC
+    elif isinstance(resample, tuple):
+        resample = resample[int(rng.integers(0, len(resample)))]
     if name == "autocontrast":
         return ImageOps.autocontrast(img)
     if name == "equalize":
@@ -63,7 +70,7 @@ def _apply_op(img, name: str, mag: float, rng: np.random.Generator):
     if name == "invert":
         return ImageOps.invert(img)
     if name == "rotate":
-        return img.rotate(30.0 * mag / 10.0, resample=Image.BICUBIC,
+        return img.rotate(30.0 * mag / 10.0, resample=resample,
                           fillcolor=_FILL)
     if name == "posterize":
         return ImageOps.posterize(img, max(0, 4 - int(4 * abs(mag) / 10)))
@@ -84,19 +91,19 @@ def _apply_op(img, name: str, mag: float, rng: np.random.Generator):
     if name == "shear_x":
         return img.transform(img.size, Image.AFFINE,
                              (1, 0.3 * mag / 10.0, 0, 0, 1, 0),
-                             resample=Image.BICUBIC, fillcolor=_FILL)
+                             resample=resample, fillcolor=_FILL)
     if name == "shear_y":
         return img.transform(img.size, Image.AFFINE,
                              (1, 0, 0, 0.3 * mag / 10.0, 1, 0),
-                             resample=Image.BICUBIC, fillcolor=_FILL)
+                             resample=resample, fillcolor=_FILL)
     if name == "translate_x":
         return img.transform(img.size, Image.AFFINE,
                              (1, 0, 0.45 * mag / 10.0 * img.size[0], 0, 1, 0),
-                             resample=Image.BICUBIC, fillcolor=_FILL)
+                             resample=resample, fillcolor=_FILL)
     if name == "translate_y":
         return img.transform(img.size, Image.AFFINE,
                              (1, 0, 0, 0, 1, 0.45 * mag / 10.0 * img.size[1]),
-                             resample=Image.BICUBIC, fillcolor=_FILL)
+                             resample=resample, fillcolor=_FILL)
     raise KeyError(name)
 
 
@@ -110,7 +117,8 @@ _SIGNED = {"rotate", "shear_x", "shear_y", "translate_x", "translate_y",
 
 
 def _rand_augment_pil(img, rng: np.random.Generator, magnitude: float,
-                      mag_std: float, num_ops: int, prob: float):
+                      mag_std: float, num_ops: int, prob: float,
+                      resample=None):
     for _ in range(num_ops):
         name = _OP_NAMES[rng.integers(len(_OP_NAMES))]
         if rng.random() >= prob:
@@ -128,7 +136,7 @@ def _rand_augment_pil(img, rng: np.random.Generator, magnitude: float,
             mag = float(np.clip(magnitude, 0.0, 10.0))
         if name in _SIGNED and rng.random() < 0.5:
             mag = -mag
-        img = _apply_op(img, name, mag, rng)
+        img = _apply_op(img, name, mag, rng, resample=resample)
     return img
 
 
@@ -168,6 +176,16 @@ def make_host_train_augment(cfg, seed: int = 0):
     `cfg` is a data.pipeline.AugmentConfig."""
     from PIL import Image, ImageOps
 
+    # timm 0.5.4 transforms_imagenet_train: aa_params['interpolation'] is the
+    # TRAIN interpolation unless 'random', which leaves timm's
+    # _RANDOM_INTERPOLATION = (BILINEAR, BICUBIC), chosen per op application.
+    # (--train-interpolation bilinear must warp the RA geometric ops with
+    # bilinear too, not just the RRC.)
+    _interp = getattr(cfg, "interpolation", "bicubic")
+    ra_resample = ((Image.BILINEAR, Image.BICUBIC) if _interp == "random"
+                   else {"bicubic": Image.BICUBIC,
+                         "bilinear": Image.BILINEAR}[_interp])
+
     aa_policy = None
     if getattr(cfg, "autoaugment", None):
         from devit_tpu.data.autoaugment import get_policy
@@ -203,7 +221,8 @@ def make_host_train_augment(cfg, seed: int = 0):
             img = auto_augment_pil(img, rng, aa_policy)
         elif cfg.randaugment:
             img = _rand_augment_pil(img, rng, float(cfg.ra_magnitude),
-                                    cfg.ra_std, cfg.ra_num_ops, prob=0.5)
+                                    cfg.ra_std, cfg.ra_num_ops, prob=0.5,
+                                    resample=ra_resample)
         return np.asarray(img, np.uint8)
 
     def transform(images: np.ndarray, epoch: int, batch_index: int) -> np.ndarray:

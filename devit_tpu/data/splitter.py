@@ -34,12 +34,11 @@ def split_classes(num_classes: int, num_division: int, seed: int = 42) -> List[L
     label_list = list(range(num_classes))
     rng.shuffle(label_list)
     n = num_classes
-    return [
-        label_list[i * n // num_division : (i + 1) * n // num_division]
-        if i < num_division - 1
-        else label_list[i * n // num_division :]
-        for i in range(num_division)
-    ]
+    # proportional i*n//D boundaries, the reference's formula verbatim at all
+    # five of its dataset branches (for i = D-1 the end is exactly n, so no
+    # special last-chunk case exists)
+    return [label_list[i * n // num_division : (i + 1) * n // num_division]
+            for i in range(num_division)]
 
 
 def local_label_map(class_ids: Sequence[int]) -> Dict[int, int]:

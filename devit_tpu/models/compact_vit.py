@@ -304,3 +304,23 @@ def load_compact(path: str) -> CompactViT:
         head_dim=int(meta["head_dim"]), distilled=bool(int(meta["distilled"])),
         eps=float(meta["eps"]),
     )
+
+
+def stack_division_features(cms, images, *, patch_size: int,
+                            dtype=jnp.bfloat16, use_pallas: bool = True,
+                            fast_math: bool = True):
+    """Run every compact division on the same batch and stack the token
+    features division-major — the single-device half of the collaborative
+    ensemble forward. ONE implementation shared by the deployed bench
+    (bench.build), the CLI compact eval (cli/stages.py), and the driver
+    dryrun (__graft_entry__) so the fusion contract (undistilled -> None
+    dist stack, division-major order) cannot drift between them.
+
+    Returns (cls_stack (D, B, C), dist_stack (D, B, C) or None)."""
+    feats = [compact_forward(cm, images, patch_size=patch_size, dtype=dtype,
+                             use_pallas=use_pallas, fast_math=fast_math,
+                             features_only=True) for cm in cms]
+    cls_stack = jnp.stack([c for c, _ in feats])
+    dist_stack = (None if feats[0][1] is None
+                  else jnp.stack([t for _, t in feats]))
+    return cls_stack, dist_stack

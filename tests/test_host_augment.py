@@ -171,3 +171,31 @@ def test_parse_ra_string_contract():
                 "rand-m9-bogus-inc1"):    # unknown token
         with pytest.raises(ValueError):
             parse_ra_string(bad)
+
+
+def test_ra_geometric_ops_honor_train_interpolation():
+    """--train-interpolation must drive the RA geometric ops' resampling
+    (timm 0.5.4 aa_params['interpolation']), not just the RRC: bilinear gives
+    timm's exact bilinear warp, and 'random' picks per op application."""
+    from PIL import Image
+
+    from devit_tpu.data.host_augment import _FILL, _apply_op
+
+    rng_img = np.random.default_rng(3)
+    img = Image.fromarray(rng_img.integers(0, 255, (32, 32, 3),
+                                           dtype=np.uint8))
+    got = np.asarray(_apply_op(img, "rotate", 7.0, np.random.default_rng(0),
+                               resample=Image.BILINEAR))
+    want = np.asarray(img.rotate(21.0, resample=Image.BILINEAR,
+                                 fillcolor=_FILL))
+    np.testing.assert_array_equal(got, want)
+    bicubic = np.asarray(_apply_op(img, "rotate", 7.0,
+                                   np.random.default_rng(0)))
+    assert not np.array_equal(got, bicubic)
+    # 'random': the tuple form must yield one of the two filters
+    rnd = np.asarray(_apply_op(img, "shear_x", 5.0, np.random.default_rng(4),
+                               resample=(Image.BILINEAR, Image.BICUBIC)))
+    opts = [np.asarray(_apply_op(img, "shear_x", 5.0,
+                                 np.random.default_rng(9), resample=r))
+            for r in (Image.BILINEAR, Image.BICUBIC)]
+    assert any(np.array_equal(rnd, o) for o in opts)

@@ -419,3 +419,82 @@ def test_tensorboard_flag_writes_event_file(tmp_path):
     acc.Reload()
     tags = set(acc.Tags()["scalars"])
     assert {"Train/loss", "Test/Top1", "Test/Top5", "Test/loss"} <= tags, tags
+
+
+def test_distill_refuses_random_teacher(tmp_path):
+    """DEKD without --teacher-path must fail loudly at stage start (the
+    relation losses consume the teacher's middle-layer qkv; the reference
+    hard-fails on the missing checkpoint, distill_sub.py:229-230) — never
+    silently distill from a random-init teacher."""
+    manifest = run(["split", *DATA, "--output_dir", str(tmp_path / "split")])
+    with pytest.raises(ValueError, match="teacher-path"):
+        run([
+            "distill", *TINY_MODEL, *TINY_OPT, *DATA, *NO_MIX,
+            "--manifest", manifest,
+            "--start-division", "0", "--output_dir", str(tmp_path / "o"),
+            "--no-repeated-aug", "--aa", "",
+        ])
+    # same loud failure for stage-2/5 distillation without a teacher ckpt
+    with pytest.raises(ValueError, match="teacher-path"):
+        run([
+            "train_sub", *TINY_MODEL, *TINY_OPT, *DATA, *NO_MIX,
+            "--manifest", manifest,
+            "--distillation-type", "hard",
+            "--start-division", "0", "--output_dir", str(tmp_path / "o2"),
+            "--no-repeated-aug", "--aa", "",
+        ])
+
+
+def test_pipeline_wires_self_distill_teacher_and_stage_resume(tmp_path,
+                                                              monkeypatch):
+    """The orchestrator must (a) give the distill stage a REAL teacher —
+    self-distillation from the division's stage-2 checkpoint when no
+    --teacher-path is passed — and (b) resume an interrupted stage from its
+    checkpoint_temp instead of retraining from epoch 0."""
+    from devit_tpu.cli import stages as St
+
+    root = str(tmp_path / "pipe")
+    captured = {}
+
+    def fake_train_sub(args):
+        captured.setdefault("train_resume", []).append(args.resume)
+        os.makedirs(args.output_dir, exist_ok=True)
+        open(os.path.join(args.output_dir, "checkpoint.msgpack"), "wb").close()
+        return 50.0
+
+    def fake_shrink(args):
+        os.makedirs(args.output_dir, exist_ok=True)
+        np.save(os.path.join(args.output_dir, "shrinked_policy.npy"),
+                np.zeros((1, 4)))
+        return None
+
+    def fake_distill(args):
+        captured.setdefault("teachers", []).append(
+            (args.teacher_model, args.teacher_path))
+        os.makedirs(args.output_dir, exist_ok=True)
+        open(os.path.join(args.output_dir, "checkpoint.msgpack"), "wb").close()
+        return 50.0
+
+    monkeypatch.setattr(St, "train_sub_main", fake_train_sub)
+    monkeypatch.setattr(St, "shrink_main", fake_shrink)
+    monkeypatch.setattr(St, "distill_main", fake_distill)
+
+    # an interrupted stage-2 left a checkpoint_temp for division 0
+    os.makedirs(os.path.join(root, "sub-model0"), exist_ok=True)
+    open(os.path.join(root, "sub-model0", "checkpoint_temp.msgpack"),
+         "wb").close()
+
+    run(["pipeline", *TINY_MODEL, *TINY_OPT, *DATA, *NO_MIX,
+         "--stages", "split,train_sub,shrink,distill",
+         "--output_dir", root, "--no-repeated-aug", "--aa", ""])
+
+    # (b) division 0 resumed from its temp; division 1 started fresh
+    assert captured["train_resume"][0].endswith(
+        os.path.join("sub-model0", "checkpoint_temp.msgpack"))
+    assert captured["train_resume"][1] == ""
+    # (a) self-distillation: teacher model = --model, teacher path = the
+    # division's own stage-2 checkpoint
+    for d, (t_model, t_path) in enumerate(captured["teachers"]):
+        assert t_model == "dedeit"
+        assert t_path == os.path.join(root, f"sub-model{d}",
+                                      "checkpoint.msgpack")
