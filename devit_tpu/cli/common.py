@@ -56,12 +56,31 @@ def add_optim_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch-size", default=64, type=int)
     p.add_argument("--eval-batch-size", default=512, type=int)  # reference default
     p.add_argument("--epochs", default=5, type=int)
+    p.add_argument("--opt", default="adamw", type=str,
+                   help="adamw|adam|sgd|nesterov|momentum (timm create_optimizer "
+                        "names, train_subdata.py:61; others rejected loudly)")
+    p.add_argument("--opt-betas", default=None, type=float, nargs="+",
+                   help="optimizer betas override (reference default: None)")
+    p.add_argument("--momentum", type=float, default=0.9,
+                   help="SGD momentum (train_subdata.py:69)")
     p.add_argument("--opt-eps", default=1e-8, type=float)
     p.add_argument("--clip-grad", type=float, default=None)
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--warmup-lr", type=float, default=1e-6)
     p.add_argument("--min-lr", type=float, default=1e-5)
+    p.add_argument("--sched", default="cosine", type=str,
+                   help="cosine|step|constant (timm create_scheduler names, "
+                        "train_subdata.py:74; others rejected loudly)")
+    p.add_argument("--decay-epochs", type=float, default=30,
+                   help="epoch interval for --sched step (train_subdata.py:89)")
+    p.add_argument("--decay-rate", "--dr", type=float, default=0.1, dest="decay_rate",
+                   help="LR decay rate for --sched step (train_subdata.py:98)")
+    p.add_argument("--lr-noise", type=float, nargs="+", default=None,
+                   help="LR noise on/off epoch percentages (timm; requires "
+                        "--sched-per-epoch, where it is bit-exact)")
+    p.add_argument("--lr-noise-pct", type=float, default=0.67)
+    p.add_argument("--lr-noise-std", type=float, default=1.0)
     p.add_argument("--warmup-epochs", type=int, default=5)
     p.add_argument("--cooldown-epochs", type=int, default=10)
     p.add_argument("--scale-lr", action="store_true", default=True,
@@ -118,8 +137,15 @@ def add_distill_args(p: argparse.ArgumentParser) -> None:
 
 def add_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data-path", default="./datasets", type=str)
-    p.add_argument("--dataset", default="cifar100", type=str,
-                   help="cifar100|IMNET|flowers|cars|pets|synthetic[:K[:N[:S]]]")
+    p.add_argument("--dataset", "--data-set", dest="dataset",
+                   default="cifar100", type=str,
+                   help="cifar100|IMNET|INAT|INAT19|flowers|cars|pets|"
+                        "synthetic[:K[:N[:S]]] (--data-set accepted for "
+                        "reference flag-name compatibility)")
+    p.add_argument("--inat-category", default="name",
+                   choices=["kingdom", "phylum", "class", "order",
+                            "supercategory", "family", "genus", "name"],
+                   help="iNaturalist taxonomic label rank (train_subdata.py:162)")
     p.add_argument("--num_division", default=4, type=int)
     p.add_argument("--start-division", default=0, type=int)
     p.add_argument("--manifest", type=str, default=None,
@@ -240,20 +266,39 @@ def mixup_config_from_args(args, num_classes: int) -> Optional[MixupConfig]:
 
 
 def optim_config_from_args(args, global_batch: int) -> OptimConfig:
-    return OptimConfig(
+    betas = getattr(args, "opt_betas", None)
+    if betas is not None and len(betas) != 2:
+        raise ValueError(f"--opt-betas expects two values, got {betas}")
+    cfg = OptimConfig(
         lr=args.lr, min_lr=args.min_lr, warmup_lr=args.warmup_lr,
         warmup_epochs=args.warmup_epochs, cooldown_epochs=args.cooldown_epochs,
         epochs=args.epochs, weight_decay=args.weight_decay, opt_eps=args.opt_eps,
         clip_grad=args.clip_grad, scale_lr_by_batch=args.scale_lr,
         global_batch=global_batch,
         sched_per_epoch=getattr(args, "sched_per_epoch", False),
+        opt=getattr(args, "opt", "adamw"),
+        momentum=getattr(args, "momentum", 0.9),
+        sched=getattr(args, "sched", "cosine"),
+        decay_epochs=getattr(args, "decay_epochs", 30.0),
+        decay_rate=getattr(args, "decay_rate", 0.1),
+        lr_noise=(tuple(args.lr_noise)
+                  if getattr(args, "lr_noise", None) else None),
+        lr_noise_pct=getattr(args, "lr_noise_pct", 0.67),
+        lr_noise_std=getattr(args, "lr_noise_std", 1.0),
+        seed=getattr(args, "seed", 42),
     )
+    if betas is not None:
+        cfg.beta1, cfg.beta2 = float(betas[0]), float(betas[1])
+    return cfg
 
 
 def build_division_data(args) -> Tuple[ArrayDataset, ArrayDataset, DivisionManifest]:
     """Full train/val sets + manifest; callers take division views."""
-    train_ds = build_dataset(args.dataset, args.data_path, train=True, img_size=args.input_size)
-    val_ds = build_dataset(args.dataset, args.data_path, train=False, img_size=args.input_size)
+    cat = getattr(args, "inat_category", "name")
+    train_ds = build_dataset(args.dataset, args.data_path, train=True,
+                             img_size=args.input_size, inat_category=cat)
+    val_ds = build_dataset(args.dataset, args.data_path, train=False,
+                           img_size=args.input_size, inat_category=cat)
     if args.manifest:
         if not os.path.exists(args.manifest):
             # a typo'd path must not silently train on a regenerated split

@@ -145,7 +145,8 @@ def split_main(args) -> str:
             # would decode the ~437k-image split (hours) for one integer
             from devit_tpu.data.fine_grained import inat_num_classes
 
-            num_classes = inat_num_classes(args.data_path)
+            num_classes = inat_num_classes(
+                args.data_path, getattr(args, "inat_category", "name"))
     manifest = DivisionManifest.create(num_classes, args.num_division, seed=42)
     out = os.path.join(args.output_dir, f"division{args.num_division}")
     os.makedirs(out, exist_ok=True)
@@ -667,8 +668,11 @@ def ensemble_main(args) -> float:
     (ensemble.py:245-456). Sub-model checkpoints load by NAME into the stacked
     pytree (replacing the positional dict_map trick, ensemble.py:192-200)."""
     log = C.setup(args)
-    train_ds = build_dataset(args.dataset, args.data_path, train=True, img_size=args.input_size)
-    val_ds = build_dataset(args.dataset, args.data_path, train=False, img_size=args.input_size)
+    cat = getattr(args, "inat_category", "name")
+    train_ds = build_dataset(args.dataset, args.data_path, train=True,
+                             img_size=args.input_size, inat_category=cat)
+    val_ds = build_dataset(args.dataset, args.data_path, train=False,
+                           img_size=args.input_size, inat_category=cat)
     num_classes = train_ds.num_classes
     D = args.num_division
     # no manifest needed: stage 5 trains the fusion over the FULL label set
@@ -1218,7 +1222,8 @@ def ingest_main(args):
     for train in (True, False):
         t0 = time.time()
         ds = build_dataset(args.dataset, args.data_path, train,
-                           img_size=args.input_size)
+                           img_size=args.input_size,
+                           inat_category=getattr(args, "inat_category", "name"))
         kind = type(ds.images).__name__
         print(f"{args.dataset} {'train' if train else 'val'}: {len(ds)} "
               f"images, {ds.num_classes} classes, cache={kind} "

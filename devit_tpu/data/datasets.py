@@ -301,9 +301,12 @@ def synthetic_dataset(
 
 
 def build_dataset(
-    name: str, data_path: str, train: bool, img_size: int = 224
+    name: str, data_path: str, train: bool, img_size: int = 224,
+    inat_category: str = "name",
 ) -> ArrayDataset:
-    """Dispatch mirroring reference build_dataset (get_dataset.py:17-58)."""
+    """Dispatch mirroring reference build_dataset (get_dataset.py:17-58).
+    inat_category selects the iNaturalist taxonomic label rank
+    (--inat-category, train_subdata.py:162; get_dataset.py:47-55)."""
     if name.startswith("synthetic"):
         # synthetic[:<num_classes>[:<n>[:<img_size>]]] — smoke tests / benches
         parts = name.split(":")
@@ -343,7 +346,7 @@ def build_dataset(
 
         year = 2018 if name == "INAT" else 2019
         return FG.load_inat(data_path, "train" if train else "val", year=year,
-                            img_size=img_size)
+                            category=inat_category, img_size=img_size)
     raise KeyError(f"unknown dataset {name!r}")
 
 

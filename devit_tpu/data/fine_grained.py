@@ -154,8 +154,11 @@ def load_inat(root: str, split: str, year: int = 2018, category: str = "name",
         cat = id_to_cat[ann["category_id"]]
         paths.append(os.path.join(root, img_by_id[ann["image_id"]]))
         labels.append(targeter[cat[category]])
+    # cache key MUST include category: the label space (and num_classes)
+    # depends on it, so a 'name' cache served to a --inat-category kingdom
+    # run would silently train on the wrong labels
     return _decode(paths, labels, num_classes, img_size,
-                   os.path.join(root, f".devit_v3_{split}{year}_{img_size}.npz"),
+                   os.path.join(root, f".devit_v3_{split}{year}_{category}_{img_size}.npz"),
                    name=f"inat{year}/{split}")
 
 

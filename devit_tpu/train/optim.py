@@ -38,6 +38,27 @@ class OptimConfig:
     clip_grad: Optional[float] = None
     scale_lr_by_batch: bool = False
     global_batch: int = 512
+    # timm create_optimizer family (--opt, train_subdata.py:61-70):
+    # adamw (reference default) / adam / sgd / nesterov / momentum.
+    # torch couples L2 into the gradient for adam+sgd (decoupled only for
+    # adamw) — reproduced below. Unknown names are rejected loudly.
+    opt: str = "adamw"
+    momentum: float = 0.9
+    # timm create_scheduler family (--sched, train_subdata.py:74): cosine
+    # (reference default) / step (StepLRScheduler: decay_rate**(t//decay_epochs))
+    # / constant. plateau needs eval-metric feedback and is rejected loudly.
+    sched: str = "cosine"
+    decay_epochs: float = 30.0
+    decay_rate: float = 0.1
+    # timm LR noise (--lr-noise pct [pct], train_subdata.py:78-83): per-epoch
+    # multiplicative noise drawn from torch.Generator(seed + t) — an
+    # inherently per-epoch construct, so it is only supported together with
+    # sched_per_epoch (where it is reproduced bit-exactly); the smooth
+    # per-step default rejects it loudly.
+    lr_noise: Optional[tuple] = None  # epoch-percentage range, 1 or 2 values
+    lr_noise_pct: float = 0.67
+    lr_noise_std: float = 1.0
+    seed: int = 42  # timm noise_seed = getattr(args, 'seed', 42)
     # bit-parity mode: reproduce the reference's PER-EPOCH staircase exactly,
     # including the one-epoch lag of `lr_scheduler.step(epoch)` being called
     # at the END of epoch `epoch` (train_subdata.py:449) — see
@@ -81,6 +102,60 @@ def cosine_schedule(cfg: OptimConfig, steps_per_epoch: int) -> optax.Schedule:
     return schedule
 
 
+def step_schedule(cfg: OptimConfig, steps_per_epoch: int) -> optax.Schedule:
+    """timm-0.5.4 StepLRScheduler semantics (sched='step', step_lr.py:30-38):
+    warmup as for cosine, then lr = peak * decay_rate ** (t // decay_epochs)
+    with t in epochs counting FROM ZERO INCLUDING the warmup span, and no
+    min_lr floor (StepLRScheduler has none). The decay itself is a per-epoch
+    staircase by definition; like the smooth cosine default, the warmup here
+    ramps per STEP (documented deviation; --sched-per-epoch reproduces the
+    per-epoch warmup + the step(epoch) lag bit-exactly)."""
+    import jax.numpy as jnp
+
+    peak = cfg.scaled_lr()
+    warmup_steps = cfg.warmup_epochs * steps_per_epoch
+    decay_t = max(float(cfg.decay_epochs), 1.0)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = cfg.warmup_lr + (peak - cfg.warmup_lr) * step / max(warmup_steps, 1)
+        epoch = jnp.floor(step / steps_per_epoch)
+        dec = peak * cfg.decay_rate ** jnp.floor(epoch / decay_t)
+        return jnp.where(step < warmup_steps, warm, dec)
+
+    return schedule
+
+
+def build_schedule(cfg: OptimConfig, steps_per_epoch: int) -> optax.Schedule:
+    """Dispatch on cfg.sched the way timm create_scheduler does
+    (train_subdata.py:74, scheduler_factory.py). Unsupported scheduler names
+    fail loudly rather than silently training on the wrong trajectory (same
+    policy as parse_ra_string): plateau needs eval-metric feedback that a
+    pure step->lr function cannot express."""
+    if cfg.lr_noise is not None and not (
+        cfg.sched_per_epoch and cfg.sched in ("cosine", "step")
+    ):
+        raise ValueError(
+            "--lr-noise is timm's per-epoch noise (applied in step(epoch), "
+            "scheduler.py _add_noise) — use it with --sched-per-epoch and "
+            "sched cosine|step, where it is reproduced bit-exactly"
+        )
+    if cfg.sched == "cosine":
+        return cosine_schedule(cfg, steps_per_epoch)
+    if cfg.sched == "step":
+        if cfg.sched_per_epoch:
+            return timm_epoch_schedule(cfg, steps_per_epoch)
+        return step_schedule(cfg, steps_per_epoch)
+    if cfg.sched == "constant":
+        peak = cfg.scaled_lr()
+        return lambda step: peak
+    raise ValueError(
+        f"--sched {cfg.sched!r} is not implemented (supported: cosine, step, "
+        "constant). 'plateau' requires eval-metric feedback; 'tanh'/'poly' "
+        "are not used by the reference."
+    )
+
+
 def timm_epoch_schedule(cfg: OptimConfig, steps_per_epoch: int) -> optax.Schedule:
     """The reference's LR trajectory BIT-EXACTLY (--sched-per-epoch): timm-0.5.4
     CosineLRScheduler with t_in_epochs=True, stepped per epoch, INCLUDING the
@@ -113,16 +188,65 @@ def timm_epoch_schedule(cfg: OptimConfig, steps_per_epoch: int) -> optax.Schedul
     def get_lr(t):  # timm _get_lr, vectorized
         t = jnp.asarray(t, jnp.float32)
         warm = cfg.warmup_lr + t * (peak - cfg.warmup_lr) / max(wt, 1)
-        cos = cfg.min_lr + 0.5 * (peak - cfg.min_lr) * (
-            1.0 + jnp.cos(jnp.pi * t / t_initial))
-        cos = jnp.where(t >= t_initial, cfg.min_lr, cos)
-        return jnp.where(t < wt, warm, cos)
+        if cfg.sched == "step":
+            # timm StepLRScheduler._get_lr: no min_lr floor, no cycle end
+            decayed = peak * cfg.decay_rate ** jnp.floor(
+                t / max(float(cfg.decay_epochs), 1.0))
+        else:
+            decayed = cfg.min_lr + 0.5 * (peak - cfg.min_lr) * (
+                1.0 + jnp.cos(jnp.pi * t / t_initial))
+            decayed = jnp.where(t >= t_initial, cfg.min_lr, decayed)
+        return jnp.where(t < wt, warm, decayed)
+
+    if cfg.lr_noise is None:
+
+        def schedule(step):
+            epoch = jnp.asarray(step, jnp.int32) // steps_per_epoch
+            return get_lr(jnp.maximum(epoch - 1, 0))
+
+        return schedule
+
+    # timm _add_noise reproduced bit-exactly (scheduler.py, noise_type
+    # 'normal'): at step(t) the group LRs become lr*(1+noise(t)) where
+    # noise(t) is rejection-sampled |N(0,std)| < pct from
+    # torch.Generator(noise_seed + t); noise_range = [n*epochs for n in
+    # lr_noise] (scalar if one value), applied for range[0] <= t < range[1]
+    # or t >= range (scalar). Epoch 0 runs at the un-noised constructor
+    # value; epoch e>=1 at get_lr(e-1)*(1+noise(e-1)) — the step(epoch) lag.
+    factors = jnp.asarray(
+        _timm_noise_factors(cfg, n_epochs=max(cfg.epochs + cfg.cooldown_epochs, 1) + 2)
+    )
 
     def schedule(step):
         epoch = jnp.asarray(step, jnp.int32) // steps_per_epoch
-        return get_lr(jnp.maximum(epoch - 1, 0))
+        t = jnp.maximum(epoch - 1, 0)
+        f = factors[jnp.minimum(t, factors.shape[0] - 1)]
+        return get_lr(t) * jnp.where(epoch >= 1, f, 1.0)
 
     return schedule
+
+
+def _timm_noise_factors(cfg: OptimConfig, n_epochs: int):
+    """Per-epoch (1 + noise(t)) table, t = 0..n_epochs-1, matching timm-0.5.4
+    Scheduler._add_noise with noise_type='normal' and
+    noise_seed = getattr(args, 'seed', 42) (scheduler_factory.py:34-46)."""
+    import numpy as np
+    import torch
+
+    rng = [n * cfg.epochs for n in cfg.lr_noise]
+    lo, hi = (rng[0], rng[1]) if len(rng) > 1 else (rng[0], float("inf"))
+    out = np.ones(n_epochs, dtype=np.float64)
+    for t in range(n_epochs):
+        if not (lo <= t < hi):
+            continue
+        g = torch.Generator()
+        g.manual_seed(cfg.seed + t)
+        while True:  # timm's rejection loop, verbatim semantics
+            noise = torch.randn(1, generator=g).item() * cfg.lr_noise_std
+            if abs(noise) < cfg.lr_noise_pct:
+                break
+        out[t] = 1.0 + noise
+    return out
 
 
 def _decay_mask(params):
@@ -148,20 +272,47 @@ def _decays(path, p) -> bool:
 def make_optimizer(
     cfg: OptimConfig, steps_per_epoch: int, schedule: Optional[optax.Schedule] = None
 ) -> optax.GradientTransformation:
-    sched = schedule if schedule is not None else cosine_schedule(cfg, steps_per_epoch)
+    sched = schedule if schedule is not None else build_schedule(cfg, steps_per_epoch)
     chain = []
     if cfg.clip_grad is not None:
         chain.append(optax.clip_by_global_norm(cfg.clip_grad))
-    chain.append(
-        optax.adamw(
-            learning_rate=sched,
-            b1=cfg.beta1,
-            b2=cfg.beta2,
-            eps=cfg.opt_eps,
-            weight_decay=cfg.weight_decay,
-            mask=_decay_mask,
+    opt = cfg.opt.lower()
+    if opt == "adamw":
+        chain.append(
+            optax.adamw(
+                learning_rate=sched,
+                b1=cfg.beta1,
+                b2=cfg.beta2,
+                eps=cfg.opt_eps,
+                weight_decay=cfg.weight_decay,
+                mask=_decay_mask,
+            )
         )
-    )
+    elif opt in ("adam", "sgd", "nesterov", "momentum"):
+        # torch semantics for these: weight decay is COUPLED L2 folded into
+        # the gradient BEFORE the moment updates (torch/optim/{adam,sgd}.py),
+        # unlike adamw's decoupled decay — so add_decayed_weights goes FIRST.
+        # timm's add_weight_decay param grouping == our _decay_mask (1-d and
+        # no_weight_decay params get wd=0).
+        if cfg.weight_decay:
+            chain.append(optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask))
+        if opt == "adam":
+            chain.append(optax.adam(sched, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.opt_eps))
+        else:
+            # timm create_optimizer: 'sgd'/'nesterov' -> SGD(nesterov=True),
+            # 'momentum' -> SGD(nesterov=False) (optim_factory.py)
+            chain.append(
+                optax.sgd(
+                    sched,
+                    momentum=cfg.momentum if cfg.momentum else None,
+                    nesterov=opt in ("sgd", "nesterov"),
+                )
+            )
+    else:
+        raise ValueError(
+            f"--opt {cfg.opt!r} is not implemented (supported: adamw, adam, "
+            "sgd, nesterov, momentum)"
+        )
     return optax.chain(*chain)
 
 

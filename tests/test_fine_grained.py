@@ -214,6 +214,21 @@ def test_build_dataset_dispatches_inat(inat_root):
     assert len(ds) == 3
 
 
+def test_inat_cache_keyed_by_category(inat_root):
+    """The decode cache must be keyed by category: a 'name' cache served to a
+    --inat-category kingdom run would silently train on the wrong labels."""
+    a = FG.load_inat(inat_root, "train", year=2018, category="name",
+                     img_size=IMG)
+    b = FG.load_inat(inat_root, "train", year=2018, category="kingdom",
+                     img_size=IMG)
+    assert a.num_classes == 3 and b.num_classes == 2
+    np.testing.assert_array_equal(b.labels, [1, 0, 0])
+    # and the category threads through build_dataset (--inat-category)
+    c = build_dataset("INAT", inat_root, train=True, img_size=IMG,
+                      inat_category="kingdom")
+    assert c.num_classes == 2
+
+
 # ------------------------------------------------------------- fallbacks
 
 
