@@ -4,4 +4,4 @@ them (HSIC-ranked head/neuron pruning under a MACs budget), distill with DEKD,
 and recombine via token-fusion ensemble — collaborative inference mapped onto
 TPU sub-meshes."""
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"

@@ -182,7 +182,11 @@ def _bench_main(args):
     else:
         os.environ.pop("DEVIT_BENCH_TOPOLOGY", None)
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    runpy.run_path(os.path.join(repo_root, "bench.py"), run_name="__main__")
+    path = os.path.join(repo_root, "bench.py")
+    if os.path.exists(path):  # repo checkout (driver layout)
+        runpy.run_path(path, run_name="__main__")
+    else:  # pip-installed: bench ships as a top-level py-module (pyproject)
+        runpy.run_module("bench", run_name="__main__")
 
 
 def main(argv=None) -> int:
