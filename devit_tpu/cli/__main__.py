@@ -151,6 +151,39 @@ def build_parser() -> argparse.ArgumentParser:
     ig.add_argument("--input-size", type=int, default=224)
     ig.set_defaults(fn=stages.ingest_main)
 
+    sv = sub.add_parser("serve", help="HTTP serving daemon over deploy-stage "
+                                      "compact artifacts (POST /predict, GET "
+                                      "/healthz, GET /stats; micro-batching "
+                                      "into fixed bucket programs)")
+    sv.add_argument("--compact-path", type=str, required=True,
+                    help="dir with sub-dataset{i}/compact.msgpack (devit deploy)")
+    sv.add_argument("--ens-path", type=str, default=None,
+                    help="stage-5 fusion checkpoint (omit = smoke mode with a "
+                         "random fusion head)")
+    sv.add_argument("--num-division", type=int, default=0,
+                    help="0 = auto-discover contiguous sub-dataset{i} dirs")
+    sv.add_argument("--host", type=str, default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--buckets", type=str, default="1,8,32,128,256",
+                    help="comma-separated batch buckets, one compiled program "
+                         "each (requests pad to the smallest fitting bucket)")
+    sv.add_argument("--max-wait-ms", type=float, default=5.0,
+                    help="micro-batching coalescing window")
+    sv.add_argument("--topk", type=int, default=5)
+    sv.add_argument("--input-size", type=int, default=224)
+    sv.add_argument("--patch-size", type=int, default=16)
+    sv.add_argument("--teacher-size", type=int, default=768,
+                    help="fusion width fallback when no --ens-path (inferred "
+                         "from the checkpoint otherwise)")
+    sv.add_argument("--dtype", choices=["bfloat16", "float32"],
+                    default="bfloat16")
+    sv.add_argument("--no-fast-math", action="store_true",
+                    help="serving defaults to fast_math like bench.py; this "
+                         "pins the parity numerics instead")
+    sv.add_argument("--no-warmup", action="store_true",
+                    help="skip pre-compiling the bucket programs at startup")
+    sv.set_defaults(fn=_serve_main)
+
     cv = sub.add_parser("convert", help="convert checkpoints: torch .pth/.pt "
                                         "<-> msgpack/orbax, flax .npz -> ours "
                                         "(geometry inferred from the file)")
@@ -161,6 +194,12 @@ def build_parser() -> argparse.ArgumentParser:
     cv.set_defaults(fn=stages.convert_main)
 
     return p
+
+
+def _serve_main(args):
+    from devit_tpu.serving.daemon import serve_main
+
+    serve_main(args)
 
 
 def _bench_main(args):

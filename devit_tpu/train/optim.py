@@ -151,8 +151,12 @@ def build_schedule(cfg: OptimConfig, steps_per_epoch: int) -> optax.Schedule:
         return lambda step: peak
     raise ValueError(
         f"--sched {cfg.sched!r} is not implemented (supported: cosine, step, "
-        "constant). 'plateau' requires eval-metric feedback; 'tanh'/'poly' "
-        "are not used by the reference."
+        "constant). 'plateau' requires eval-metric feedback — and is BROKEN "
+        "in the reference as committed: every stage calls "
+        "lr_scheduler.step(epoch) with no metric (train_subdata.py:449), so "
+        "timm-0.5.4 PlateauLRScheduler.step forwards metric=None into torch "
+        "ReduceLROnPlateau.step, which crashes on float(None) right after "
+        "warmup. 'tanh'/'poly' are not used by the reference."
     )
 
 

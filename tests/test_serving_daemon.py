@@ -1,0 +1,299 @@
+"""The serving daemon (devit serve, devit_tpu/serving/daemon.py): engine
+forward == the offline fused serving math (bucket padding can't change
+logits), micro-batching coalesces concurrent requests into one device batch,
+the HTTP surface (predict/healthz/stats, error paths, host resize of
+off-sized clients), and fusion-geometry inference from the stage-5
+checkpoint's own shapes. Reference has no serving surface (engine.py:212-242
+is offline eval only) — the math itself is pinned elsewhere
+(test_compact_ragged / test_ensemble_and_steps); here we pin the daemon."""
+
+import json
+import os
+import sys
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from devit_tpu.configs import get_vit_config
+from devit_tpu.data.pipeline import normalize
+from devit_tpu.io.checkpoint import save_pytree
+from devit_tpu.models.compact_vit import (
+    compact_vit_ragged, save_compact, stack_division_features,
+)
+from devit_tpu.models.ensemble import EnsMLP
+from devit_tpu.models.vit import Gates, VisionTransformer
+from devit_tpu.serving.daemon import (
+    InferenceEngine, MicroBatcher, ServeConfig, _host_resize,
+    build_engine_from_artifacts, build_server,
+)
+
+IMG = 32
+D = 3
+K = 9
+CFG = get_vit_config("dedeit", img_size=IMG, patch_size=8, embed_dim=64,
+                     depth=2, num_heads=4, num_classes=K)
+SCFG = ServeConfig(input_size=IMG, patch_size=8, buckets=(2, 4, 8),
+                   max_wait_ms=5.0, dtype=jnp.float32, use_pallas=False,
+                   fast_math=False, warmup=False)
+
+
+def _tiny_cms():
+    model = VisionTransformer(CFG, dtype=jnp.float32)
+    x = jnp.zeros((2, IMG, IMG, 3))
+    rng = np.random.default_rng(0)
+    cms = []
+    for d in range(D):
+        params = model.init(jax.random.key(d), x)["params"]
+        head = np.zeros((2, 4), np.float32)
+        neuron = np.zeros((2, 256), np.float32)
+        for l, (hk, nk) in enumerate([(2, 64), (3, 128)]):
+            head[l, rng.choice(4, hk, replace=False)] = 1
+            neuron[l, rng.choice(256, nk, replace=False)] = 1
+        g = Gates(jnp.asarray(head), jnp.asarray(neuron))
+        cms.append(compact_vit_ragged(params, g, CFG, neuron_multiple=8))
+    return cms
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    root = tmp_path_factory.mktemp("deploy")
+    cms = _tiny_cms()
+    for i, cm in enumerate(cms):
+        d = os.path.join(root, f"sub-dataset{i}")
+        os.makedirs(d)
+        save_compact(os.path.join(d, "compact.msgpack"), cm)
+    ens = EnsMLP(num_classes=K, sub_size=CFG.embed_dim, num_divisions=D,
+                 teacher_size=48, family="deit", dtype=jnp.float32)
+    tok = jnp.zeros((D, 2, CFG.embed_dim))
+    ens_vars = ens.init(jax.random.key(99), tok, tok)
+    ens_path = os.path.join(root, "ens.msgpack")
+    # the stage-5 checkpoint layout (cli/stages.py: {'ens_params': ...})
+    save_pytree(ens_path, {"ens_params": ens_vars["params"]})
+    return str(root), ens_path, cms, ens, ens_vars
+
+
+@pytest.fixture(scope="module")
+def engine(artifacts):
+    root, ens_path, *_ = artifacts
+    return build_engine_from_artifacts(root, ens_path, cfg=SCFG, log=None)
+
+
+def _imgs(n, size=IMG, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 256, (n, size, size, 3), dtype=np.uint8)
+
+
+# --------------------------------------------------------------- engine math
+
+
+def test_geometry_inferred_from_checkpoint(engine):
+    assert engine.num_divisions == D
+    assert engine.num_classes == K
+
+
+def test_engine_matches_offline_fused_forward(artifacts, engine):
+    _, _, cms, ens, ens_vars = artifacts
+    imgs = _imgs(4)
+    got = engine.predict(imgs)
+    x = normalize(jnp.asarray(imgs, jnp.float32) / 255.0, jnp.float32)
+    cls_s, dist_s = stack_division_features(
+        cms, x, patch_size=8, dtype=jnp.float32, use_pallas=False,
+        fast_math=False)
+    want = np.asarray(ens.apply(ens_vars, cls_s, dist_s).logits)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_bucket_padding_does_not_change_logits(engine):
+    imgs = _imgs(5, seed=1)
+    full = engine.predict(imgs)           # chunks: bucket 4 + pad-to-2
+    for i in range(5):
+        one = engine.predict(imgs[i:i + 1])  # pads to bucket 2
+        np.testing.assert_allclose(one[0], full[i], rtol=2e-5, atol=2e-5)
+
+
+def test_predict_rejects_wrong_shape(engine):
+    with pytest.raises(ValueError, match="expects"):
+        engine.predict(_imgs(2, size=IMG * 2))
+
+
+def test_wrong_pairing_raises(artifacts, tmp_path):
+    root, _, _, _, _ = artifacts
+    bad = EnsMLP(num_classes=K, sub_size=CFG.embed_dim, num_divisions=D + 1,
+                 teacher_size=48, family="deit", dtype=jnp.float32)
+    tok = jnp.zeros((D + 1, 2, CFG.embed_dim))
+    p = str(tmp_path / "bad.msgpack")
+    save_pytree(p, {"ens_params": bad.init(jax.random.key(0), tok, tok)["params"]})
+    with pytest.raises(ValueError, match="pairing"):
+        build_engine_from_artifacts(root, p, cfg=SCFG, log=None)
+
+
+def test_host_resize_identity_and_geometry():
+    img = _imgs(1, size=IMG)[0]
+    assert _host_resize(img, IMG) is img  # no-op fast path
+    big = _imgs(1, size=77, seed=3)[0]
+    out = _host_resize(big, IMG)
+    assert out.shape == (IMG, IMG, 3) and out.dtype == np.uint8
+
+
+def test_single_device_branch_matches_multichip(artifacts, engine, monkeypatch):
+    """The 8-virtual-device conftest makes every other test run the
+    collaborative (multichip) engine; pin the 1-device fused-program branch
+    (what one real chip serves) against it."""
+    root, ens_path, *_ = artifacts
+    dev0 = jax.local_devices()[0]
+    monkeypatch.setattr(jax, "local_devices", lambda *a, **k: [dev0])
+    single = build_engine_from_artifacts(root, ens_path, cfg=SCFG, log=None)
+    assert not single._multichip and engine._multichip
+    imgs = _imgs(4, seed=9)
+    np.testing.assert_allclose(single.predict(imgs), engine.predict(imgs),
+                               rtol=2e-5, atol=2e-5)
+
+
+# ------------------------------------------------------------ micro-batching
+
+
+def test_batcher_coalesces_queued_requests(engine):
+    b = MicroBatcher(engine)  # not started: both requests queue first
+    f1 = b.submit(_imgs(2, seed=4))
+    f2 = b.submit(_imgs(2, seed=5))
+    b.start()
+    r1, r2 = f1.result(timeout=60), f2.result(timeout=60)
+    b.stop()
+    assert r1.shape == (2, K) and r2.shape == (2, K)
+    assert b.stats["batches"] == 1 and b.stats["coalesced"] == 1
+    assert b.stats["requests"] == 2 and b.stats["images"] == 4
+    # the per-request rows equal solo forwards (split-back correctness)
+    np.testing.assert_allclose(r2, engine.predict(_imgs(2, seed=5)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_batcher_delivers_exceptions(engine):
+    b = MicroBatcher(engine)
+    fut = b.submit(_imgs(1, size=IMG * 2))  # wrong shape -> predict raises
+    b.start()
+    with pytest.raises(ValueError):
+        fut.result(timeout=60)
+    b.stop()
+
+
+# ------------------------------------------------------------------- HTTP
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    httpd, batcher = build_server(engine, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    host, port = httpd.server_address[:2]
+    yield f"http://{host}:{port}"
+    httpd.shutdown()
+    httpd.server_close()
+    batcher.stop()
+
+
+def _post(url, imgs, path="/predict"):
+    req = urllib.request.Request(
+        url + path, data=imgs.tobytes(),
+        headers={"X-Image-Shape": ",".join(map(str, imgs.shape))})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_predict_single_and_batch(server, engine, artifacts):
+    _, _, cms, ens, ens_vars = artifacts
+    imgs = _imgs(3, seed=6)
+    code, out = _post(server, imgs)
+    assert code == 200
+    preds = out["predictions"]
+    assert len(preds) == 3 and out["latency_ms"] > 0
+    assert all(len(p["topk"]) == SCFG.topk for p in preds)
+    # argmax agrees with a direct engine forward
+    want = engine.predict(imgs).argmax(-1)
+    got = np.array([p["topk"][0] for p in preds])
+    np.testing.assert_array_equal(got, want)
+    # probs are softmax-sorted descending
+    for p in preds:
+        assert all(a >= b for a, b in zip(p["probs"], p["probs"][1:]))
+    # single image, 3-d header form + ?topk=
+    one = imgs[0]
+    req = urllib.request.Request(
+        server + "/predict?topk=2", data=one.tobytes(),
+        headers={"X-Image-Shape": ",".join(map(str, one.shape))})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        out = json.loads(r.read())
+    assert len(out["predictions"]) == 1
+    assert len(out["predictions"][0]["topk"]) == 2
+
+
+def test_http_resizes_offsize_clients(server):
+    code, out = _post(server, _imgs(2, size=50, seed=7))
+    assert code == 200 and len(out["predictions"]) == 2
+
+
+def test_http_error_paths(server):
+    imgs = _imgs(1)
+    # truncated body
+    req = urllib.request.Request(
+        server + "/predict", data=imgs.tobytes()[:-7],
+        headers={"X-Image-Shape": ",".join(map(str, imgs.shape))})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400 and "bytes" in json.loads(e.read())["error"]
+    # bad shape header
+    req = urllib.request.Request(server + "/predict", data=b"xx",
+                                 headers={"X-Image-Shape": "2,2"})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # unknown route
+    try:
+        urllib.request.urlopen(server + "/nope", timeout=60)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_http_healthz_and_stats(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=60) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok" and h["num_divisions"] == D
+    assert h["num_classes"] == K and h["buckets"] == [2, 4, 8]
+    with urllib.request.urlopen(server + "/stats", timeout=60) as r:
+        s = json.loads(r.read())
+    assert s["requests"] >= 1 and s["images"] >= 1
+    assert s["latency_ms_p50"] is None or s["latency_ms_p50"] >= 0
+
+
+# ----------------------------------------------------------------- CLI wiring
+
+
+def test_cli_serve_parser_smoke(artifacts):
+    from devit_tpu.cli.__main__ import build_parser
+
+    root, ens_path, *_ = artifacts
+    args = build_parser().parse_args(
+        ["serve", "--compact-path", root, "--ens-path", ens_path,
+         "--buckets", "2,4", "--input-size", str(IMG), "--patch-size", "8",
+         "--dtype", "float32", "--no-fast-math", "--no-warmup"])
+    assert args.fn is not None and args.compact_path == root
+    assert args.num_division == 0  # auto-discover default
+
+
+def test_smoke_mode_without_ens_path(artifacts):
+    root, *_ = artifacts
+    msgs = []
+    eng = build_engine_from_artifacts(root, None, cfg=SCFG,
+                                      log=msgs.append)
+    assert any("RANDOM fusion head" in m for m in msgs)
+    assert eng.predict(_imgs(2, seed=8)).shape == (2, eng.num_classes)
