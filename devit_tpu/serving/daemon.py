@@ -116,23 +116,23 @@ class InferenceEngine:
                 use_pallas=use_pallas, fast_math=cfg.fast_math)
             self.division_devices = serve_fn.division_devices
             self.fusion_device = serve_fn.fusion_device
-
-            def fwd(img_f32):
-                return serve_fn(ens_vars, img_f32)
+            fwd = serve_fn  # serve_fn(ens_vars, images) -> logits
         else:
             self.division_devices = [jax.local_devices()[0]] * len(cms)
             self.fusion_device = jax.local_devices()[0]
             cms = list(cms)
 
-            # cms closed into the jit deliberately: frozen ragged weights as
-            # program constants (same pattern + rationale as parallel/serve.py
-            # _division_fn and bench.py)
+            # cms closed into the jit deliberately (frozen ragged weights as
+            # program constants — same pattern + rationale as
+            # parallel/serve.py _division_fn and bench.py); the fusion vars
+            # stay an ARGUMENT in both branches so /reload can hot-swap them
+            # without recompiling the division programs
             @jax.jit
-            def fwd(img_f32):
+            def fwd(ev, img_f32):
                 cls_stack, dist_stack = stack_division_features(
                     cms, img_f32, patch_size=cfg.patch_size, dtype=cfg.dtype,
                     use_pallas=use_pallas, fast_math=cfg.fast_math)
-                return ens.apply(ens_vars, cls_stack, dist_stack).logits
+                return ens.apply(ev, cls_stack, dist_stack).logits
 
         @jax.jit
         def prep(img_u8):
@@ -142,6 +142,8 @@ class InferenceEngine:
 
         self._prep = prep
         self._fwd = fwd
+        self._ens = ens
+        self._ens_vars = ens_vars
         self._lock = threading.Lock()
 
     def _run_bucket(self, images_u8: np.ndarray) -> np.ndarray:
@@ -151,7 +153,7 @@ class InferenceEngine:
         if n < bucket:
             pad = np.zeros((bucket - n,) + images_u8.shape[1:], np.uint8)
             images_u8 = np.concatenate([images_u8, pad], axis=0)
-        logits = self._fwd(self._prep(jnp.asarray(images_u8)))
+        logits = self._fwd(self._ens_vars, self._prep(jnp.asarray(images_u8)))
         return np.asarray(jax.device_get(logits), np.float32)[:n]
 
     def predict(self, images_u8: np.ndarray) -> np.ndarray:
@@ -167,6 +169,26 @@ class InferenceEngine:
             outs = [self._run_bucket(images_u8[i:i + cap])
                     for i in range(0, images_u8.shape[0], cap)]
         return np.concatenate(outs, axis=0)
+
+    def reload_fusion(self, ens_path: str) -> None:
+        """Hot-swap the fusion weights from a (newer) stage-5 checkpoint —
+        the head retrains far more often than the frozen compact backbones,
+        and its vars are a program ARGUMENT in both engine branches, so the
+        swap costs zero recompiles. Structure/shape must match exactly;
+        a different fusion geometry needs a new engine (restart)."""
+        from devit_tpu.io.checkpoint import restore_pytree
+
+        ckpt = restore_pytree(ens_path, None)
+        new = {"params": ckpt.get("ens_params", ckpt.get("params", ckpt))}
+        old_s = jax.tree_util.tree_map(lambda x: jnp.shape(x), self._ens_vars)
+        new_s = jax.tree_util.tree_map(lambda x: jnp.shape(x), new)
+        if old_s != new_s:
+            raise ValueError(
+                f"reload checkpoint geometry differs from the serving fusion "
+                f"head: {new_s} vs {old_s} — restart to change geometry")
+        new = jax.tree_util.tree_map(jnp.asarray, new)
+        with self._lock:  # never swap mid-dispatch
+            self._ens_vars = new
 
     def warm_up(self) -> float:
         """Compile every bucket program before traffic (first tunnel compiles
@@ -407,6 +429,18 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         url = urlparse(self.path)
+        if url.path == "/reload":
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                path = body["ens_path"]
+                self.engine.reload_fusion(path)
+            except (KeyError, json.JSONDecodeError) as e:
+                return self._json(400, {"error": f"body must be JSON with "
+                                                 f"'ens_path': {e}"})
+            except (ValueError, FileNotFoundError, OSError) as e:
+                return self._json(400, {"error": str(e)})
+            return self._json(200, {"status": "reloaded", "ens_path": path})
         if url.path != "/predict":
             return self._json(404, {"error": f"unknown path {url.path!r}"})
         t0 = time.time()

@@ -264,6 +264,49 @@ def test_http_error_paths(server):
         assert e.code == 404
 
 
+def test_reload_fusion_hot_swaps_weights(artifacts, server, tmp_path):
+    """/reload swaps the fusion head without recompiling (predictions change
+    to the new head's, geometry mismatches are rejected 400, and the original
+    weights restore cleanly so other tests are unaffected)."""
+    root, ens_path, _, ens, _ = artifacts
+    imgs = _imgs(2, seed=11)
+    before = _post(server, imgs)[1]["predictions"]
+    # a different-seed fusion head with identical geometry
+    tok = jnp.zeros((D, 2, CFG.embed_dim))
+    alt = ens.init(jax.random.key(7), tok, tok)["params"]
+    alt_path = str(tmp_path / "alt.msgpack")
+    save_pytree(alt_path, {"ens_params": alt})
+
+    def reload(path):
+        req = urllib.request.Request(
+            server + "/reload", data=json.dumps({"ens_path": path}).encode())
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    code, out = reload(alt_path)
+    assert code == 200 and out["status"] == "reloaded"
+    after = _post(server, imgs)[1]["predictions"]
+    assert any(b["probs"] != a["probs"] for b, a in zip(before, after))
+    # wrong geometry -> 400, serving state unchanged
+    bad = EnsMLP(num_classes=K + 1, sub_size=CFG.embed_dim, num_divisions=D,
+                 teacher_size=48, family="deit", dtype=jnp.float32)
+    tok = jnp.zeros((D, 2, CFG.embed_dim))
+    bad_path = str(tmp_path / "badgeom.msgpack")
+    save_pytree(bad_path,
+                {"ens_params": bad.init(jax.random.key(0), tok, tok)["params"]})
+    code, out = reload(bad_path)
+    assert code == 400 and "geometry" in out["error"]
+    code, _ = reload(str(tmp_path / "missing.msgpack"))
+    assert code == 400
+    # restore the module-scoped server's original head
+    assert reload(ens_path)[0] == 200
+    restored = _post(server, imgs)[1]["predictions"]
+    assert all(b["probs"] == r["probs"] for b, r in zip(before, restored))
+
+
 def test_http_healthz_and_stats(server):
     with urllib.request.urlopen(server + "/healthz", timeout=60) as r:
         h = json.loads(r.read())
