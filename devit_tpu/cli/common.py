@@ -80,7 +80,9 @@ def add_optim_args(p: argparse.ArgumentParser) -> None:
                    help="LR noise on/off epoch percentages (timm; requires "
                         "--sched-per-epoch, where it is bit-exact)")
     p.add_argument("--lr-noise-pct", type=float, default=0.67)
-    p.add_argument("--lr-noise-std", type=float, default=1.0)
+    p.add_argument("--lr-noise-std", type=float, default=1.0,
+                   help="accepted-and-inert, exactly as in timm-0.5.4 "
+                        "(its _add_noise never uses noise_std)")
     p.add_argument("--warmup-epochs", type=int, default=5)
     p.add_argument("--cooldown-epochs", type=int, default=10)
     p.add_argument("--scale-lr", action="store_true", default=True,

@@ -143,8 +143,17 @@ class InferenceEngine:
         self._prep = prep
         self._fwd = fwd
         self._ens = ens
-        self._ens_vars = ens_vars
+        self._ens_vars = self._commit_vars(ens_vars)
         self._lock = threading.Lock()
+
+    def _commit_vars(self, ens_vars):
+        # msgpack restore yields HOST numpy leaves; passing those into the
+        # program re-uploads the whole fusion head on EVERY dispatch (jax
+        # re-transfers uncommitted host arguments each call — ~17 MB/call at
+        # real geometry). Commit once to the fusion device.
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), self.fusion_device),
+            ens_vars)
 
     def _run_bucket(self, images_u8: np.ndarray) -> np.ndarray:
         """One padded-bucket dispatch; images_u8 (n<=max_bucket, S, S, 3)."""
@@ -186,7 +195,7 @@ class InferenceEngine:
             raise ValueError(
                 f"reload checkpoint geometry differs from the serving fusion "
                 f"head: {new_s} vs {old_s} — restart to change geometry")
-        new = jax.tree_util.tree_map(jnp.asarray, new)
+        new = self._commit_vars(new)
         with self._lock:  # never swap mid-dispatch
             self._ens_vars = new
 
@@ -210,15 +219,18 @@ def _host_resize(img: np.ndarray, size: int) -> np.ndarray:
 
     if img.shape[0] == size and img.shape[1] == size:
         return img
+    # the same arithmetic as ingest_resize / pipeline.resize_center_crop:
+    # long side int-TRUNCATED, crop offsets int(round(.../2)) — torchvision
     scale = int(256 / 224 * size)
     im = Image.fromarray(img)
     w, h = im.size
     if w <= h:
-        nw, nh = scale, max(int(round(h * scale / w)), scale)
+        nw, nh = scale, int(scale * h / w)
     else:
-        nh, nw = scale, max(int(round(w * scale / h)), scale)
+        nh, nw = scale, int(scale * w / h)
     im = im.resize((nw, nh), Image.BICUBIC)
-    left, top = (nw - size) // 2, (nh - size) // 2
+    left = int(round((nw - size) / 2.0))
+    top = int(round((nh - size) / 2.0))
     return np.asarray(im.crop((left, top, left + size, top + size)),
                       dtype=np.uint8)
 
@@ -240,6 +252,7 @@ class MicroBatcher:
             "requests": 0, "images": 0, "batches": 0, "coalesced": 0,
         }
         self._latencies: deque = deque(maxlen=1024)  # seconds, per request
+        self._lat_lock = threading.Lock()  # appends race /stats snapshots
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="devit-batcher")
@@ -251,7 +264,17 @@ class MicroBatcher:
     def stop(self):
         self._stop.set()
         self.q.put(None)  # wake the blocking get
-        self._thread.join(timeout=10)
+        if self._thread.is_alive():
+            self._thread.join(timeout=10)
+        # fail any request still queued: a waiter blocked in fut.result()
+        # must get a prompt error, not a 600 s timeout
+        while True:
+            try:
+                item = self.q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[1].set_exception(RuntimeError("server shutting down"))
 
     def submit(self, images_u8: np.ndarray) -> Future:
         fut: Future = Future()
@@ -269,13 +292,21 @@ class MicroBatcher:
             total = item[0].shape[0]
             deadline = item[2] + wait
             while total < cap:
-                timeout = deadline - time.time()
-                if timeout <= 0:
-                    break
                 try:
-                    nxt = self.q.get(timeout=timeout)
+                    # requests that queued up while the PREVIOUS batch was
+                    # dispatching are ready at zero cost — always drain them,
+                    # even past the oldest request's wait window (otherwise
+                    # sustained load degenerates to batch-of-1 while the
+                    # queue grows)
+                    nxt = self.q.get_nowait()
                 except queue.Empty:
-                    break
+                    timeout = deadline - time.time()
+                    if timeout <= 0:
+                        break
+                    try:
+                        nxt = self.q.get(timeout=timeout)
+                    except queue.Empty:
+                        break
                 if nxt is None:
                     break
                 group.append(nxt)
@@ -294,14 +325,16 @@ class MicroBatcher:
                 n = imgs.shape[0]
                 fut.set_result(logits[off:off + n])
                 off += n
-                self._latencies.append(now - t0)
+                with self._lat_lock:
+                    self._latencies.append(now - t0)
             self.stats["requests"] += len(group)
             self.stats["images"] += total
             self.stats["batches"] += 1
             self.stats["coalesced"] += len(group) > 1
 
     def snapshot(self) -> dict:
-        lat = sorted(self._latencies)
+        with self._lat_lock:  # a concurrent append mid-sort raises
+            lat = sorted(self._latencies)
         pct = (lambda p: round(lat[min(int(p * len(lat)), len(lat) - 1)] * 1e3, 3)
                ) if lat else (lambda p: None)
         out = dict(self.stats)
@@ -433,11 +466,13 @@ class _Handler(BaseHTTPRequestHandler):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
-                path = body["ens_path"]
+                path = body.get("ens_path") if isinstance(body, dict) else None
+                if not isinstance(path, str):
+                    raise ValueError(
+                        "body must be a JSON object with string 'ens_path'")
                 self.engine.reload_fusion(path)
-            except (KeyError, json.JSONDecodeError) as e:
-                return self._json(400, {"error": f"body must be JSON with "
-                                                 f"'ens_path': {e}"})
+            except json.JSONDecodeError as e:
+                return self._json(400, {"error": f"invalid JSON body: {e}"})
             except (ValueError, FileNotFoundError, OSError) as e:
                 return self._json(400, {"error": str(e)})
             return self._json(200, {"status": "reloaded", "ens_path": path})

@@ -57,6 +57,8 @@ class OptimConfig:
     # per-step default rejects it loudly.
     lr_noise: Optional[tuple] = None  # epoch-percentage range, 1 or 2 values
     lr_noise_pct: float = 0.67
+    # accepted-and-inert exactly as in timm-0.5.4: its _add_noise stores
+    # noise_std but the normal branch never uses it (see _timm_noise_factors)
     lr_noise_std: float = 1.0
     seed: int = 42  # timm noise_seed = getattr(args, 'seed', 42)
     # bit-parity mode: reproduce the reference's PER-EPOCH staircase exactly,
@@ -245,8 +247,12 @@ def _timm_noise_factors(cfg: OptimConfig, n_epochs: int):
             continue
         g = torch.Generator()
         g.manual_seed(cfg.seed + t)
-        while True:  # timm's rejection loop, verbatim semantics
-            noise = torch.randn(1, generator=g).item() * cfg.lr_noise_std
+        while True:  # timm's rejection loop, verbatim semantics. NOTE:
+            # noise_std is NOT applied — timm-0.5.4 _add_noise stores
+            # noise_std but its normal branch never multiplies by it (the
+            # raw randn is rejection-tested against noise_pct directly);
+            # --lr-noise-std is accepted-and-inert here exactly as there.
+            noise = torch.randn(1, generator=g).item()
             if abs(noise) < cfg.lr_noise_pct:
                 break
         out[t] = 1.0 + noise

@@ -5,6 +5,7 @@ streams (torch couples L2 into the gradient for these — unlike adamw), and
 the step schedule vs an independent simulation of timm-0.5.4
 StepLRScheduler (incl. the per-epoch step(epoch) lag mode)."""
 
+import dataclasses
 import math
 import types
 
@@ -211,7 +212,9 @@ def test_lr_noise_bit_parity():
         g = torch.Generator()
         g.manual_seed(7 + t)
         while True:
-            n = torch.randn(1, generator=g).item() * 1.0
+            # NO noise_std multiply: timm-0.5.4 _add_noise stores noise_std
+            # but never uses it — the raw randn is tested against pct
+            n = torch.randn(1, generator=g).item()
             if abs(n) < 0.67:
                 return n
 
@@ -222,6 +225,11 @@ def test_lr_noise_bit_parity():
         assert abs(got - want) / max(abs(want), 1e-12) < 1e-6, (e, got, want)
     # inside the range the noise must actually bite
     assert float(sched(5 * spe)) != pytest.approx(get_lr(4), rel=1e-9)
+    # --lr-noise-std is accepted-and-inert exactly as in timm (dead there)
+    cfg_std = dataclasses.replace(cfg, lr_noise_std=5.0)
+    sched_std = bs(cfg_std, spe)
+    for e in range(12):
+        assert float(sched_std(e * spe)) == float(sched(e * spe))
     # single-value range form: t >= n*epochs
     cfg2 = OptimConfig(lr=1e-2, epochs=10, warmup_epochs=0, sched="step",
                        decay_epochs=4, decay_rate=0.5, sched_per_epoch=True,

@@ -171,6 +171,39 @@ def test_batcher_coalesces_queued_requests(engine):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_batcher_drains_ready_queue_past_wait_window(engine):
+    """Requests that queued up while a previous batch was dispatching are
+    ready at zero cost and must coalesce even after the oldest request's
+    wait window expired — otherwise sustained load degenerates to
+    batch-of-1 while the queue grows."""
+    import time
+
+    b = MicroBatcher(engine)
+    f1 = b.submit(_imgs(1, seed=20))
+    f2 = b.submit(_imgs(1, seed=21))
+    time.sleep((SCFG.max_wait_ms + 20) / 1000.0)  # window long expired
+    b.start()
+    f1.result(timeout=60), f2.result(timeout=60)
+    b.stop()
+    assert b.stats["batches"] == 1 and b.stats["coalesced"] == 1
+
+
+def test_stop_fails_queued_requests_promptly(engine):
+    b = MicroBatcher(engine)  # never started: the request stays queued
+    fut = b.submit(_imgs(1, seed=22))
+    b.stop()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        fut.result(timeout=5)
+
+
+def test_fusion_vars_device_committed(engine):
+    """msgpack restore yields host numpy; uncommitted args re-upload the
+    whole fusion head every dispatch (~17 MB/call at real geometry)."""
+    leaves = jax.tree_util.tree_leaves(engine._ens_vars)
+    assert all(isinstance(x, jax.Array) for x in leaves)
+    assert all(x.devices() == {engine.fusion_device} for x in leaves)
+
+
 def test_batcher_delivers_exceptions(engine):
     b = MicroBatcher(engine)
     fut = b.submit(_imgs(1, size=IMG * 2))  # wrong shape -> predict raises
@@ -301,6 +334,14 @@ def test_reload_fusion_hot_swaps_weights(artifacts, server, tmp_path):
     assert code == 400 and "geometry" in out["error"]
     code, _ = reload(str(tmp_path / "missing.msgpack"))
     assert code == 400
+    # non-dict / non-string bodies are a clean 400, not a handler crash
+    for raw in (b"[1,2]", b"\"x\"", b"{\"ens_path\": 5}", b"{nope"):
+        req = urllib.request.Request(server + "/reload", data=raw)
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     # restore the module-scoped server's original head
     assert reload(ens_path)[0] == 200
     restored = _post(server, imgs)[1]["predictions"]
