@@ -169,25 +169,37 @@ def add_data_args(p: argparse.ArgumentParser) -> None:
                         "--model-path auto-detect either format")
 
 
-def parse_ra_string(aa: Optional[str]) -> Tuple[bool, int, float, int]:
-    """'rand-m9-n2-mstd0.5-inc1' -> (enabled, magnitude, mag_std, num_ops).
+def parse_ra_string(
+    aa: Optional[str],
+) -> Tuple[bool, int, float, int, bool, bool]:
+    """'rand-m9-n2-mstd0.5-inc1[-w0]' ->
+    (enabled, magnitude, mag_std, num_ops, inc, weighted).
 
-    Every timm-0.5.4 recipe component we do NOT implement is rejected loudly
-    rather than silently ignored (a name-compatible flag training a
-    different policy than it says is worse than an error): non-increasing
-    transform sets (recipes without inc1 — both RA backends implement the
-    'inc' magnitude mappings only), op-choice weights (wN), and
-    timm>=0.6-only components (mmaxN, pP)."""
+    The full timm-0.5.4 RA recipe grammar: m/n/mstd/inc plus the w0
+    op-choice weights (_RAND_CHOICE_WEIGHTS_0); recipes WITHOUT inc1 select
+    the non-increasing transform set (different posterize/solarize/enhance
+    level maps — both RA backends implement both sets). Rejected loudly
+    rather than silently ignored: wN for N!=0 (timm-0.5.4
+    _select_rand_weights asserts weight_idx == 0), w0 together with inc1
+    (timm-0.5.4 KeyErrors — _RAND_CHOICE_WEIGHTS_0 lacks the *Increasing
+    names), and timm>=0.6-only components (mmaxN, pP)."""
     if not aa or not aa.startswith("rand"):
-        return False, 9, 0.5, 2
-    mag, std, num_ops, inc = 9, 0.5, 2, False
+        return False, 9, 0.5, 2, True, False
+    mag, std, num_ops, inc, weighted = 9, 0.5, 2, False, False
     for part in aa.split("-")[1:]:
         if part.startswith("mstd"):
             std = float(part[4:])
-        elif part.startswith("mmax") or part.startswith("w") or part.startswith("p"):
+        elif part.startswith("mmax") or part.startswith("p"):
             raise ValueError(
-                f"--aa component {part!r} is not implemented (timm op-choice "
-                "weights / mmax / p); remove it from the recipe")
+                f"--aa component {part!r} is timm>=0.6 only (the pinned "
+                "0.5.4 grammar has no mmax/p); remove it from the recipe")
+        elif part.startswith("w"):
+            if part != "w0":
+                raise ValueError(
+                    f"--aa component {part!r}: timm-0.5.4 has exactly one "
+                    "weight set (_select_rand_weights asserts weight_idx=="
+                    "0) — use w0")
+            weighted = True
         elif part.startswith("m") and part[1:].isdigit():
             mag = int(part[1:])
         elif part.startswith("n") and part[1:].isdigit():
@@ -196,13 +208,11 @@ def parse_ra_string(aa: Optional[str]) -> Tuple[bool, int, float, int]:
             inc = bool(int(part[3:]))
         elif part:
             raise ValueError(f"unrecognized --aa component {part!r}")
-    if not inc:
+    if weighted and inc:
         raise ValueError(
-            f"--aa {aa!r}: recipes without 'inc1' select timm's NON-increasing "
-            "transform set (different posterize/solarize/color ranges); only "
-            "the increasing ('inc1') magnitude mappings are implemented — "
-            "append -inc1 or adjust the recipe")
-    return True, mag, std, num_ops
+            f"--aa {aa!r}: w0 together with inc1 crashes timm-0.5.4 "
+            "(_RAND_CHOICE_WEIGHTS_0 has no *Increasing keys) — drop one")
+    return True, mag, std, num_ops, inc, weighted
 
 
 def dtype_from_args(args):
@@ -214,7 +224,7 @@ def dtype_from_args(args):
 
 def augment_config_from_args(args, img_size: int, source_size: int) -> AugmentConfig:
     aa = getattr(args, "aa", None)
-    ra, mag, std, num_ops = parse_ra_string(aa)
+    ra, mag, std, num_ops, ra_inc, ra_weighted = parse_ra_string(aa)
     # '--aa original' / '--aa cifar10': the AutoAugment policies the reference
     # tree itself carries (utils/autoaug.py; its entry scripts advertise the
     # flag, train_subdata.py:103-105) — see data/autoaugment.py
@@ -245,6 +255,8 @@ def augment_config_from_args(args, img_size: int, source_size: int) -> AugmentCo
         ra_magnitude=mag,
         ra_std=std,
         ra_num_ops=num_ops,
+        ra_inc=ra_inc,
+        ra_weighted=ra_weighted,
         autoaugment=autoaug,
         small_image=img_size == source_size and source_size <= 64,
     )

@@ -52,11 +52,14 @@ def _enhance_factor(mag: float) -> float:
 
 
 def _apply_op(img, name: str, mag: float, rng: np.random.Generator,
-              resample=None):
+              resample=None, inc: bool = True):
     """One timm rand_augment_ops op at (possibly negative) magnitude `mag` —
     each body is the PIL call timm 0.5.4 makes. `resample` is the geometric
     ops' filter: a PIL constant, or a tuple for timm's 'random' train
-    interpolation (_RANDOM_INTERPOLATION: choose per op application)."""
+    interpolation (_RANDOM_INTERPOLATION: choose per op application).
+    inc=False selects the NON-increasing level maps (recipes without 'inc1'):
+    Posterize keeps int(4m/10) bits, Solarize threshold int(256m/10), enhance
+    factor 0.1 + 1.8m/10 unsigned (callers pass mag unsigned then)."""
     from PIL import Image, ImageEnhance, ImageOps
 
     if resample is None:
@@ -73,21 +76,31 @@ def _apply_op(img, name: str, mag: float, rng: np.random.Generator,
         return img.rotate(30.0 * mag / 10.0, resample=resample,
                           fillcolor=_FILL)
     if name == "posterize":
-        return ImageOps.posterize(img, max(0, 4 - int(4 * abs(mag) / 10)))
+        bits = (int(4 * abs(mag) / 10) if not inc
+                else max(0, 4 - int(4 * abs(mag) / 10)))
+        return ImageOps.posterize(img, bits)
     if name == "solarize":
-        return ImageOps.solarize(img, 256 - int(256 * abs(mag) / 10))
+        thresh = (int(256 * abs(mag) / 10) if not inc
+                  else 256 - int(256 * abs(mag) / 10))
+        # thresh can be 256 (inc m=0 / non-inc m=10): "above every pixel",
+        # identity — PIL's lut comprehension handles it
+        return ImageOps.solarize(img, thresh)
     if name == "solarize_add":
         add = int(110 * abs(mag) / 10)
         lut = [min(255, i + add) if i < 128 else i for i in range(256)]
         return img.point(lut * len(img.getbands()))
+    def _ef(m: float) -> float:
+        # non-inc: timm _enhance_level_to_arg, 0.1 + 1.8m/10 (unsigned)
+        return _enhance_factor(m) if inc else 0.1 + 1.8 * abs(m) / 10.0
+
     if name == "color":
-        return ImageEnhance.Color(img).enhance(_enhance_factor(mag))
+        return ImageEnhance.Color(img).enhance(_ef(mag))
     if name == "contrast":
-        return ImageEnhance.Contrast(img).enhance(_enhance_factor(mag))
+        return ImageEnhance.Contrast(img).enhance(_ef(mag))
     if name == "brightness":
-        return ImageEnhance.Brightness(img).enhance(_enhance_factor(mag))
+        return ImageEnhance.Brightness(img).enhance(_ef(mag))
     if name == "sharpness":
-        return ImageEnhance.Sharpness(img).enhance(_enhance_factor(mag))
+        return ImageEnhance.Sharpness(img).enhance(_ef(mag))
     if name == "shear_x":
         return img.transform(img.size, Image.AFFINE,
                              (1, 0.3 * mag / 10.0, 0, 0, 1, 0),
@@ -114,13 +127,24 @@ _OP_NAMES = [
 ]
 _SIGNED = {"rotate", "shear_x", "shear_y", "translate_x", "translate_y",
            "color", "contrast", "brightness", "sharpness"}
+_GEOM_SIGNED = {"rotate", "shear_x", "shear_y", "translate_x", "translate_y"}
+# timm _RAND_CHOICE_WEIGHTS_0 in _OP_NAMES order (see randaugment.py
+# CHOICE_WEIGHTS_0 for the per-name table; sums to exactly 1.0)
+_CHOICE_WEIGHTS_0 = (0.025, 0.005, 0.0, 0.3, 0.0, 0.005, 0.005, 0.025,
+                     0.005, 0.005, 0.025, 0.2, 0.2, 0.1, 0.1)
 
 
 def _rand_augment_pil(img, rng: np.random.Generator, magnitude: float,
                       mag_std: float, num_ops: int, prob: float,
-                      resample=None):
+                      resample=None, inc: bool = True, weighted: bool = False):
+    # non-inc mode: enhance ops use the unsigned 0.1+1.8m/10 map — only the
+    # geometric ops keep timm's random negation
+    signed = _SIGNED if inc else _GEOM_SIGNED
     for _ in range(num_ops):
-        name = _OP_NAMES[rng.integers(len(_OP_NAMES))]
+        if weighted:
+            name = _OP_NAMES[rng.choice(len(_OP_NAMES), p=_CHOICE_WEIGHTS_0)]
+        else:
+            name = _OP_NAMES[rng.integers(len(_OP_NAMES))]
         if rng.random() >= prob:
             continue
         if np.isinf(mag_std):
@@ -134,9 +158,9 @@ def _rand_augment_pil(img, rng: np.random.Generator, magnitude: float,
             mag = float(np.clip(rng.normal(magnitude, mag_std), 0.0, 10.0))
         else:
             mag = float(np.clip(magnitude, 0.0, 10.0))
-        if name in _SIGNED and rng.random() < 0.5:
+        if name in signed and rng.random() < 0.5:
             mag = -mag
-        img = _apply_op(img, name, mag, rng, resample=resample)
+        img = _apply_op(img, name, mag, rng, resample=resample, inc=inc)
     return img
 
 
@@ -222,7 +246,9 @@ def make_host_train_augment(cfg, seed: int = 0):
         elif cfg.randaugment:
             img = _rand_augment_pil(img, rng, float(cfg.ra_magnitude),
                                     cfg.ra_std, cfg.ra_num_ops, prob=0.5,
-                                    resample=ra_resample)
+                                    resample=ra_resample,
+                                    inc=getattr(cfg, "ra_inc", True),
+                                    weighted=getattr(cfg, "ra_weighted", False))
         return np.asarray(img, np.uint8)
 
     def transform(images: np.ndarray, epoch: int, batch_index: int) -> np.ndarray:

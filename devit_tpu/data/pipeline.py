@@ -48,6 +48,10 @@ class AugmentConfig:
     ra_magnitude: int = 9  # rand-m9-mstd0.5-inc1 (train_subdata.py:103)
     ra_std: float = 0.5
     ra_num_ops: int = 2
+    ra_inc: bool = True  # 'inc1' increasing transform set; False = timm's
+    # non-increasing maps (recipes without inc1)
+    ra_weighted: bool = False  # 'w0' op-choice weights (timm
+    # _RAND_CHOICE_WEIGHTS_0; 0.5.4 supports it with the non-inc set only)
     # AutoAugment policy name ('original'/'cifar10') for --aa original etc.;
     # mutually exclusive with randaugment, host-PIL path only
     # (data/autoaugment.py)
@@ -326,7 +330,8 @@ def train_transform(
             from devit_tpu.data.randaugment import rand_augment
 
             img = rand_augment(ks[2], img, magnitude=cfg.ra_magnitude,
-                               mag_std=cfg.ra_std, num_ops=cfg.ra_num_ops)
+                               mag_std=cfg.ra_std, num_ops=cfg.ra_num_ops,
+                               inc=cfg.ra_inc, weighted=cfg.ra_weighted)
         elif cfg.color_jitter > 0:
             # timm applies color-jitter only when no AA policy is set
             img = _color_jitter(ks[3], img, cfg.color_jitter)

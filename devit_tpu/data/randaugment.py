@@ -134,18 +134,35 @@ def _invert(image: Array, mag: Array) -> Array:
     return 255.0 - image
 
 
-def _posterize(image: Array, mag: Array) -> Array:
-    # timm PosterizeIncreasing: keep 4 - int(4*m/10) bits (m=9 -> 1 bit,
-    # m=10 -> 0 bits -> black), a far stronger op than an 8-bit baseline
-    bits = 4 - jnp.floor(mag / _MAX_MAG * 4).astype(jnp.int32)
+def _posterize_bits(image: Array, bits: Array) -> Array:
     shift = (8 - bits).astype(jnp.float32)
     q = jnp.exp2(shift)
     return jnp.floor(image / q) * q
 
 
+def _posterize(image: Array, mag: Array) -> Array:
+    # timm PosterizeIncreasing: keep 4 - int(4*m/10) bits (m=9 -> 1 bit,
+    # m=10 -> 0 bits -> black), a far stronger op than an 8-bit baseline
+    bits = 4 - jnp.floor(mag / _MAX_MAG * 4).astype(jnp.int32)
+    return _posterize_bits(image, bits)
+
+
+def _posterize_noinc(image: Array, mag: Array) -> Array:
+    # timm Posterize (non-increasing set): keep int(4*m/10) bits — severity
+    # DECREASES with magnitude (m=0 -> black), as in the TF EfficientNet impl
+    bits = jnp.floor(mag / _MAX_MAG * 4).astype(jnp.int32)
+    return _posterize_bits(image, bits)
+
+
 def _solarize(image: Array, mag: Array) -> Array:
     # timm SolarizeIncreasing: threshold 256 - int(256*m/10)
     thresh = 256.0 - jnp.floor(mag / _MAX_MAG * 256.0)
+    return jnp.where(image >= thresh, 255.0 - image, image)
+
+
+def _solarize_noinc(image: Array, mag: Array) -> Array:
+    # timm Solarize (non-increasing): threshold int(256*m/10) directly
+    thresh = jnp.floor(mag / _MAX_MAG * 256.0)
     return jnp.where(image >= thresh, 255.0 - image, image)
 
 
@@ -155,7 +172,10 @@ def _solarize_add(image: Array, mag: Array) -> Array:
 
 
 def _blend_factor(mag: Array) -> Array:
-    # increasing variants: factor = 1 +/- 0.9*mag/10 (random sign handled by caller)
+    # increasing variants: factor = 1 +/- 0.9*mag/10 (random sign handled by
+    # caller). The NON-increasing enhance map (factor = 0.1 + 1.8*m/10,
+    # unsigned) is expressed through the same 1+x blend: callers pass
+    # mag' with 1 + _blend_factor(mag') == 0.1 + 1.8*mag/10 (see rand_augment).
     return mag / _MAX_MAG * 0.9
 
 
@@ -209,6 +229,29 @@ OP_NAMES = [
     "solarize_add", "color", "contrast", "brightness", "sharpness",
     "shear_x", "shear_y", "translate_x", "translate_y",
 ]
+# timm _RAND_CHOICE_WEIGHTS_0 ('w0', auto_augment.py) in OP_NAMES order —
+# sums to exactly 1.0. Defined over the NON-increasing transform names only
+# in timm-0.5.4 (w0 + inc1 KeyErrors there; parse_ra_string rejects it).
+CHOICE_WEIGHTS_0 = (
+    0.025,  # autocontrast
+    0.005,  # equalize
+    0.0,    # invert
+    0.3,    # rotate
+    0.0,    # posterize
+    0.005,  # solarize
+    0.005,  # solarize_add
+    0.025,  # color
+    0.005,  # contrast
+    0.005,  # brightness
+    0.025,  # sharpness
+    0.2,    # shear_x
+    0.2,    # shear_y
+    0.1,    # translate_x
+    0.1,    # translate_y
+)
+# enhance-blend op indices (color/contrast/brightness/sharpness)
+_ENHANCE_OPS = {7, 8, 9, 10}
+_GEOM_SIGNED = {3, 11, 12, 13, 14}  # rotate/shears/translates
 
 
 def rand_augment(
@@ -218,15 +261,29 @@ def rand_augment(
     mag_std: float = 0.5,
     num_ops: int = 2,
     prob: float = 0.5,
+    inc: bool = True,
+    weighted: bool = False,
 ) -> Array:
     """Apply `num_ops` randomly chosen ops, each with probability `prob`,
-    magnitude jittered by N(0, mag_std) (the mstd0.5 part). Geometric/blend
-    ops mirror their direction with probability 0.5 (timm randomly negates)."""
+    magnitude jittered by N(0, mag_std) (the mstd0.5 part). Geometric ops
+    mirror their direction with probability 0.5 (timm randomly negates).
+
+    inc=True is the reference recipe's 'inc1' (increasing transform set:
+    Posterize/Solarize/enhance severities grow with magnitude, enhance ops
+    randomly negated). inc=False is timm's non-increasing set: posterize
+    keeps int(4m/10) bits, solarize threshold int(256m/10), enhance factor
+    0.1 + 1.8m/10 UNSIGNED (expressed through the same 1+0.9x blend via
+    mag' = 2m - 10). weighted=True uses timm's w0 op-choice distribution
+    (CHOICE_WEIGHTS_0)."""
     image = image.astype(jnp.float32)
+    probs = jnp.asarray(CHOICE_WEIGHTS_0) if weighted else None
 
     def one_op(img, k):
         k_op, k_apply, k_mag, k_sign = jax.random.split(k, 4)
-        op_idx = jax.random.randint(k_op, (), 0, len(OPS))
+        if probs is not None:
+            op_idx = jax.random.choice(k_op, len(OPS), p=probs)
+        else:
+            op_idx = jax.random.randint(k_op, (), 0, len(OPS))
         if np.isinf(mag_std):
             # timm AugmentOp: magnitude_std == inf -> uniform(0, magnitude)
             # (same branch as data/host_augment.py; a gauss with inf std
@@ -239,11 +296,20 @@ def rand_augment(
         mag = jnp.clip(mag, 0.0, _MAX_MAG)
         sign = jnp.where(jax.random.uniform(k_sign) < 0.5, -1.0, 1.0)
         signed_mag = mag * sign
-        # ops that honor a sign: rotate/shears/translates/color-ish blends
-        signed_ops = {3, 7, 8, 9, 10, 11, 12, 13, 14}
+        signed_ops = _GEOM_SIGNED | (_ENHANCE_OPS if inc else set())
         branches = []
         for i, op in enumerate(OPS):
-            m = signed_mag if i in signed_ops else mag
+            if not inc:
+                if i == 4:
+                    op = _posterize_noinc
+                elif i == 5:
+                    op = _solarize_noinc
+            if i in _ENHANCE_OPS and not inc:
+                # non-inc enhance: factor 0.1 + 1.8m/10 through the 1+0.9x/10
+                # blend -> x = 2m - 10, no random negation
+                m = 2.0 * mag - _MAX_MAG
+            else:
+                m = signed_mag if i in signed_ops else mag
             branches.append(lambda im, op=op, m=m: op(im, m))
         out = jax.lax.switch(op_idx, branches, img)
         return jnp.where(jax.random.uniform(k_apply) < prob, out, img)

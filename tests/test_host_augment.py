@@ -134,8 +134,9 @@ def test_mstdinf_uniform_magnitude_branch():
     from devit_tpu.data.host_augment import _rand_augment_pil
     from devit_tpu.data.randaugment import rand_augment
 
-    ra, mag, std, num_ops = parse_ra_string("rand-m9-mstdinf-inc1")
+    ra, mag, std, num_ops, inc, weighted = parse_ra_string("rand-m9-mstdinf-inc1")
     assert ra and mag == 9 and np.isinf(std) and num_ops == 2
+    assert inc and not weighted
 
     rng = np.random.default_rng(0)
     img = Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
@@ -151,23 +152,25 @@ def test_mstdinf_uniform_magnitude_branch():
 
 
 def test_parse_ra_string_contract():
-    """Recipe components we implement are parsed (m, n, mstd, inc1); every
-    timm component we do NOT implement is rejected loudly instead of
-    silently training a different policy (review finding: 'rand-m9-n4'
-    previously ran 2 ops, recipes without inc1 silently used the increasing
-    tables timm reserves for inc1)."""
+    """The full timm-0.5.4 recipe grammar parses (m, n, mstd, inc, w0);
+    components that are timm>=0.6-only or that CRASH timm-0.5.4 are rejected
+    loudly instead of silently training a different policy."""
     import pytest
 
     from devit_tpu.cli.common import parse_ra_string
 
-    assert parse_ra_string("rand-m9-mstd0.5-inc1") == (True, 9, 0.5, 2)
-    assert parse_ra_string("rand-m7-n4-mstd0.5-inc1") == (True, 7, 0.5, 4)
-    assert parse_ra_string("") == (False, 9, 0.5, 2)
-    assert parse_ra_string("original") == (False, 9, 0.5, 2)
-    for bad in ("rand-m9-mstd0.5",        # non-increasing transform set
-                "rand-m9-mstd0.5-inc0",   # explicit inc0
-                "rand-m9-w0-inc1",        # op-choice weights
+    assert parse_ra_string("rand-m9-mstd0.5-inc1") == (True, 9, 0.5, 2, True, False)
+    assert parse_ra_string("rand-m7-n4-mstd0.5-inc1") == (True, 7, 0.5, 4, True, False)
+    # the non-increasing transform set (no inc1) and the w0 weights
+    assert parse_ra_string("rand-m9-mstd0.5") == (True, 9, 0.5, 2, False, False)
+    assert parse_ra_string("rand-m9-mstd0.5-inc0") == (True, 9, 0.5, 2, False, False)
+    assert parse_ra_string("rand-m9-mstd0.5-w0") == (True, 9, 0.5, 2, False, True)
+    assert parse_ra_string("") == (False, 9, 0.5, 2, True, False)
+    assert parse_ra_string("original") == (False, 9, 0.5, 2, True, False)
+    for bad in ("rand-m9-w0-inc1",        # KeyErrors in timm-0.5.4
+                "rand-m9-w1",             # timm asserts weight_idx == 0
                 "rand-m9-mmax20-inc1",    # timm>=0.6 component
+                "rand-m9-p0.5-inc1",      # timm>=0.6 component
                 "rand-m9-bogus-inc1"):    # unknown token
         with pytest.raises(ValueError):
             parse_ra_string(bad)

@@ -68,6 +68,69 @@ def test_sharpness_matches_pil_enhance():
         assert np.abs(got - want).max() <= 2.0, (m, sign)
 
 
+def test_noninc_posterize_solarize_match_pil():
+    """The NON-increasing level maps (recipes without inc1): posterize keeps
+    int(4m/10) bits, solarize threshold int(256m/10) — severity DECREASES
+    with magnitude, per timm's base _RAND_TRANSFORMS."""
+    for m in (0.0, 3.0, 7.0, 10.0):
+        bits = int(4 * m / 10)
+        want = np.asarray(ImageOps.posterize(PIL_IMG, bits))
+        got = np.asarray(R._posterize_noinc(JIMG, jnp.asarray(m)))
+        np.testing.assert_array_equal(got.astype(np.uint8), want, err_msg=f"m={m}")
+    for m in (0.0, 4.0, 9.0, 10.0):
+        thresh = int(256 * m / 10)
+        want = np.asarray(ImageOps.solarize(PIL_IMG, thresh))
+        got = np.asarray(R._solarize_noinc(JIMG, jnp.asarray(m)))
+        np.testing.assert_array_equal(got.astype(np.uint8), want, err_msg=f"m={m}")
+
+
+def test_noninc_enhance_map_through_blend():
+    """Non-inc enhance factor 0.1 + 1.8m/10 is reached through the shared
+    1 + 0.9x/10 blend with x = 2m - 10 (rand_augment's non-inc branch)."""
+    for m in (0.0, 2.5, 9.0, 10.0):
+        f = 0.1 + 1.8 * m / 10
+        x = 2.0 * m - 10.0
+        assert abs((1.0 + 0.9 * x / 10) - f) < 1e-12
+        want = np.asarray(ImageEnhance.Brightness(PIL_IMG).enhance(f), np.float32)
+        got = np.asarray(R._brightness(JIMG, jnp.asarray(x)))
+        assert np.abs(got - want).max() <= 2.0, m
+
+
+def test_host_noninc_ops_match_pil():
+    """The host-PIL backend's non-inc bodies (inc=False) are the literal
+    timm-0.5.4 calls: posterize/solarize level maps + unsigned enhance."""
+    from devit_tpu.data.host_augment import _apply_op
+
+    rng = np.random.default_rng(0)
+    for m in (0.0, 7.0, 10.0):
+        got = np.asarray(_apply_op(PIL_IMG, "posterize", m, rng, inc=False))
+        want = np.asarray(ImageOps.posterize(PIL_IMG, int(4 * m / 10)))
+        np.testing.assert_array_equal(got, want)
+        got = np.asarray(_apply_op(PIL_IMG, "solarize", m, rng, inc=False))
+        want = np.asarray(ImageOps.solarize(PIL_IMG, int(256 * m / 10)))
+        np.testing.assert_array_equal(got, want)
+        got = np.asarray(_apply_op(PIL_IMG, "color", m, rng, inc=False))
+        want = np.asarray(ImageEnhance.Color(PIL_IMG).enhance(0.1 + 1.8 * m / 10))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_weighted_op_choice_distribution():
+    """w0: both backends draw ops from timm's _RAND_CHOICE_WEIGHTS_0 —
+    rotate ~0.3, shears ~0.2 each, invert/posterize never."""
+    from devit_tpu.data.host_augment import _CHOICE_WEIGHTS_0, _OP_NAMES
+
+    assert abs(sum(_CHOICE_WEIGHTS_0) - 1.0) < 1e-12
+    assert tuple(R.CHOICE_WEIGHTS_0) == tuple(_CHOICE_WEIGHTS_0)
+    assert _CHOICE_WEIGHTS_0[_OP_NAMES.index("rotate")] == 0.3
+    assert _CHOICE_WEIGHTS_0[_OP_NAMES.index("invert")] == 0.0
+    assert _CHOICE_WEIGHTS_0[_OP_NAMES.index("posterize")] == 0.0
+    rng = np.random.default_rng(1)
+    draws = rng.choice(len(_OP_NAMES), size=4000, p=_CHOICE_WEIGHTS_0)
+    frac_rotate = np.mean(draws == _OP_NAMES.index("rotate"))
+    assert 0.25 < frac_rotate < 0.35
+    assert not np.any(draws == _OP_NAMES.index("invert"))
+
+
 def test_shear_matches_pil_affine_transform():
     """PIL/timm ShearX: img.transform(size, AFFINE, (1, sh, 0, 0, 1, 0)) —
     horizontal displacement proportional to y, anchored at the ORIGIN."""
