@@ -219,6 +219,72 @@ def ens_loss(
     return token_loss, cls_loss
 
 
+def qkv_gram_loss(stu_qkv_list, tea_qkv_list) -> Array:
+    """`cal_qkv_loss` (losses.py:247-268): all-layer Q/K/V self-Gram matching.
+
+    Each list element is a (q, k, v) triple of (B, H, N, dh) arrays. The
+    reference flattens (B, H, N, dh) via `.contiguous().view(B, N, H*dh)` — a
+    raw memory reinterpretation, NOT a per-token head concat (unlike
+    feature_relation_loss's unbind/stack). jnp.reshape on the same row-major
+    layout reproduces it bit-for-bit; we keep the quirk for parity.
+    Gram = (M/sqrt(dh)) @ M^T per projection, soft-CE against the teacher's,
+    averaged over 3 projections x layers.
+    """
+    layer_num = len(stu_qkv_list)
+    loss = jnp.float32(0.0)
+    for stu_qkv, tea_qkv in zip(stu_qkv_list, tea_qkv_list):
+        B, Hs, N, Cs = stu_qkv[0].shape
+        _, Ht, _, Ct = tea_qkv[0].shape
+        for i in range(3):
+            Ms = stu_qkv[i].reshape(B, N, Hs * Cs).astype(jnp.float32)
+            Mt = tea_qkv[i].reshape(B, N, Ht * Ct).astype(jnp.float32)
+            Ms12 = jnp.einsum("bnc,bmc->bnm", Ms / Cs**0.5, Ms)
+            Mt12 = jnp.einsum("bnc,bmc->bnm", Mt / Ct**0.5, Mt)
+            loss = loss + soft_cross_entropy(Ms12, Mt12)
+    return loss / (3.0 * layer_num)
+
+
+def qkv_cross_gram_loss(stu_qkv_list, tea_qkv_list) -> Array:
+    """`cal_qkv_loss2` (losses.py:271-293): the 3x3 cross-projection variant —
+    Gram(i, j) = (M_i/sqrt(dh)) @ M_j^T for every (i, j) in Q/K/V x Q/K/V,
+    soft-CE vs the teacher's, averaged over 9 pairs x layers. Same raw
+    `.view` flattening quirk as qkv_gram_loss."""
+    layer_num = len(stu_qkv_list)
+    loss = jnp.float32(0.0)
+    for stu_qkv, tea_qkv in zip(stu_qkv_list, tea_qkv_list):
+        B, Hs, N, Cs = stu_qkv[0].shape
+        _, Ht, _, Ct = tea_qkv[0].shape
+        s_flat = [stu_qkv[i].reshape(B, N, Hs * Cs).astype(jnp.float32) for i in range(3)]
+        t_flat = [tea_qkv[i].reshape(B, N, Ht * Ct).astype(jnp.float32) for i in range(3)]
+        for i in range(3):
+            for j in range(3):
+                Ms12 = jnp.einsum("bnc,bmc->bnm", s_flat[i] / Cs**0.5, s_flat[j])
+                Mt12 = jnp.einsum("bnc,bmc->bnm", t_flat[i] / Ct**0.5, t_flat[j])
+                loss = loss + soft_cross_entropy(Ms12, Mt12)
+    return loss / (9.0 * layer_num)
+
+
+def hidden_relation_loss(stu_hid_list, tea_hid_list) -> Array:
+    """`cal_hid_relation_loss` (losses.py:296-305): per-layer token-relation
+    MSE on L2-normalized hidden states (..., N, C), averaged over layers.
+    torch F.normalize clamps the norm at eps=1e-12, reproduced here."""
+    layer_num = len(stu_hid_list)
+    loss = jnp.float32(0.0)
+    for stu_hid, tea_hid in zip(stu_hid_list, tea_hid_list):
+
+        def _normalize(x):
+            x = x.astype(jnp.float32)
+            n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+            return x / jnp.maximum(n, 1e-12)
+
+        s = _normalize(stu_hid)
+        t = _normalize(tea_hid)
+        s_rel = jnp.einsum("...nc,...mc->...nm", s, s)
+        t_rel = jnp.einsum("...nc,...mc->...nm", t, t)
+        loss = loss + jnp.mean(jnp.square(s_rel - t_rel))
+    return loss / layer_num
+
+
 def accuracy_topk(logits: Array, labels: Array, topk=(1, 5)):
     """timm-style top-k accuracy in percent."""
     maxk = max(topk)

@@ -128,6 +128,56 @@ def step_schedule(cfg: OptimConfig, steps_per_epoch: int) -> optax.Schedule:
     return schedule
 
 
+def warmup_constant_schedule(base_lr: float, warmup_steps: int) -> optax.Schedule:
+    """Reference utils/scheduler.py WarmupConstantSchedule (:15-28): linear
+    0->base_lr over warmup_steps, then constant. (Dead code in the reference —
+    an inherited ViT-pytorch module no entry script imports — ported for a
+    complete library surface; parity-pinned against the module itself.)"""
+    import jax.numpy as jnp
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        return base_lr * jnp.where(
+            step < warmup_steps, step / jnp.maximum(1.0, warmup_steps), 1.0
+        )
+
+    return schedule
+
+
+def warmup_linear_schedule(base_lr: float, warmup_steps: int, t_total: int) -> optax.Schedule:
+    """Reference utils/scheduler.py WarmupLinearSchedule (:30-43): linear
+    warmup then linear decay to 0 at t_total (clamped at 0 beyond)."""
+    import jax.numpy as jnp
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(1.0, warmup_steps)
+        decay = jnp.maximum(
+            0.0, (t_total - step) / jnp.maximum(1.0, t_total - warmup_steps)
+        )
+        return base_lr * jnp.where(step < warmup_steps, warm, decay)
+
+    return schedule
+
+
+def warmup_cosine_schedule(
+    base_lr: float, warmup_steps: int, t_total: int, cycles: float = 0.5
+) -> optax.Schedule:
+    """Reference utils/scheduler.py WarmupCosineSchedule (:46-64): linear
+    warmup then cosine decay over the remaining steps; `cycles` scales the
+    cosine frequency (0.5 = one half-period, 1 -> 0), max(0, .) clamped."""
+    import jax.numpy as jnp
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(1.0, warmup_steps)
+        progress = (step - warmup_steps) / jnp.maximum(1.0, t_total - warmup_steps)
+        cos = jnp.maximum(0.0, 0.5 * (1.0 + jnp.cos(jnp.pi * cycles * 2.0 * progress)))
+        return base_lr * jnp.where(step < warmup_steps, warm, cos)
+
+    return schedule
+
+
 def build_schedule(cfg: OptimConfig, steps_per_epoch: int) -> optax.Schedule:
     """Dispatch on cfg.sched the way timm create_scheduler does
     (train_subdata.py:74, scheduler_factory.py). Unsupported scheduler names

@@ -150,3 +150,43 @@ def test_accuracy_topk():
     # so sample 2's label (score 0, index 2) lands inside the top-5 window
     # {9, 0, 1, 2, 3}; a >= 75 bound would also accept a tie-dropping bug
     assert float(a5) == 100.0
+
+
+def test_qkv_gram_losses_match_reference_module():
+    """qkv_gram_loss / qkv_cross_gram_loss / hidden_relation_loss vs the
+    reference's own cal_qkv_loss / cal_qkv_loss2 / cal_hid_relation_loss
+    (losses.py:247-305), run on identical random inputs — including the raw
+    `.view(B, N, H*dh)` memory-reinterpretation quirk."""
+    from ref_shim.loader import load_reference
+
+    _, _, ref_losses, _ = load_reference()
+
+    # ragged widths: student (H=2, dh=8), teacher (H=4, dh=16); 2 layers
+    stu, tea = [], []
+    for layer in range(2):
+        stu.append(tuple(rnd(3, 2, 5, 8) for _ in range(3)))
+        tea.append(tuple(rnd(3, 4, 5, 16) for _ in range(3)))
+
+    def to_torch(lst):
+        return [tuple(torch.tensor(a) for a in t) for t in lst]
+
+    def to_jnp(lst):
+        return [tuple(jnp.asarray(a) for a in t) for t in lst]
+
+    ref1 = ref_losses.cal_qkv_loss(to_torch(stu), to_torch(tea))
+    ours1 = L.qkv_gram_loss(to_jnp(stu), to_jnp(tea))
+    np.testing.assert_allclose(float(ours1), ref1.item(), rtol=1e-5)
+
+    ref2 = ref_losses.cal_qkv_loss2(to_torch(stu), to_torch(tea))
+    ours2 = L.qkv_cross_gram_loss(to_jnp(stu), to_jnp(tea))
+    np.testing.assert_allclose(float(ours2), ref2.item(), rtol=1e-5)
+
+    stu_hid = [rnd(3, 5, 16) for _ in range(2)]
+    tea_hid = [rnd(3, 5, 16) for _ in range(2)]
+    ref3 = ref_losses.cal_hid_relation_loss(
+        [torch.tensor(a) for a in stu_hid], [torch.tensor(a) for a in tea_hid]
+    )
+    ours3 = L.hidden_relation_loss(
+        [jnp.asarray(a) for a in stu_hid], [jnp.asarray(a) for a in tea_hid]
+    )
+    np.testing.assert_allclose(float(ours3), ref3.item(), rtol=1e-5)

@@ -265,3 +265,46 @@ def test_cli_accepts_data_set_alias_and_inat_category():
     assert args.inat_category == "kingdom"
     assert (args.opt, args.sched) == ("momentum", "step")
     assert (args.decay_epochs, args.decay_rate) == (20.0, 0.5)
+
+
+def test_warmup_schedules_match_reference_module():
+    """warmup_{constant,linear,cosine}_schedule vs the reference's own
+    utils/scheduler.py LambdaLR classes (dead code in the reference, ported
+    for surface completeness), stepped through a full run including the
+    post-t_total clamp and a non-default cycles value."""
+    import sys
+
+    from ref_shim.loader import REFERENCE
+    from devit_tpu.train.optim import (
+        warmup_constant_schedule, warmup_cosine_schedule, warmup_linear_schedule,
+    )
+
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import utils.scheduler as ref_sched
+
+    base_lr, warmup, t_total = 0.3, 5, 20
+
+    def ref_trajectory(make):
+        opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+        sch = make(opt)
+        out = []
+        for _ in range(t_total + 4):  # past t_total: clamp behavior
+            out.append(sch.get_last_lr()[0])
+            sch.step()
+        return np.array(out)
+
+    cases = [
+        (warmup_constant_schedule(base_lr, warmup),
+         lambda o: ref_sched.WarmupConstantSchedule(o, warmup)),
+        (warmup_linear_schedule(base_lr, warmup, t_total),
+         lambda o: ref_sched.WarmupLinearSchedule(o, warmup, t_total)),
+        (warmup_cosine_schedule(base_lr, warmup, t_total),
+         lambda o: ref_sched.WarmupCosineSchedule(o, warmup, t_total)),
+        (warmup_cosine_schedule(base_lr, warmup, t_total, cycles=1.0),
+         lambda o: ref_sched.WarmupCosineSchedule(o, warmup, t_total, cycles=1.0)),
+    ]
+    for ours_fn, ref_make in cases:
+        ref = ref_trajectory(ref_make)
+        ours = np.array([float(ours_fn(t)) for t in range(t_total + 4)])
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-8)
