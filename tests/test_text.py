@@ -1,0 +1,216 @@
+"""Text/NLP stack parity vs the reference's own modules.
+
+The reference's Embedder / TextTokenizer / MaskedTransformerClassifier
+(models/utils/{embedder,tokenizer,transformers}.py) are dead code in the
+reference tree; we port them for a complete surface and pin exact parity
+here against the actual reference modules. Also pins the RESOLVED reference
+bug: MaskedTransformerClassifier crashes as committed for any positional
+embedding other than 'none' (padding-row off-by-one, transformers.py:544-553).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from devit_tpu.models.text import (
+    Embedder, MaskedTextClassifier, TextCCT, TextTokenizer,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def _ref_modules():
+    from ref_shim.loader import load_reference
+
+    load_reference()  # sys.path + models.utils.config registration
+    from models.utils.embedder import Embedder as RefEmbedder
+    from models.utils.tokenizer import TextTokenizer as RefTextTokenizer
+    from models.utils.transformers import (
+        MaskedTransformerClassifier as RefMaskedClassifier,
+    )
+
+    return RefEmbedder, RefTextTokenizer, RefMaskedClassifier
+
+
+def _mask(B, L, keep_rows):
+    m = np.zeros((B, L), np.float32)
+    for b, k in enumerate(keep_rows):
+        m[b, :k] = 1.0
+    return m
+
+
+def test_embedder_parity():
+    RefEmbedder, _, _ = _ref_modules()
+    V, E, B, L = 20, 16, 3, 10
+    ref = RefEmbedder(word_embedding_dim=E, vocab_size=V, padding_idx=1).eval()
+    ids = RNG.integers(0, V, (B, L))
+    mask = _mask(B, L, [10, 6, 3])
+    with torch.no_grad():
+        ref_out, _ = ref(torch.tensor(ids), mask=torch.tensor(mask))
+
+    ours = Embedder(vocab_size=V, embedding_dim=E, padding_idx=1, dtype=jnp.float32)
+    params = {"params": {"embedding": jnp.asarray(
+        ref.embeddings.weight.detach().numpy())}}
+    out, _ = ours.apply(params, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(), rtol=1e-6)
+
+    # the padding row is zero at init, like torch nn.Embedding(padding_idx=1)
+    init = ours.init(jax.random.key(0), jnp.asarray(ids))
+    assert np.all(np.asarray(init["params"]["embedding"][1]) == 0.0)
+
+
+@pytest.mark.parametrize("max_pool,act", [(True, True), (False, False)])
+def test_text_tokenizer_parity(max_pool, act):
+    _, RefTextTokenizer, _ = _ref_modules()
+    B, L, E, C = 2, 17, 16, 24
+    ref = RefTextTokenizer(
+        kernel_size=3, stride=2, padding=1, pooling_kernel_size=3,
+        pooling_stride=2, pooling_padding=1, embedding_dim=E,
+        n_output_channels=C, activation=torch.nn.ReLU if act else None,
+        max_pool=max_pool,
+    ).eval()
+    x = RNG.standard_normal((B, L, E)).astype(np.float32)
+    mask = _mask(B, L, [17, 5])
+    with torch.no_grad():
+        ref_out, _ = ref(torch.tensor(x), mask=torch.tensor(mask))
+        ref_nomask, _ = ref(torch.tensor(x))
+
+    ours = TextTokenizer(
+        n_output_channels=C, kernel_size=3, stride=2, padding=1,
+        pooling_kernel_size=3, pooling_stride=2, pooling_padding=1,
+        use_activation=act, max_pool=max_pool, dtype=jnp.float32,
+    )
+    w = ref.conv_layers[0].weight.detach().numpy()  # (C, 1, k, E)
+    params = {"params": {"conv": {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0))}}}
+    out, _ = ours.apply(params, jnp.asarray(x), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    out_nm, _ = ours.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_nm), ref_nomask.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    # closed-form length == the reference's zeros-forward probe
+    assert ours.seq_len(L) == ref.seq_len(L, E) == out.shape[1]
+
+
+def _copy_classifier_weights(ref, seq_pool, L_layers):
+    """Torch MaskedTransformerClassifier state -> our flax params tree."""
+    def t(x):
+        return jnp.asarray(x.detach().numpy())
+
+    def stack(get):
+        return jnp.stack([t(get(blk)) for blk in ref.blocks])
+
+    blocks = {
+        "pre_norm": {"scale": stack(lambda b: b.pre_norm.weight),
+                     "bias": stack(lambda b: b.pre_norm.bias)},
+        "qkv": {"kernel": jnp.stack(
+            [t(b.self_attn.qkv.weight).T for b in ref.blocks])},
+        "proj": {"kernel": jnp.stack(
+            [t(b.self_attn.proj.weight).T for b in ref.blocks]),
+            "bias": stack(lambda b: b.self_attn.proj.bias)},
+        "norm1": {"scale": stack(lambda b: b.norm1.weight),
+                  "bias": stack(lambda b: b.norm1.bias)},
+        "linear1": {"kernel": jnp.stack(
+            [t(b.linear1.weight).T for b in ref.blocks]),
+            "bias": stack(lambda b: b.linear1.bias)},
+        "linear2": {"kernel": jnp.stack(
+            [t(b.linear2.weight).T for b in ref.blocks]),
+            "bias": stack(lambda b: b.linear2.bias)},
+    }
+    params = {
+        "blocks": blocks,
+        "norm": {"scale": t(ref.norm.weight), "bias": t(ref.norm.bias)},
+        "fc": {"kernel": t(ref.fc.weight).T, "bias": t(ref.fc.bias)},
+    }
+    if seq_pool:
+        params["attention_pool"] = {
+            "kernel": t(ref.attention_pool.weight).T,
+            "bias": t(ref.attention_pool.bias)}
+    else:
+        params["class_emb"] = t(ref.class_emb)
+    return {"params": params}
+
+
+@pytest.mark.parametrize("seq_pool", [True, False])
+def test_masked_classifier_parity_pe_none(seq_pool):
+    _, _, RefMaskedClassifier = _ref_modules()
+    B, L, D = 3, 12, 32
+    torch.manual_seed(0)
+    ref = RefMaskedClassifier(
+        seq_pool=seq_pool, embedding_dim=D, num_layers=2, num_heads=4,
+        mlp_ratio=2.0, num_classes=7, dropout=0.0, attention_dropout=0.0,
+        stochastic_depth=0.0, positional_embedding="none", seq_len=L,
+    ).eval()
+    x = RNG.standard_normal((B, L, D)).astype(np.float32)
+    mask = _mask(B, L, [12, 7, 1])
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x), mask=torch.tensor(mask) > 0)
+
+    ours = MaskedTextClassifier(
+        seq_len=L, num_classes=7, embedding_dim=D, num_layers=2, num_heads=4,
+        mlp_ratio=2.0, dropout=0.0, attention_dropout=0.0,
+        stochastic_depth=0.0, positional_embedding="none", seq_pool=seq_pool,
+        dtype=jnp.float32,
+    )
+    params = _copy_classifier_weights(ref, seq_pool, 2)
+    out = ours.apply(params, jnp.asarray(x), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_reference_classifier_crashes_with_pe_and_ours_resolves():
+    """Pins the resolved bug: the reference's sine/learnable PE is one row
+    longer than the input and `x += positional_emb` raises; ours adds the
+    intended position rows (padding row 0 skipped) and runs."""
+    _, _, RefMaskedClassifier = _ref_modules()
+    B, L, D = 2, 10, 32
+    for pe in ("sine", "learnable"):
+        ref = RefMaskedClassifier(
+            seq_pool=True, embedding_dim=D, num_layers=1, num_heads=4,
+            mlp_ratio=2.0, num_classes=5, dropout=0.0, attention_dropout=0.0,
+            stochastic_depth=0.0, positional_embedding=pe, seq_len=L,
+        ).eval()
+        with torch.no_grad(), pytest.raises(RuntimeError):
+            ref(torch.randn(B, L, D), mask=torch.ones(B, L, dtype=torch.bool))
+
+        ours = MaskedTextClassifier(
+            seq_len=L, num_classes=5, embedding_dim=D, num_layers=1,
+            num_heads=4, mlp_ratio=2.0, dropout=0.0, attention_dropout=0.0,
+            stochastic_depth=0.0, positional_embedding=pe, seq_pool=True,
+            dtype=jnp.float32,
+        )
+        x = jnp.asarray(RNG.standard_normal((B, L, D)).astype(np.float32))
+        variables = ours.init(jax.random.key(0), x)
+        out = ours.apply(variables, x)
+        assert out.shape == (B, 5) and np.all(np.isfinite(np.asarray(out)))
+        if pe == "learnable":
+            # reference checkpoint shape kept: (1, N+1, E) with a padding row
+            assert variables["params"]["positional_emb"].shape == (1, L + 1, D)
+
+    # the resolved sine add equals the padding-prefixed table's rows 1..N —
+    # i.e. the plain position-p sinusoid (module docstring)
+    from devit_tpu.models.cct import sinusoidal_embedding
+
+    table = np.concatenate(
+        [np.zeros((1, 1, D), np.float32), sinusoidal_embedding(L, D)], axis=1)
+    np.testing.assert_allclose(table[:, 1 : 1 + L], sinusoidal_embedding(L, D))
+
+
+def test_text_cct_end_to_end_jit():
+    model = TextCCT(vocab_size=50, num_classes=4, word_seq_len=16,
+                    word_embedding_dim=24, embedding_dim=32, num_layers=2,
+                    num_heads=4, dropout=0.0, attention_dropout=0.0,
+                    stochastic_depth=0.0, dtype=jnp.float32)
+    ids = jnp.asarray(RNG.integers(0, 50, (2, 16)))
+    mask = jnp.asarray(_mask(2, 16, [16, 9]))
+    variables = model.init(jax.random.key(0), ids, mask)
+    fwd = jax.jit(lambda v, i, m: model.apply(v, i, m))
+    out = fwd(variables, ids, mask)
+    assert out.shape == (2, 4) and np.all(np.isfinite(np.asarray(out)))
+    # masked-out word positions must not change the logits of other samples
+    ids2 = ids.at[1, 12:].set(3)  # garbage under the mask (mask[1, 9:] = 0)
+    out2 = fwd(variables, ids2, mask)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out2[0]), rtol=1e-6)
