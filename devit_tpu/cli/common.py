@@ -141,7 +141,7 @@ def add_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data-path", default="./datasets", type=str)
     p.add_argument("--dataset", "--data-set", dest="dataset",
                    default="cifar100", type=str,
-                   help="cifar100|IMNET|INAT|INAT19|flowers|cars|pets|"
+                   help="cifar100|cifar10|IMNET|INAT|INAT19|flowers|cars|pets|"
                         "synthetic[:K[:N[:S]]] (--data-set accepted for "
                         "reference flag-name compatibility)")
     p.add_argument("--inat-category", default="name",

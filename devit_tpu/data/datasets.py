@@ -27,6 +27,10 @@ from devit_tpu.data.splitter import DivisionManifest
 DATASET_NUM_CLASSES = {
     # reference get_dataset.py:17-58
     "cifar100": 100,
+    # cifar10 appears only in the reference's dormant ViT-pytorch loaders
+    # (utils/data_loader.py:35-42 == utils/data_utils.py) — supported here so
+    # that surface is covered by the live path
+    "cifar10": 10,
     "IMNET": 1000,
     "flowers": 102,
     "cars": 196,
@@ -84,6 +88,31 @@ def load_cifar100(data_path: str, train: bool) -> ArrayDataset:
     images = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)  # NHWC uint8
     labels = np.asarray(d[b"fine_labels"], dtype=np.int64)
     return ArrayDataset(images=np.ascontiguousarray(images), labels=labels, num_classes=100)
+
+
+def load_cifar10(data_path: str, train: bool) -> ArrayDataset:
+    """Standard cifar-10-batches-py pickles (data_batch_1..5 / test_batch) ->
+    uint8 NHWC arrays. Covers the reference's dormant utils/data_loader.py
+    CIFAR-10 surface through the live pipeline."""
+    root = os.path.join(data_path, "cifar-10-batches-py")
+    names = [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+    imgs, labels = [], []
+    for fname in names:
+        path = os.path.join(root, fname)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"CIFAR-10 not found at {path}; place the extracted "
+                "cifar-10-batches-py directory under data_path (no network "
+                "egress in this environment)."
+            )
+        with open(path, "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        imgs.append(d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
+        labels.append(np.asarray(d[b"labels"], dtype=np.int64))
+    return ArrayDataset(
+        images=np.ascontiguousarray(np.concatenate(imgs)),
+        labels=np.concatenate(labels), num_classes=10,
+    )
 
 
 def ingest_resize(im, img_size: int):
@@ -316,6 +345,8 @@ def build_dataset(
         return synthetic_dataset(k, n, img_size=s, seed=0 if train else 1)
     if name == "cifar100":
         return load_cifar100(data_path, train)
+    if name == "cifar10":
+        return load_cifar10(data_path, train)
     if name in ("IMNET",):
         split = "train" if train else "val"
         return load_image_folder(os.path.join(data_path, split), img_size)

@@ -439,3 +439,60 @@ def test_train_sub_cli_runs_over_memmap_dataset(tmp_path, monkeypatch):
     best = args.fn(args)
     assert os.path.exists(os.path.join(out, "sub0", "checkpoint.msgpack"))
     assert np.isfinite(best)
+
+
+def test_cifar_pickle_loaders(tmp_path):
+    """load_cifar100 / load_cifar10 read the standard pickle layouts
+    (cifar-100-python train/test with b'fine_labels'; cifar-10-batches-py
+    data_batch_1..5 + test_batch with b'labels') and produce NHWC uint8
+    row-major images. cifar10 covers the reference's dormant
+    utils/data_loader.py surface through the live path."""
+    import pickle
+
+    from devit_tpu.data.datasets import build_dataset, load_cifar10, load_cifar100
+
+    rng = np.random.default_rng(0)
+
+    def rows(n, k):
+        data = rng.integers(0, 256, (n, 3 * 32 * 32), dtype=np.uint8)
+        labels = rng.integers(0, k, n).tolist()
+        return data, labels
+
+    c100 = tmp_path / "c100" / "cifar-100-python"
+    c100.mkdir(parents=True)
+    for split, n in (("train", 12), ("test", 6)):
+        data, labels = rows(n, 100)
+        with open(c100 / split, "wb") as f:
+            pickle.dump({b"data": data, b"fine_labels": labels}, f)
+        ds = load_cifar100(str(tmp_path / "c100"), split == "train")
+        assert ds.images.shape == (n, 32, 32, 3) and ds.num_classes == 100
+        # NCHW->NHWC transpose of the row-major pickle rows
+        np.testing.assert_array_equal(
+            ds.images[0], data[0].reshape(3, 32, 32).transpose(1, 2, 0))
+        np.testing.assert_array_equal(ds.labels, labels)
+
+    c10 = tmp_path / "c10" / "cifar-10-batches-py"
+    c10.mkdir(parents=True)
+    train_parts = []
+    for i in range(1, 6):
+        data, labels = rows(4, 10)
+        train_parts.append((data, labels))
+        with open(c10 / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": data, b"labels": labels}, f)
+    data_t, labels_t = rows(5, 10)
+    with open(c10 / "test_batch", "wb") as f:
+        pickle.dump({b"data": data_t, b"labels": labels_t}, f)
+
+    train = build_dataset("cifar10", str(tmp_path / "c10"), train=True)
+    assert train.images.shape == (20, 32, 32, 3) and train.num_classes == 10
+    np.testing.assert_array_equal(
+        train.labels, np.concatenate([np.asarray(l) for _, l in train_parts]))
+    np.testing.assert_array_equal(
+        train.images[4], train_parts[1][0][0].reshape(3, 32, 32).transpose(1, 2, 0))
+    test = build_dataset("cifar10", str(tmp_path / "c10"), train=False)
+    assert len(test) == 5 and test.num_classes == 10
+
+    # the class-disjoint division machinery works over cifar10 too
+    manifest = DivisionManifest.create(10, 2, seed=42)
+    view = train.division_view(manifest, 0)
+    assert view.num_classes == 5 and set(np.unique(view.labels)) <= set(range(5))
