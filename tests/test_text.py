@@ -214,3 +214,35 @@ def test_text_cct_end_to_end_jit():
     ids2 = ids.at[1, 12:].set(3)  # garbage under the mask (mask[1, 9:] = 0)
     out2 = fwd(variables, ids2, mask)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out2[0]), rtol=1e-6)
+
+
+def test_text_cct_trains():
+    """One SGD step decreases CE loss on a fixed batch and produces finite,
+    nonzero grads for every param (mask + scan + drop_path all differentiable)."""
+    import optax
+
+    model = TextCCT(vocab_size=30, num_classes=3, word_seq_len=16,
+                    word_embedding_dim=16, embedding_dim=32, num_layers=2,
+                    num_heads=4, dropout=0.1, attention_dropout=0.1,
+                    stochastic_depth=0.1, dtype=jnp.float32)
+    ids = jnp.asarray(RNG.integers(0, 30, (4, 16)))
+    mask = jnp.asarray(_mask(4, 16, [16, 12, 8, 5]))
+    labels = jnp.asarray(RNG.integers(0, 3, (4,)))
+    variables = model.init(jax.random.key(0), ids, mask)
+
+    def loss_fn(params, rng):
+        logits = model.apply({"params": params}, ids, mask, train=True,
+                             rngs={"dropout": rng})
+        return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+    params = variables["params"]
+    rng = jax.random.key(1)
+    l0, grads = jax.value_and_grad(loss_fn)(params, rng)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    # every trainable leaf receives gradient somewhere (embedding rows under
+    # the mask are zero by construction; check global non-zeroness per leaf)
+    assert all(float(jnp.max(jnp.abs(g))) > 0 for g in flat)
+    params2 = jax.tree_util.tree_map(lambda p, g: p - 0.5 * g, params, grads)
+    l1 = loss_fn(params2, rng)
+    assert float(l1) < float(l0)
