@@ -193,7 +193,23 @@ def build_parser() -> argparse.ArgumentParser:
                     help="export the EMA parameters instead of the raw ones")
     cv.set_defaults(fn=stages.convert_main)
 
+    ip = sub.add_parser("inspect", help="introspect checkpoints/artifacts: "
+                                        "format, family, geometry, epoch, "
+                                        "gates, param count (no model flags "
+                                        "needed)")
+    ip.add_argument("paths", nargs="+",
+                    help=".pth/.pt/.npz/.npy/.msgpack/.orbax/manifest.json")
+    ip.add_argument("--json", action="store_true",
+                    help="machine-readable JSON instead of the human summary")
+    ip.set_defaults(fn=_inspect_main)
+
     return p
+
+
+def _inspect_main(args):
+    from devit_tpu.cli.inspect_ckpt import inspect_main
+
+    return inspect_main(args)
 
 
 def _serve_main(args):
