@@ -64,7 +64,8 @@ def _vit_geometry(params: Dict[str, Any]) -> Optional[Dict[str, Any]]:
     Handles both a single tree and a division-stacked ensemble backbone tree
     (every leaf carries a leading D axis)."""
     blocks = params.get("blocks")
-    if not isinstance(blocks, dict) or "qkv" not in blocks:
+    if (not isinstance(blocks, dict) or "qkv" not in blocks
+            or "pre_norm" in blocks):  # pre_norm => CCT, not ViT
         return None
     qkv = np.asarray(blocks["qkv"]["kernel"].shape)
     stacked = qkv.size == 4  # (D, L, C, 3C) vs (L, C, 3C)
@@ -142,7 +143,9 @@ def _gate_summary(gates: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def _summarize_params_tree(tree: Dict[str, Any]) -> Dict[str, Any]:
-    return _vit_geometry(tree) or _cct_geometry(tree) or {"family": "unknown"}
+    # CCT first: its blocks contain BOTH 'pre_norm' and 'qkv', so the
+    # looser ViT signature would otherwise claim every CCT tree
+    return _cct_geometry(tree) or _vit_geometry(tree) or {"family": "unknown"}
 
 
 def _summarize_ours(tree: Any, info: Dict[str, Any]) -> Dict[str, Any]:
@@ -209,24 +212,27 @@ def _summarize_ours(tree: Any, info: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def _summarize_torch(path: str, info: Dict[str, Any]) -> Dict[str, Any]:
-    from devit_tpu.io.checkpoint import load_torch_state_dict
+    from devit_tpu.io.checkpoint import _to_np
 
     import torch
 
     raw = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(raw, dict) and any(
-        isinstance(v, dict) and k in ("model", "model_ema", "state_dict")
-        for k, v in raw.items()
-    ):
-        # full reference training checkpoint (train_subdata.py:450-459)
-        info["kind"] = "reference training checkpoint"
-        info["contents"] = sorted(k for k in raw if not k.startswith("_"))
-        if "epoch" in raw:
-            try:
-                info["epoch"] = int(raw["epoch"])
-            except (TypeError, ValueError):
-                pass
-    sd = load_torch_state_dict(path)
+    src = raw
+    if isinstance(raw, dict):
+        nested = [k for k in ("model", "state_dict", "model_ema")
+                  if isinstance(raw.get(k), dict)]
+        if nested:
+            # full reference training checkpoint (train_subdata.py:450-459)
+            # or a {'state_dict': ...}-wrapped export
+            info["kind"] = "reference training checkpoint"
+            info["contents"] = sorted(k for k in raw if not k.startswith("_"))
+            if "epoch" in raw:
+                try:
+                    info["epoch"] = int(raw["epoch"])
+                except (TypeError, ValueError):
+                    pass
+            src = raw[nested[0]]
+    sd = {k: _to_np(v) for k, v in src.items() if hasattr(v, "shape")}
     info.setdefault("kind", "reference state dict")
     g: Dict[str, Any] = {}
     if any(k.startswith("classifier.blocks.") or k.startswith("encoders.blocks.")
@@ -299,10 +305,18 @@ def summarize_artifact(path: str) -> Dict[str, Any]:
     if path.endswith(".npz"):
         from devit_tpu.io.checkpoint import load_flax_npz_vit
 
-        info["format"] = "flax-npz"
+        info["format"] = "npz"
         w = np.load(path)
+        enc = [k for k in w.files if "encoderblock_" in k]
+        if not enc:
+            # not the flax-ViT layout — describe rather than crash
+            info["kind"] = "npz archive (unrecognized layout)"
+            info["keys"] = sorted(w.files)[:40]
+            info.update(_tree_stats({k: w[k] for k in w.files}))
+            return info
+        info["format"] = "flax-npz"
         depth = 1 + max(int(k.split("encoderblock_")[1].split("/")[0])
-                        for k in w.files if "encoderblock_" in k)
+                        for k in enc)
         params = load_flax_npz_vit(path, depth=depth)
         info["kind"] = "flax ViT weights (reference de_vit.py:372-449 layout)"
         info["geometry"] = _summarize_params_tree(params)
@@ -327,8 +341,14 @@ def summarize_artifact(path: str) -> Dict[str, Any]:
         return info
     from devit_tpu.io.checkpoint import restore_pytree
 
-    info["format"] = "orbax" if (os.path.isdir(path)
-                                 or os.path.isdir(path + ".new")) else "msgpack"
+    # mirror restore_pytree's dispatch: a directory (or its crash-cut '.new'
+    # sibling) is orbax, and --ckpt-format orbax rewrites the documented
+    # '.msgpack' artifact name to '.orbax' on save — accept both names here
+    is_orbax = os.path.isdir(path) or os.path.isdir(path + ".new")
+    if not is_orbax and not os.path.exists(path) and path.endswith(".msgpack"):
+        sib = path[: -len(".msgpack")] + ".orbax"
+        is_orbax = os.path.isdir(sib) or os.path.isdir(sib + ".new")
+    info["format"] = "orbax" if is_orbax else "msgpack"
     tree = restore_pytree(path, None)
     return _summarize_ours(tree, info)
 
@@ -382,10 +402,19 @@ def _print_human(info: Dict[str, Any]) -> None:
               f"(classes per division {info['classes_per_division']})")
 
 
+def _artifact_exists(path: str) -> bool:
+    if os.path.exists(path) or os.path.isdir(path + ".new"):
+        return True
+    if path.endswith(".msgpack"):  # orbax save rewrote the artifact name
+        sib = path[: -len(".msgpack")] + ".orbax"
+        return os.path.isdir(sib) or os.path.isdir(sib + ".new")
+    return False
+
+
 def inspect_main(args) -> int:
     infos: List[Dict[str, Any]] = []
     for path in args.paths:
-        if not os.path.exists(path) and not os.path.isdir(path + ".new"):
+        if not _artifact_exists(path):
             raise FileNotFoundError(path)
         infos.append(summarize_artifact(path))
     if args.json:

@@ -140,11 +140,16 @@ def _rand_augment_pil(img, rng: np.random.Generator, magnitude: float,
     # non-inc mode: enhance ops use the unsigned 0.1+1.8m/10 map — only the
     # geometric ops keep timm's random negation
     signed = _SIGNED if inc else _GEOM_SIGNED
-    for _ in range(num_ops):
-        if weighted:
-            name = _OP_NAMES[rng.choice(len(_OP_NAMES), p=_CHOICE_WEIGHTS_0)]
-        else:
-            name = _OP_NAMES[rng.integers(len(_OP_NAMES))]
+    if weighted:
+        # timm RandAugment.__call__: np.random.choice(ops, num_layers,
+        # replace=choice_weights is None, p=choice_weights) — with w0 the
+        # ops applied to one image are drawn WITHOUT replacement (distinct)
+        names = [_OP_NAMES[i] for i in rng.choice(
+            len(_OP_NAMES), size=num_ops, replace=False, p=_CHOICE_WEIGHTS_0)]
+    else:
+        names = [_OP_NAMES[rng.integers(len(_OP_NAMES))]
+                 for _ in range(num_ops)]
+    for name in names:
         if rng.random() >= prob:
             continue
         if np.isinf(mag_std):

@@ -254,6 +254,17 @@ _ENHANCE_OPS = {7, 8, 9, 10}
 _GEOM_SIGNED = {3, 11, 12, 13, 14}  # rotate/shears/translates
 
 
+def weighted_op_indices(rng: Array, num_ops: int) -> Array:
+    """timm w0 op choice: num_ops indices drawn from CHOICE_WEIGHTS_0 WITHOUT
+    replacement (np.random.choice(..., replace=choice_weights is None, ...)).
+    Gumbel-top-k: the descending order of log-weight + Gumbel noise is
+    distributionally identical to sequential weighted draws without
+    replacement (Plackett-Luce); zero-weight ops are -inf and never chosen."""
+    logits = jnp.log(jnp.asarray(CHOICE_WEIGHTS_0))
+    gumbel = jax.random.gumbel(rng, (len(OPS),))
+    return jax.lax.top_k(logits + gumbel, num_ops)[1]
+
+
 def rand_augment(
     rng: Array,
     image: Array,
@@ -274,14 +285,22 @@ def rand_augment(
     keeps int(4m/10) bits, solarize threshold int(256m/10), enhance factor
     0.1 + 1.8m/10 UNSIGNED (expressed through the same 1+0.9x blend via
     mag' = 2m - 10). weighted=True uses timm's w0 op-choice distribution
-    (CHOICE_WEIGHTS_0)."""
+    (CHOICE_WEIGHTS_0), sampled WITHOUT replacement across the num_ops slots
+    exactly as timm does (np.random.choice(..., replace=choice_weights is
+    None, p=choice_weights)): the ops applied to one image are distinct.
+    Implemented as Gumbel-top-k, which is distributionally identical to
+    sequential weighted draws without replacement (Plackett-Luce)."""
     image = image.astype(jnp.float32)
-    probs = jnp.asarray(CHOICE_WEIGHTS_0) if weighted else None
+    if weighted:
+        weighted_idx = weighted_op_indices(jax.random.fold_in(rng, len(OPS)),
+                                           num_ops)
+    else:
+        weighted_idx = None
 
-    def one_op(img, k):
+    def one_op(img, k, slot):
         k_op, k_apply, k_mag, k_sign = jax.random.split(k, 4)
-        if probs is not None:
-            op_idx = jax.random.choice(k_op, len(OPS), p=probs)
+        if weighted_idx is not None:
+            op_idx = weighted_idx[slot]
         else:
             op_idx = jax.random.randint(k_op, (), 0, len(OPS))
         if np.isinf(mag_std):
@@ -316,5 +335,5 @@ def rand_augment(
 
     keys = jax.random.split(rng, num_ops)
     for i in range(num_ops):
-        image = one_op(image, keys[i])
+        image = one_op(image, keys[i], i)
     return image

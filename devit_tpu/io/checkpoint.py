@@ -169,8 +169,11 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(sd, dict) and "model" in sd and hasattr(sd["model"], "items"):
-        sd = sd["model"]
+    if isinstance(sd, dict):
+        for key in ("model", "state_dict"):  # common checkpoint wrappers
+            if isinstance(sd.get(key), dict):
+                sd = sd[key]
+                break
     return {k: _to_np(v) for k, v in sd.items() if hasattr(v, "shape")}
 
 

@@ -233,6 +233,15 @@ class MaskedTextClassifier(nn.Module):
     def __call__(self, x: Array, mask: Optional[Array] = None, *,
                  train: bool = False) -> Array:
         B, N, D = x.shape
+        # the reference builds its PE tables from the constructor seq_len
+        # (transformers.py:531-552); we build from the runtime N, so a
+        # mismatched seq_len must fail loudly instead of silently shaping a
+        # different learnable PE than the declared geometry
+        if self.positional_embedding != "none" and N != self.seq_len:
+            raise ValueError(
+                f"input sequence length {N} != declared seq_len "
+                f"{self.seq_len} (positional_embedding="
+                f"{self.positional_embedding!r} sizes its table from it)")
         if mask is not None:
             mask = mask > 0
 

@@ -117,6 +117,77 @@ def test_inspect_shrink_npy_and_manifest(tmp_path):
     assert info["seed"] == 42
 
 
+def test_inspect_cct_checkpoint_not_misreported_as_vit(tmp_path):
+    """CCT blocks contain both 'pre_norm' and 'qkv' — the ViT signature must
+    not claim them (regression: every CCT tree printed family='vit')."""
+    from devit_tpu.configs import get_cct_config
+    from devit_tpu.models.cct import CCT
+
+    cfg = get_cct_config("cct_2_3x2_32", num_classes=7)
+    model = CCT(cfg, dtype=jnp.float32)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    path = str(tmp_path / "checkpoint_temp.msgpack")
+    save_pytree(path, {"params": params, "epoch": np.int32(2)})
+    info = summarize_artifact(path)
+    geo = info["geometry"]
+    assert geo["family"] == "cct"
+    assert geo["depth"] == 2
+    assert geo["embed_dim"] == cfg.embed_dim
+    assert geo["num_classes"] == 7
+    assert geo["n_conv_layers"] == 2
+    assert geo["seq_pool"] is True
+
+
+def test_inspect_orbax_msgpack_name_redirect(tmp_path, vit_params):
+    """--ckpt-format orbax rewrites 'checkpoint.msgpack' -> 'checkpoint.orbax'
+    on save; inspect must accept the documented .msgpack name the same way
+    restore_pytree does, and label the format orbax."""
+    from devit_tpu.io.checkpoint import save_pytree_orbax, wait_for_checkpoints
+
+    orbax_path = str(tmp_path / "checkpoint.orbax")
+    save_pytree_orbax(orbax_path, {"params": vit_params, "epoch": np.int32(3)})
+    wait_for_checkpoints()
+    info = summarize_artifact(str(tmp_path / "checkpoint.msgpack"))
+    assert info["format"] == "orbax"
+    assert info["kind"] == "stage checkpoint"
+    assert info["geometry"]["family"] == "vit"
+    assert info["epoch"] == 3
+
+    class A:
+        paths = [str(tmp_path / "checkpoint.msgpack")]
+        json = True
+
+    assert inspect_main(A()) == 0  # existence check follows the redirect too
+
+
+def test_inspect_state_dict_wrapped_torch(tmp_path, vit_params):
+    """{'state_dict': ...}-wrapped torch checkpoints unwrap to real geometry
+    (regression: detected as training checkpoint but never unwrapped ->
+    family unknown, 0 params)."""
+    torch = pytest.importorskip("torch")
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in params_to_torch_vit(
+              jax.tree_util.tree_map(np.asarray, vit_params), CFG.depth).items()}
+    path = str(tmp_path / "export.pth")
+    torch.save({"state_dict": sd, "epoch": 11}, path)
+    info = summarize_artifact(path)
+    assert info["kind"] == "reference training checkpoint"
+    assert info["epoch"] == 11
+    assert info["geometry"]["family"] == "vit"
+    assert info["geometry"]["embed_dim"] == 64
+    assert info["param_count"] > 0
+
+
+def test_inspect_unrecognized_npz_does_not_crash(tmp_path):
+    path = str(tmp_path / "random.npz")
+    np.savez(path, a=np.zeros((3, 4)), b=np.ones(5))
+    info = summarize_artifact(path)
+    assert info["format"] == "npz"
+    assert info["kind"] == "npz archive (unrecognized layout)"
+    assert set(info["keys"]) == {"a", "b"}
+    assert info["param_count"] == 17
+
+
 def test_inspect_cli_json(tmp_path, vit_params, capsys):
     p1 = str(tmp_path / "a.msgpack")
     save_pytree(p1, {"params": vit_params, "epoch": np.int32(0)})

@@ -3,6 +3,7 @@ policy (rand-m9-mstd0.5-inc1) is built on. Each fixed op is compared against
 the corresponding PIL/timm implementation on a real random image.
 (Magnitude mappings: timm 'increasing' variants, timm rand_augment_ops.)"""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 from PIL import Image, ImageEnhance, ImageOps
@@ -115,8 +116,12 @@ def test_host_noninc_ops_match_pil():
 
 
 def test_weighted_op_choice_distribution():
-    """w0: both backends draw ops from timm's _RAND_CHOICE_WEIGHTS_0 —
-    rotate ~0.3, shears ~0.2 each, invert/posterize never."""
+    """w0: both backends draw the num_ops ops for one image from timm's
+    _RAND_CHOICE_WEIGHTS_0 WITHOUT replacement (timm RandAugment.__call__:
+    np.random.choice(ops, num_layers, replace=choice_weights is None, p=w))
+    — the ops applied to one image are distinct; rotate ~0.3 first draw,
+    invert/posterize never."""
+    from devit_tpu.data import host_augment as H
     from devit_tpu.data.host_augment import _CHOICE_WEIGHTS_0, _OP_NAMES
 
     assert abs(sum(_CHOICE_WEIGHTS_0) - 1.0) < 1e-12
@@ -124,11 +129,34 @@ def test_weighted_op_choice_distribution():
     assert _CHOICE_WEIGHTS_0[_OP_NAMES.index("rotate")] == 0.3
     assert _CHOICE_WEIGHTS_0[_OP_NAMES.index("invert")] == 0.0
     assert _CHOICE_WEIGHTS_0[_OP_NAMES.index("posterize")] == 0.0
+
+    # JAX backend: the actual selection helper rand_augment uses
+    keys = jax.random.split(jax.random.key(1), 3000)
+    idx = np.asarray(jax.vmap(lambda k: R.weighted_op_indices(k, 2))(keys))
+    assert np.all(idx[:, 0] != idx[:, 1]), "ops within one image not distinct"
+    for zero_op in ("invert", "posterize"):
+        assert not np.any(idx == _OP_NAMES.index(zero_op))
+    frac_rotate = np.mean(idx[:, 0] == _OP_NAMES.index("rotate"))
+    assert 0.25 < frac_rotate < 0.35  # first draw marginal == the raw weight
+
+    # host-PIL backend: record the names _rand_augment_pil actually applies
     rng = np.random.default_rng(1)
-    draws = rng.choice(len(_OP_NAMES), size=4000, p=_CHOICE_WEIGHTS_0)
-    frac_rotate = np.mean(draws == _OP_NAMES.index("rotate"))
+    per_image = []
+    orig = H._apply_op
+    H._apply_op = lambda img, name, *a, **kw: (per_image[-1].append(name), img)[1]
+    try:
+        for _ in range(1500):
+            per_image.append([])
+            H._rand_augment_pil(PIL_IMG, rng, 9.0, 0.0, num_ops=2, prob=1.0,
+                                weighted=True)
+    finally:
+        H._apply_op = orig
+    names = np.array(per_image)
+    assert names.shape == (1500, 2)
+    assert np.all(names[:, 0] != names[:, 1]), "host ops not distinct"
+    assert not np.any(names == "invert") and not np.any(names == "posterize")
+    frac_rotate = np.mean(names[:, 0] == "rotate")
     assert 0.25 < frac_rotate < 0.35
-    assert not np.any(draws == _OP_NAMES.index("invert"))
 
 
 def test_shear_matches_pil_affine_transform():

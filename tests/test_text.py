@@ -199,6 +199,27 @@ def test_reference_classifier_crashes_with_pe_and_ours_resolves():
     np.testing.assert_allclose(table[:, 1 : 1 + L], sinusoidal_embedding(L, D))
 
 
+def test_masked_classifier_rejects_wrong_seq_len():
+    """The reference sizes its PE tables from the declared seq_len
+    (transformers.py:531-552); we size from the runtime N, so a mismatch
+    must fail loudly instead of silently building a different learnable PE."""
+    ours = MaskedTextClassifier(
+        seq_len=16, num_classes=5, embedding_dim=32, num_layers=1, num_heads=4,
+        dropout=0.0, attention_dropout=0.0, stochastic_depth=0.0,
+        positional_embedding="learnable", dtype=jnp.float32)
+    x = jnp.zeros((2, 10, 32))
+    with pytest.raises(ValueError, match="seq_len"):
+        ours.init(jax.random.key(0), x)
+    # positional_embedding='none' has no table to size — any N is fine
+    # (the reference allows seq_len=None there, transformers.py:530-533)
+    none_pe = MaskedTextClassifier(
+        seq_len=16, num_classes=5, embedding_dim=32, num_layers=1, num_heads=4,
+        dropout=0.0, attention_dropout=0.0, stochastic_depth=0.0,
+        positional_embedding="none", dtype=jnp.float32)
+    out = none_pe.apply(none_pe.init(jax.random.key(0), x), x)
+    assert out.shape == (2, 5)
+
+
 def test_text_cct_end_to_end_jit():
     model = TextCCT(vocab_size=50, num_classes=4, word_seq_len=16,
                     word_embedding_dim=24, embedding_dim=32, num_layers=2,
