@@ -188,6 +188,10 @@ class InferenceEngine:
         from devit_tpu.io.checkpoint import restore_pytree
 
         ckpt = restore_pytree(ens_path, None)
+        if not isinstance(ckpt, dict):  # a valid msgpack of the wrong thing
+            raise ValueError(
+                f"{ens_path!r} is not a checkpoint dict "
+                f"(restored {type(ckpt).__name__})")
         new = {"params": ckpt.get("ens_params", ckpt.get("params", ckpt))}
         old_s = jax.tree_util.tree_map(lambda x: jnp.shape(x), self._ens_vars)
         new_s = jax.tree_util.tree_map(lambda x: jnp.shape(x), new)

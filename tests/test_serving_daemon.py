@@ -334,6 +334,20 @@ def test_reload_fusion_hot_swaps_weights(artifacts, server, tmp_path):
     assert code == 400 and "geometry" in out["error"]
     code, _ = reload(str(tmp_path / "missing.msgpack"))
     assert code == 400
+    # a valid msgpack of the WRONG THING (non-dict) -> clean 400, not a
+    # dropped connection from an AttributeError in the handler thread
+    notdict_path = str(tmp_path / "notdict.msgpack")
+    import msgpack
+
+    with open(notdict_path, "wb") as f:  # raw list; save_pytree would
+        f.write(msgpack.packb([1, 2, 3]))  # state-dict it into {'0': 1, ...}
+    code, out = reload(notdict_path)
+    assert code == 400 and "not a checkpoint dict" in out["error"]
+    # corrupt bytes (msgpack ExtraData is a ValueError subclass) -> 400
+    corrupt_path = str(tmp_path / "corrupt.msgpack")
+    with open(corrupt_path, "wb") as f:
+        f.write(b"not msgpack \x00\xff garbage")
+    assert reload(corrupt_path)[0] == 400
     # non-dict / non-string bodies are a clean 400, not a handler crash
     for raw in (b"[1,2]", b"\"x\"", b"{\"ens_path\": 5}", b"{nope"):
         req = urllib.request.Request(server + "/reload", data=raw)
