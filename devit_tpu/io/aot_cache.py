@@ -1,0 +1,107 @@
+"""On-disk AOT executable cache for jitted programs.
+
+Why this exists: on the tunnel platform a remote compile costs 30-90 s per
+program on a good day and has measured slow periods where a TRIVIAL 512^2
+matmul compile took 120-290 s (observed rounds 3-5) — which is how the
+round-4 driver bench run timed out (BENCH_r04.json rc=124) before printing
+its JSON line. JAX's persistent compilation cache does not help here: cache
+entries are WRITTEN but never read back on this backend (measured: second
+process recompiles at full cost with valid entries on disk). Explicit AOT
+serialization does work: `jax.experimental.serialize_executable` round-trips
+the compiled program, and `deserialize_and_load` costs ~0.2 s + one remote
+load (~10-20 s) instead of the full compile.
+
+So bench.py (and anything else with a wall deadline) compiles through
+`cached_compile`, which memoizes the serialized executable on disk keyed by
+(program name, jax version, device fingerprint, arg avals). Cache entries are
+machine/session-portable across processes on the same host+backend — exactly
+the driver's end-of-round `python bench.py` scenario, which reuses programs
+compiled (and cached) during the round.
+
+Failure policy: the cache is an optimization. Any error on load falls back
+to a fresh compile; any error on save is swallowed. A deserialized executable
+that fails at EXECUTION time (stale device topology etc.) is the caller's
+concern — `cached_compile` callers that need hard robustness should wrap the
+first (warmup) call and rebuild with `refresh=True` on failure, as bench.py
+does.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import sys
+import time
+
+import jax
+
+DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".aot_cache")
+
+
+def _device_fingerprint() -> str:
+    d = jax.devices()[0]
+    return "%s:%s:%d" % (d.platform, getattr(d, "device_kind", "?"),
+                         jax.device_count())
+
+
+def _args_fingerprint(args) -> str:
+    parts = []
+    for leaf in jax.tree_util.tree_leaves(args):
+        shape = getattr(leaf, "shape", None)
+        dtype = getattr(leaf, "dtype", None)
+        parts.append(f"{shape}:{dtype}" if shape is not None else repr(leaf))
+    return "|".join(parts)
+
+
+def cache_path(name: str, args, cache_dir: str | None = None) -> str:
+    cache_dir = cache_dir or os.environ.get("DEVIT_AOT_CACHE", DEFAULT_DIR)
+    h = hashlib.sha256()
+    h.update(jax.__version__.encode())
+    h.update(_device_fingerprint().encode())
+    h.update(_args_fingerprint(args).encode())
+    return os.path.join(cache_dir, f"{name}-{h.hexdigest()[:16]}.aot")
+
+
+def cached_compile(fn, name: str, *args, cache_dir: str | None = None,
+                   refresh: bool = False, verbose: bool = True):
+    """Compile `jax.jit(fn)` at `args`' shapes, going through the on-disk AOT
+    cache. Returns the loaded compiled executable (call it positionally with
+    arrays matching `args`' structure). `refresh=True` skips the cache read
+    (use after an execution failure on a cached program)."""
+    path = cache_path(name, args, cache_dir)
+    if not refresh and os.path.exists(path):
+        try:
+            from jax.experimental import serialize_executable as se
+
+            t0 = time.monotonic()
+            with open(path, "rb") as fh:
+                payload, in_tree, out_tree = pickle.load(fh)
+            compiled = se.deserialize_and_load(payload, in_tree, out_tree)
+            if verbose:
+                print(f"aot_cache: loaded {name} in "
+                      f"{time.monotonic() - t0:.1f}s", file=sys.stderr)
+            return compiled
+        except Exception as e:  # corrupted/stale entry -> recompile
+            if verbose:
+                print(f"aot_cache: load of {name} failed ({e!r}); compiling",
+                      file=sys.stderr)
+    t0 = time.monotonic()
+    compiled = jax.jit(fn).lower(*args).compile()
+    if verbose:
+        print(f"aot_cache: compiled {name} in {time.monotonic() - t0:.1f}s",
+              file=sys.stderr)
+    try:
+        from jax.experimental import serialize_executable as se
+
+        payload, in_tree, out_tree = se.serialize(compiled)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as fh:
+            pickle.dump((payload, in_tree, out_tree), fh)
+        os.replace(tmp, path)  # atomic: concurrent writers never tear
+    except Exception as e:
+        if verbose:
+            print(f"aot_cache: save of {name} failed ({e!r})", file=sys.stderr)
+    return compiled
