@@ -96,23 +96,13 @@ def _write_lastgood(result: dict) -> None:
 
 
 def split_arrays(tree):
-    """Split a pytree into (array_leaves, rebuild) where rebuild(new_leaves)
-    reconstitutes the tree with the non-array leaves (the CompactViT static
-    ints/bools) closed over as Python constants. This is what lets the bench
-    programs take the compact-division params as jit ARGUMENTS: a
-    closure-captured version serializes to 713 MB (measured — the params get
-    baked into the executable), while the argument version's AOT payload is
-    just compiled code."""
-    flat, treedef = jax.tree_util.tree_flatten(tree)
-    is_arr = [hasattr(l, "shape") and hasattr(l, "dtype") for l in flat]
-    arrs = [l for l, m in zip(flat, is_arr) if m]
+    """Re-export of io/aot_cache.split_arrays (probes import it from here):
+    pytree -> (array_leaves, rebuild) with non-array statics closed over, so
+    big frozen param trees ride as jit ARGUMENTS (AOT payload = code only,
+    not a 713 MB weight-baked executable)."""
+    from devit_tpu.io.aot_cache import split_arrays as _sa
 
-    def rebuild(new_arrs):
-        it = iter(new_arrs)
-        merged = [next(it) if m else l for l, m in zip(flat, is_arr)]
-        return jax.tree_util.tree_unflatten(treedef, merged)
-
-    return arrs, rebuild
+    return _sa(tree)
 
 
 def build_inputs(num_div: int = 4):
@@ -185,21 +175,11 @@ def build():
 
 
 def _cached_program(fn, name, *args):
-    """Compile through the AOT cache, validating a cached entry by actually
-    EXECUTING it once (the warmup every program needs anyway); a stale entry
-    that deserializes but fails at run time triggers a fresh compile.
-    Returns (compiled, first_output)."""
-    from devit_tpu.io.aot_cache import cached_compile
+    """Compile through the AOT cache with execute-once validation (the warmup
+    every program needs anyway); see io/aot_cache.cached_compile_validated."""
+    from devit_tpu.io.aot_cache import cached_compile_validated
 
-    compiled = cached_compile(fn, name, *args)
-    try:
-        out = compiled(*args)
-    except Exception as e:
-        print(f"bench: cached {name} failed at execute ({e!r}); recompiling",
-              file=sys.stderr)
-        compiled = cached_compile(fn, name, *args, refresh=True)
-        out = compiled(*args)
-    return compiled, out
+    return cached_compile_validated(fn, name, *args)
 
 
 def _prepare_cached(batch: int, iters: int = 5):

@@ -182,6 +182,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "pins the parity numerics instead")
     sv.add_argument("--no-warmup", action="store_true",
                     help="skip pre-compiling the bucket programs at startup")
+    sv.add_argument("--aot-cache", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="on-disk AOT executable cache for the bucket "
+                         "programs (io/aot_cache.py): a restart reloads each "
+                         "program in seconds instead of recompiling. auto = "
+                         "on for TPU, off for CPU; single-device topology "
+                         "only (DEVIT_AOT_CACHE overrides the cache dir)")
     sv.set_defaults(fn=_serve_main)
 
     cv = sub.add_parser("convert", help="convert checkpoints: torch .pth/.pt "

@@ -55,22 +55,28 @@ def _args_fingerprint(args) -> str:
     return "|".join(parts)
 
 
-def cache_path(name: str, args, cache_dir: str | None = None) -> str:
+def cache_path(name: str, args, cache_dir: str | None = None,
+               salt: str = "") -> str:
     cache_dir = cache_dir or os.environ.get("DEVIT_AOT_CACHE", DEFAULT_DIR)
     h = hashlib.sha256()
     h.update(jax.__version__.encode())
     h.update(_device_fingerprint().encode())
     h.update(_args_fingerprint(args).encode())
+    h.update(salt.encode())
     return os.path.join(cache_dir, f"{name}-{h.hexdigest()[:16]}.aot")
 
 
 def cached_compile(fn, name: str, *args, cache_dir: str | None = None,
-                   refresh: bool = False, verbose: bool = True):
+                   refresh: bool = False, verbose: bool = True,
+                   salt: str = ""):
     """Compile `jax.jit(fn)` at `args`' shapes, going through the on-disk AOT
     cache. Returns the loaded compiled executable (call it positionally with
     arrays matching `args`' structure). `refresh=True` skips the cache read
-    (use after an execution failure on a cached program)."""
-    path = cache_path(name, args, cache_dir)
+    (use after an execution failure on a cached program). `salt` must encode
+    any program-changing state that is NOT visible in the args' avals —
+    closed-over flags (use_pallas/fast_math), static pytree leaves, etc. —
+    or two different programs would collide on one cache entry."""
+    path = cache_path(name, args, cache_dir, salt)
     if not refresh and os.path.exists(path):
         try:
             from jax.experimental import serialize_executable as se
@@ -105,3 +111,57 @@ def cached_compile(fn, name: str, *args, cache_dir: str | None = None,
         if verbose:
             print(f"aot_cache: save of {name} failed ({e!r})", file=sys.stderr)
     return compiled
+
+
+def cached_compile_validated(fn, name: str, *args, cache_dir: str | None = None,
+                             verbose: bool = True, salt: str = ""):
+    """`cached_compile` + execute-once validation: a cached entry that
+    deserializes but fails at RUN time (stale device topology, XLA:CPU AOT
+    host-feature rejection, ...) triggers one fresh compile instead of
+    propagating. The validation run doubles as the warmup every program needs.
+    Returns (compiled, first_output)."""
+    compiled = cached_compile(fn, name, *args, cache_dir=cache_dir,
+                              verbose=verbose, salt=salt)
+    try:
+        out = compiled(*args)
+    except Exception as e:
+        if verbose:
+            print(f"aot_cache: cached {name} failed at execute ({e!r}); "
+                  f"recompiling", file=sys.stderr)
+        compiled = cached_compile(fn, name, *args, cache_dir=cache_dir,
+                                  refresh=True, verbose=verbose, salt=salt)
+        out = compiled(*args)
+    return compiled, out
+
+
+def split_arrays(tree):
+    """Split a pytree into (array_leaves, rebuild) where rebuild(new_leaves)
+    reconstitutes the tree with the non-array leaves (e.g. CompactViT's
+    static ints/bools) closed over as Python constants. This is what lets a
+    program take big frozen param pytrees as jit ARGUMENTS rather than
+    closure constants: a closure-captured compact ensemble serializes to
+    713 MB (measured — the weights get baked into the executable), while the
+    argument version's AOT payload is just compiled code — and the cache
+    entry is then REUSABLE across deployments with identical geometry.
+    ShapeDtypeStruct leaves count as arrays (so eval_shape trees split the
+    same way as real ones)."""
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    is_arr = [hasattr(l, "shape") and hasattr(l, "dtype") for l in flat]
+    arrs = [l for l, m in zip(flat, is_arr) if m]
+
+    def rebuild(new_arrs):
+        it = iter(new_arrs)
+        merged = [next(it) if m else l for l, m in zip(flat, is_arr)]
+        return jax.tree_util.tree_unflatten(treedef, merged)
+
+    return arrs, rebuild
+
+
+def static_salt(tree) -> str:
+    """Deterministic string of a pytree's NON-array leaves (the statics that
+    `split_arrays` closes over) — pass as `salt` so programs that differ only
+    in closed-over statics get distinct cache entries."""
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    statics = [repr(l) for l in flat
+               if not (hasattr(l, "shape") and hasattr(l, "dtype"))]
+    return f"{treedef}|{'|'.join(statics)}"

@@ -22,10 +22,18 @@ def setup_runtime(cache_dir: str | None = None) -> None:
         "DEVIT_COMPILE_CACHE", os.path.expanduser("~/.cache/devit_tpu_xla")
     )
     try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # NEVER on the CPU backend: XLA:CPU persists machine-feature-specific
+        # AOT code and is strict (and unsafe) reading it back — a cache entry
+        # written under slightly different host-feature detection SEGFAULTS
+        # the reading process inside compilation_cache.get_executable_and_time
+        # (observed on this host; the cpu_aot_loader logs the feature mismatch
+        # as "could lead to execution errors such as SIGILL"). On TPU the
+        # cache is safe and saves 30-300 s tunnel compiles per program.
+        if jax.default_backend() != "cpu":
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # cache is an optimization; never fail startup over it
 

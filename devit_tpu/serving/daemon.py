@@ -14,7 +14,11 @@ Design, TPU-first:
   waiting request, pads the coalesced batch up to a fixed BUCKET size, and
   dispatches a single program. Fixed buckets mean a handful of XLA programs
   compiled once at startup (`warmup`) — never a data-dependent shape, never a
-  mid-traffic 30-90 s tunnel compile. Bigger batches amortize the MXU
+  mid-traffic 30-90 s tunnel compile. On the single-device topology the
+  bucket programs additionally go through the on-disk AOT executable cache
+  (io/aot_cache.py): a daemon restart reloads each in seconds instead of
+  recompiling, and the division weights ride as committed ARGUMENTS so the
+  cached payload is code-only. Bigger batches amortize the MXU
   (bench.py: bs256 is the measured single-chip optimum), so coalescing
   concurrent clients is also the throughput-right move, not just a latency
   trade.
@@ -84,6 +88,14 @@ class ServeConfig:
     use_pallas: Optional[bool] = None  # None = auto (pallas off CPU backend)
     fast_math: bool = True  # serving default, as bench.py (parity runs: False)
     warmup: bool = True  # compile every bucket before accepting traffic
+    # On-disk AOT executable cache (io/aot_cache.py) for the bucket programs:
+    # a daemon RESTART then reloads each program in ~1-10 s instead of paying
+    # the 30-90 s (slow periods: minutes) tunnel compile per bucket again.
+    # None = auto (on for TPU, off for the CPU backend, whose AOT loader
+    # rejects execution on this host — the validated fallback still works but
+    # gains nothing). Single-device topology only: the multichip path commits
+    # per-division programs to specific chips, which AOT entries don't carry.
+    aot_cache: Optional[bool] = None
 
 
 class InferenceEngine:
@@ -103,6 +115,7 @@ class InferenceEngine:
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self._multichip = len(jax.local_devices()) > 1
+        self._raw_fwd = None  # set by the AOT-cached single-device branch
         from devit_tpu.data.pipeline import normalize
 
         if self._multichip:
@@ -118,21 +131,57 @@ class InferenceEngine:
             self.fusion_device = serve_fn.fusion_device
             fwd = serve_fn  # serve_fn(ens_vars, images) -> logits
         else:
-            self.division_devices = [jax.local_devices()[0]] * len(cms)
-            self.fusion_device = jax.local_devices()[0]
+            dev = jax.local_devices()[0]
+            self.division_devices = [dev] * len(cms)
+            self.fusion_device = dev
             cms = list(cms)
+            aot = cfg.aot_cache
+            if aot is None:
+                aot = jax.default_backend() not in ("cpu",)
+            if aot:
+                # AOT-cacheable layout: the frozen division weights ride as
+                # program ARGUMENTS (committed to the device once here), so
+                # the serialized executable is code-only (a closure-constant
+                # version bakes the weights in — 713 MB measured) and the
+                # cache entry is reusable across restarts AND across
+                # deployments with identical geometry. normalize folds into
+                # the same program: one dispatch per bucket instead of two.
+                from devit_tpu.io.aot_cache import split_arrays, static_salt
 
-            # cms closed into the jit deliberately (frozen ragged weights as
-            # program constants — same pattern + rationale as
-            # parallel/serve.py _division_fn and bench.py); the fusion vars
-            # stay an ARGUMENT in both branches so /reload can hot-swap them
-            # without recompiling the division programs
-            @jax.jit
-            def fwd(ev, img_f32):
-                cls_stack, dist_stack = stack_division_features(
-                    cms, img_f32, patch_size=cfg.patch_size, dtype=cfg.dtype,
-                    use_pallas=use_pallas, fast_math=cfg.fast_math)
-                return ens.apply(ev, cls_stack, dist_stack).logits
+                cms_arrs, rebuild = split_arrays(cms)
+                self._cms_arrs = [jax.device_put(jnp.asarray(a), dev)
+                                  for a in cms_arrs]
+                # everything program-changing that the arg avals DON'T see
+                self._salt = "|".join([
+                    static_salt(cms), f"pallas={use_pallas}",
+                    f"fast={cfg.fast_math}", f"ps={cfg.patch_size}",
+                    f"dt={jnp.dtype(cfg.dtype).name}"])
+
+                def raw_fwd(ev, cms_leaves, img_u8):
+                    img = normalize(img_u8.astype(jnp.float32) / 255.0,
+                                    jnp.float32)
+                    cls_stack, dist_stack = stack_division_features(
+                        rebuild(cms_leaves), img, patch_size=cfg.patch_size,
+                        dtype=cfg.dtype, use_pallas=use_pallas,
+                        fast_math=cfg.fast_math)
+                    return ens.apply(ev, cls_stack, dist_stack).logits
+
+                self._raw_fwd = raw_fwd
+                self._programs = {}  # bucket size -> compiled executable
+                fwd = None
+            else:
+                # cms closed into the jit deliberately (frozen ragged weights
+                # as program constants — same pattern + rationale as
+                # parallel/serve.py _division_fn); the fusion vars stay an
+                # ARGUMENT in every branch so /reload can hot-swap them
+                # without recompiling the division programs
+                @jax.jit
+                def fwd(ev, img_f32):
+                    cls_stack, dist_stack = stack_division_features(
+                        cms, img_f32, patch_size=cfg.patch_size,
+                        dtype=cfg.dtype, use_pallas=use_pallas,
+                        fast_math=cfg.fast_math)
+                    return ens.apply(ev, cls_stack, dist_stack).logits
 
         @jax.jit
         def prep(img_u8):
@@ -162,7 +211,21 @@ class InferenceEngine:
         if n < bucket:
             pad = np.zeros((bucket - n,) + images_u8.shape[1:], np.uint8)
             images_u8 = np.concatenate([images_u8, pad], axis=0)
-        logits = self._fwd(self._ens_vars, self._prep(jnp.asarray(images_u8)))
+        if self._raw_fwd is not None:
+            img = jnp.asarray(images_u8)
+            prog = self._programs.get(bucket)
+            if prog is None:
+                from devit_tpu.io.aot_cache import cached_compile_validated
+
+                prog, logits = cached_compile_validated(
+                    self._raw_fwd, f"serve-fwd-b{bucket}",
+                    self._ens_vars, self._cms_arrs, img, salt=self._salt)
+                self._programs[bucket] = prog
+            else:
+                logits = prog(self._ens_vars, self._cms_arrs, img)
+        else:
+            logits = self._fwd(self._ens_vars,
+                               self._prep(jnp.asarray(images_u8)))
         return np.asarray(jax.device_get(logits), np.float32)[:n]
 
     def predict(self, images_u8: np.ndarray) -> np.ndarray:
@@ -552,7 +615,9 @@ def serve_main(args) -> None:
         buckets=buckets, max_wait_ms=args.max_wait_ms, topk=args.topk,
         dtype=C.dtype_from_args(args),
         use_pallas=getattr(args, "use_pallas", None),
-        fast_math=not args.no_fast_math, warmup=not args.no_warmup)
+        fast_math=not args.no_fast_math, warmup=not args.no_warmup,
+        aot_cache={"auto": None, "on": True, "off": False}[
+            getattr(args, "aot_cache", "auto")])
     engine = build_engine_from_artifacts(
         args.compact_path, args.ens_path,
         num_divisions=args.num_division if args.num_division > 0 else None,

@@ -395,3 +395,49 @@ def test_smoke_mode_without_ens_path(artifacts):
                                       log=msgs.append)
     assert any("RANDOM fusion head" in m for m in msgs)
     assert eng.predict(_imgs(2, seed=8)).shape == (2, eng.num_classes)
+
+
+# ------------------------------------------------------- AOT-cached programs
+
+
+def test_aot_engine_matches_plain_and_reloads(artifacts, engine, tmp_path,
+                                              monkeypatch):
+    """The AOT-cached single-device branch (weights as committed ARGUMENTS +
+    cached_compile_validated per bucket) must be numerics-identical to the
+    plain closure-jit branch, survive a fresh engine build against the same
+    cache dir (the restart scenario — on hosts where XLA AOT loading is
+    rejected, the validated fallback recompiles transparently), and keep the
+    /reload hot-swap semantics (fusion vars stay a program argument)."""
+    monkeypatch.setenv("DEVIT_AOT_CACHE", str(tmp_path / "aot"))
+    dev0 = jax.local_devices()[0]  # AOT path is single-device-topology only
+    monkeypatch.setattr(jax, "local_devices", lambda *a, **k: [dev0])
+    root, ens_path, *_ = artifacts
+    acfg = ServeConfig(**{**SCFG.__dict__, "aot_cache": True})
+    aot = build_engine_from_artifacts(root, ens_path, cfg=acfg, log=None)
+    assert aot._raw_fwd is not None and engine._raw_fwd is None
+    imgs = _imgs(6, seed=3)
+    np.testing.assert_allclose(aot.predict(imgs), engine.predict(imgs),
+                               rtol=2e-5, atol=2e-5)
+    # an entry was written for the touched bucket (6 imgs pad to bucket 8)
+    assert len(list((tmp_path / "aot").iterdir())) == 1
+
+    # restart: a second engine over the same cache dir
+    aot2 = build_engine_from_artifacts(root, ens_path, cfg=acfg, log=None)
+    np.testing.assert_allclose(aot2.predict(imgs), engine.predict(imgs),
+                               rtol=2e-5, atol=2e-5)
+
+    # hot reload still swaps the fusion head without rebuilding programs
+    _, _, cms, ens, _ = artifacts
+    tok = jnp.zeros((D, 2, CFG.embed_dim))
+    new_vars = ens.init(jax.random.key(123), tok, tok)
+    p2 = str(tmp_path / "ens2.msgpack")
+    save_pytree(p2, {"ens_params": new_vars["params"]})
+    progs_before = dict(aot._programs)
+    aot.reload_fusion(p2)
+    assert aot._programs == progs_before
+    x = normalize(jnp.asarray(imgs, jnp.float32) / 255.0, jnp.float32)
+    cls_s, dist_s = stack_division_features(
+        cms, x, patch_size=8, dtype=jnp.float32, use_pallas=False,
+        fast_math=False)
+    want = np.asarray(ens.apply(new_vars, cls_s, dist_s).logits)
+    np.testing.assert_allclose(aot.predict(imgs), want, rtol=2e-5, atol=2e-5)
