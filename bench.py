@@ -83,6 +83,14 @@ def _arm_watchdog() -> None:
     t.start()
 
 
+def _stage(msg: str) -> None:
+    """Timestamped stderr progress marker — when a run does hit the deadline,
+    the log shows exactly which stage ate the budget (compile vs load vs
+    execute vs host build), instead of a bare rc=124."""
+    print(f"bench: t={time.monotonic() - _T0:.0f}s {msg}",
+          file=sys.stderr, flush=True)
+
+
 def _write_lastgood(result: dict) -> None:
     try:
         rec = dict(result)
@@ -206,6 +214,7 @@ def _prepare_cached(batch: int, iters: int = 5):
     # (tunnel) device is a ~120 MB upload at ~1.5 MB/s — the very cost this
     # path exists to avoid. On CPU it's a local copy; only shapes/dtypes are
     # consumed (gen() recreates the values on the TPU).
+    _stage("building host artifacts (CPU)")
     with jax.default_device(jax.devices("cpu")[0]):
         cfg, params, gates_list = build_inputs(4)
         cms = [compact_vit_ragged(p, g, cfg)
@@ -239,6 +248,7 @@ def _prepare_cached(batch: int, iters: int = 5):
                                 (32, N, C), jnp.bfloat16)
         return ens_leaves, cms_leaves, images, img16, qkv, cot
 
+    _stage("compiling/loading device programs")
     gen_c, gen_out = _cached_program(gen, "bench-gen", np.uint32(0))
     ens_l, cms_l, images, img16, qkv, cot = gen_out
 
@@ -248,6 +258,7 @@ def _prepare_cached(batch: int, iters: int = 5):
         return ens.apply(rebuild_ens(ens_leaves), cls_stack, dist_stack).logits
 
     fwd_c, out = _cached_program(fwd, "bench-fwd", ens_l, cms_l, images)
+    _stage("fwd program ready (compiled/loaded + warmup execute done)")
     reducer, _ = _cached_program(
         lambda outs: sum(jnp.asarray(o, jnp.float32).sum()
                          for o in jax.tree_util.tree_leaves(outs)),
@@ -666,8 +677,10 @@ def main():
     if os.environ.get("DEVIT_BENCH_AOT", "1") != "0":
         try:
             prep = _prepare_cached(batch)
+            _stage("measuring throughput")
             ips = batch / time_fn(prep["fwd"], *prep["fwd_args"],
                                   reducer=prep["reducer"]) * 1e3
+            _stage("throughput measured")
         except Exception as e:
             import traceback
 
@@ -698,10 +711,12 @@ def main():
         print(f"bench: numerics {numerics_note}", file=sys.stderr)
     else:
         try:
+            _stage("numerics check")
             numerics_ok = numerics_fn()
         except Exception as e:  # never suppress the measured JSON line
             print(f"NUMERICS CHECK ERROR: {e}", file=sys.stderr)
             numerics_ok = False
+        _stage("xla cost analysis")
         xla_fl = (xla_cost_fn()
                   if not dl or time.monotonic() - _T0 < 0.8 * dl else None)
     # MFU accounting from the EXECUTED FLOPs of the deployed artifacts

@@ -55,11 +55,48 @@ def _args_fingerprint(args) -> str:
     return "|".join(parts)
 
 
+_CODE_FP: str | None = None
+
+
+def _code_fingerprint() -> str:
+    """Hash of the repo's Python sources (devit_tpu/**/*.py + repo-root
+    *.py), folded into every cache key. Without it, editing model math that
+    doesn't change arg avals (fast_gelu coefficients, normalize constants,
+    feature stacking, ...) would leave the OLD executable valid in the cache:
+    it deserializes AND executes fine, so the validated fallback never fires,
+    and a warm-cache bench/daemon silently runs stale code. Conservative by
+    design — any .py edit invalidates — because a wrong-program cache hit is
+    silent and a spurious miss just costs one recompile."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        root = os.path.dirname(DEFAULT_DIR)
+        h = hashlib.sha256()
+        files = []
+        for base, _, names in os.walk(os.path.join(root, "devit_tpu")):
+            files += [os.path.join(base, n) for n in names
+                      if n.endswith(".py")]
+        try:
+            files += [os.path.join(root, n) for n in os.listdir(root)
+                      if n.endswith(".py")]
+        except OSError:
+            pass
+        for p in sorted(files):
+            h.update(os.path.relpath(p, root).encode())
+            try:
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+            except OSError:
+                pass
+        _CODE_FP = h.hexdigest()[:16]
+    return _CODE_FP
+
+
 def cache_path(name: str, args, cache_dir: str | None = None,
                salt: str = "") -> str:
     cache_dir = cache_dir or os.environ.get("DEVIT_AOT_CACHE", DEFAULT_DIR)
     h = hashlib.sha256()
     h.update(jax.__version__.encode())
+    h.update(_code_fingerprint().encode())
     h.update(_device_fingerprint().encode())
     h.update(_args_fingerprint(args).encode())
     h.update(salt.encode())
@@ -76,6 +113,19 @@ def cached_compile(fn, name: str, *args, cache_dir: str | None = None,
     any program-changing state that is NOT visible in the args' avals —
     closed-over flags (use_pallas/fast_math), static pytree leaves, etc. —
     or two different programs would collide on one cache entry."""
+    compiled, _ = _cached_compile(fn, name, *args, cache_dir=cache_dir,
+                                  refresh=refresh, verbose=verbose, salt=salt)
+    return compiled
+
+
+def _cached_compile(fn, name: str, *args, cache_dir: str | None = None,
+                    refresh: bool = False, verbose: bool = True,
+                    salt: str = ""):
+    """cached_compile + provenance: returns (compiled, from_cache) so callers
+    can distinguish a disk-loaded executable (worth one recompile retry on
+    execute failure) from a freshly compiled one (an execute failure is
+    genuine — HBM OOM etc. — and a retry would just pay the 30-600 s compile
+    again before failing identically)."""
     path = cache_path(name, args, cache_dir, salt)
     if not refresh and os.path.exists(path):
         try:
@@ -88,7 +138,7 @@ def cached_compile(fn, name: str, *args, cache_dir: str | None = None,
             if verbose:
                 print(f"aot_cache: loaded {name} in "
                       f"{time.monotonic() - t0:.1f}s", file=sys.stderr)
-            return compiled
+            return compiled, True
         except Exception as e:  # corrupted/stale entry -> recompile
             if verbose:
                 print(f"aot_cache: load of {name} failed ({e!r}); compiling",
@@ -110,7 +160,7 @@ def cached_compile(fn, name: str, *args, cache_dir: str | None = None,
     except Exception as e:
         if verbose:
             print(f"aot_cache: save of {name} failed ({e!r})", file=sys.stderr)
-    return compiled
+    return compiled, False
 
 
 def cached_compile_validated(fn, name: str, *args, cache_dir: str | None = None,
@@ -118,13 +168,19 @@ def cached_compile_validated(fn, name: str, *args, cache_dir: str | None = None,
     """`cached_compile` + execute-once validation: a cached entry that
     deserializes but fails at RUN time (stale device topology, XLA:CPU AOT
     host-feature rejection, ...) triggers one fresh compile instead of
-    propagating. The validation run doubles as the warmup every program needs.
+    propagating. A FRESHLY compiled executable that fails at execute raises
+    straight through — the failure is genuine (HBM OOM, ...) and retrying
+    would pay the full compile a second time before failing identically.
+    The validation run doubles as the warmup every program needs.
     Returns (compiled, first_output)."""
-    compiled = cached_compile(fn, name, *args, cache_dir=cache_dir,
-                              verbose=verbose, salt=salt)
+    compiled, from_cache = _cached_compile(fn, name, *args,
+                                           cache_dir=cache_dir,
+                                           verbose=verbose, salt=salt)
     try:
         out = compiled(*args)
     except Exception as e:
+        if not from_cache:
+            raise
         if verbose:
             print(f"aot_cache: cached {name} failed at execute ({e!r}); "
                   f"recompiling", file=sys.stderr)
@@ -148,10 +204,14 @@ def split_arrays(tree):
     flat, treedef = jax.tree_util.tree_flatten(tree)
     is_arr = [hasattr(l, "shape") and hasattr(l, "dtype") for l in flat]
     arrs = [l for l, m in zip(flat, is_arr) if m]
+    # close over ONLY the statics: nulling the array slots keeps rebuild from
+    # pinning the original weight arrays (~120 MB host copy at canonical
+    # geometry, GBs at ImageNet scale) for the life of the program
+    template = [None if m else l for l, m in zip(flat, is_arr)]
 
     def rebuild(new_arrs):
         it = iter(new_arrs)
-        merged = [next(it) if m else l for l, m in zip(flat, is_arr)]
+        merged = [next(it) if m else l for l, m in zip(template, is_arr)]
         return jax.tree_util.tree_unflatten(treedef, merged)
 
     return arrs, rebuild

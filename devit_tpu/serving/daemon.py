@@ -256,12 +256,19 @@ class InferenceEngine:
                 f"{ens_path!r} is not a checkpoint dict "
                 f"(restored {type(ckpt).__name__})")
         new = {"params": ckpt.get("ens_params", ckpt.get("params", ckpt))}
-        old_s = jax.tree_util.tree_map(lambda x: jnp.shape(x), self._ens_vars)
-        new_s = jax.tree_util.tree_map(lambda x: jnp.shape(x), new)
+        # shape AND dtype must match: the AOT engine branch dispatches
+        # pre-lowered Compiled executables that are aval-strict — a same-shape
+        # bf16 head swapped into an f32 engine would pass a shape-only guard
+        # and then fail EVERY subsequent dispatch until restart (the closure
+        # branch merely recompiles, but the guard must cover both)
+        aval = lambda x: (jnp.shape(x), jnp.result_type(x))
+        old_s = jax.tree_util.tree_map(aval, self._ens_vars)
+        new_s = jax.tree_util.tree_map(aval, new)
         if old_s != new_s:
             raise ValueError(
-                f"reload checkpoint geometry differs from the serving fusion "
-                f"head: {new_s} vs {old_s} — restart to change geometry")
+                f"reload checkpoint geometry (shape/dtype) differs from the "
+                f"serving fusion head: {new_s} vs {old_s} — restart to "
+                f"change geometry")
         new = self._commit_vars(new)
         with self._lock:  # never swap mid-dispatch
             self._ens_vars = new

@@ -34,4 +34,35 @@ python -m devit_tpu.cli ensemble $TINY $OPT $DATA --eval \
   --ens-path $OUT/ensemble/checkpoint.msgpack --output_dir $OUT/ens_eval \
   --no-repeated-aug --aa ""
 
+echo "=== serving daemon on-chip (AOT-cached bucket programs + restart reload)"
+SERVE="--compact-path $OUT/deploy --ens-path $OUT/ensemble/checkpoint.msgpack
+  --input-size 32 --patch-size 4 --teacher-size 48 --buckets 1,4
+  --host 127.0.0.1 --port 8731 --aot-cache on"
+export DEVIT_AOT_CACHE=$OUT/aot
+serve_once() {
+  python -m devit_tpu.cli serve $SERVE > $OUT/serve_$1.log 2>&1 &
+  SPID=$!
+  for i in $(seq 1 120); do
+    sleep 2
+    if curl -sf http://127.0.0.1:8731/healthz > /dev/null 2>&1; then break; fi
+    kill -0 $SPID 2>/dev/null || { cat $OUT/serve_$1.log; exit 1; }
+  done
+  python - <<'EOF'
+import json, urllib.request
+import numpy as np
+img = np.random.default_rng(0).integers(0, 256, (2, 32, 32, 3), np.uint8)
+req = urllib.request.Request(
+    "http://127.0.0.1:8731/predict", data=img.tobytes(),
+    headers={"X-Image-Shape": "2,32,32,3"})
+out = json.loads(urllib.request.urlopen(req, timeout=300).read())
+assert len(out["predictions"]) == 2, out
+print("serve predict OK:", [p["topk"][0] for p in out["predictions"]])
+EOF
+  kill $SPID; wait $SPID 2>/dev/null || true
+}
+serve_once cold
+grep -q "aot_cache: compiled serve-fwd" $OUT/serve_cold.log
+serve_once warm   # restart: bucket programs must load from the cache
+grep -q "aot_cache: loaded serve-fwd" $OUT/serve_warm.log
+
 echo "=== TPU SMOKE: ALL STAGES OK"
