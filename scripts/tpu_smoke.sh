@@ -39,14 +39,20 @@ SERVE="--compact-path $OUT/deploy --ens-path $OUT/ensemble/checkpoint.msgpack
   --input-size 32 --patch-size 4 --teacher-size 48 --buckets 1,4
   --host 127.0.0.1 --port 8731 --aot-cache on"
 export DEVIT_AOT_CACHE=$OUT/aot
+SPID=""
+trap '[ -n "$SPID" ] && kill $SPID 2>/dev/null' EXIT  # never orphan the daemon
 serve_once() {
   python -m devit_tpu.cli serve $SERVE > $OUT/serve_$1.log 2>&1 &
   SPID=$!
-  for i in $(seq 1 120); do
-    sleep 2
-    if curl -sf http://127.0.0.1:8731/healthz > /dev/null 2>&1; then break; fi
-    kill -0 $SPID 2>/dev/null || { cat $OUT/serve_$1.log; exit 1; }
+  up=0
+  # generous budget: the tunnel's first device round-trip per process can
+  # stall many minutes (CLAUDE.md round-5 root cause) and warmup pays it
+  for i in $(seq 1 300); do
+    sleep 5
+    if curl -sf http://127.0.0.1:8731/healthz > /dev/null 2>&1; then up=1; break; fi
+    kill -0 $SPID 2>/dev/null || { echo "serve daemon died:"; cat $OUT/serve_$1.log; exit 1; }
   done
+  [ "$up" = 1 ] || { echo "serve daemon never became healthy:"; cat $OUT/serve_$1.log; exit 1; }
   python - <<'EOF'
 import json, urllib.request
 import numpy as np
@@ -59,6 +65,7 @@ assert len(out["predictions"]) == 2, out
 print("serve predict OK:", [p["topk"][0] for p in out["predictions"]])
 EOF
   kill $SPID; wait $SPID 2>/dev/null || true
+  SPID=""
 }
 serve_once cold
 grep -q "aot_cache: compiled serve-fwd" $OUT/serve_cold.log
