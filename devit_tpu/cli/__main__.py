@@ -24,6 +24,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("split", help="stage 1: class-disjoint split manifest")
     C.add_data_args(sp)
+    sp.add_argument("--materialize", action="store_true",
+                    help="additionally export the reference's physical "
+                         "sub-dataset{i}/{train,test}_dataset/<class> "
+                         "ImageFolder trees (splite_dataset.py layout) for "
+                         "external tooling; needs <data-path>/train + "
+                         "val|test class dirs. devit stages only need the "
+                         "manifest")
+    sp.add_argument("--materialize-copy", action="store_true",
+                    help="copy files instead of hardlinking when "
+                         "materializing")
     sp.set_defaults(fn=stages.split_main)
 
     tp = sub.add_parser("train_sub", help="stage 2: train one division sub-model")

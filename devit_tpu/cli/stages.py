@@ -155,6 +155,12 @@ def split_main(args) -> str:
     log.info(f"wrote {path}: {args.num_division} divisions over {num_classes} classes")
     for i, d in enumerate(manifest.divisions):
         log.info(f"  division {i}: {len(d)} classes")
+    if getattr(args, "materialize", False):
+        from devit_tpu.data.splitter import materialize_imagefolder
+
+        materialize_imagefolder(
+            manifest, args.data_path, out,
+            link=not getattr(args, "materialize_copy", False), log=log)
     return path
 
 

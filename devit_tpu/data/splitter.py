@@ -22,7 +22,9 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import random
+import shutil
 from typing import Dict, List, Sequence
 
 import numpy as np
@@ -112,3 +114,67 @@ class DivisionManifest:
     def load(cls, path: str) -> "DivisionManifest":
         with open(path) as f:
             return cls(**json.load(f))
+
+
+def materialize_imagefolder(manifest: DivisionManifest, data_path: str,
+                            output_path: str, link: bool = True,
+                            log=None) -> List[str]:
+    """Physically export the reference's `sub-dataset{i}` ImageFolder trees
+    (splite_dataset.py:120-177): `<data_path>/{train,val|test}/<class>/...` ->
+    `<output>/sub-dataset{i}/{train_dataset,test_dataset}/<class>/...`.
+
+    The manifest is the source of truth everywhere in THIS framework; this
+    export exists for external tooling (and the reference's own stages) that
+    expects the physical directory layout. Class directory NAMES are copied
+    verbatim, exactly like the reference's copytree; the manifest's class ids
+    index the lexicographic class-dir order (torchvision ImageFolder
+    semantics, same convention as data/datasets.load_image_folder).
+
+    Hardlinks by default (no extra disk for a same-filesystem export, the
+    common case); falls back to copy2 per file across filesystems or with
+    link=False. Idempotent: existing destination files are left in place.
+    Returns the sub-dataset{i} roots."""
+    train_root = os.path.join(data_path, "train")
+    val_root = next((os.path.join(data_path, s) for s in ("val", "test")
+                     if os.path.isdir(os.path.join(data_path, s))), None)
+    if not os.path.isdir(train_root) or val_root is None:
+        raise FileNotFoundError(
+            f"materialize needs an ImageFolder layout "
+            f"<data_path>/train + <data_path>/val|test under {data_path!r} "
+            f"(array-backed datasets have nothing to export — the manifest "
+            f"alone drives every devit stage)")
+    classes = sorted(d for d in os.listdir(train_root)
+                     if os.path.isdir(os.path.join(train_root, d))
+                     and not d.startswith("."))
+    if len(classes) != manifest.num_classes:
+        raise ValueError(
+            f"{train_root} has {len(classes)} class dirs but the manifest "
+            f"was built for {manifest.num_classes} classes")
+
+    def _export(src_dir: str, dst_dir: str) -> None:
+        os.makedirs(dst_dir, exist_ok=True)
+        for f in sorted(os.listdir(src_dir)):
+            s, d = os.path.join(src_dir, f), os.path.join(dst_dir, f)
+            if not os.path.isfile(s) or os.path.exists(d):
+                continue
+            if link:
+                try:
+                    os.link(s, d)
+                    continue
+                except OSError:  # cross-device / fs without hardlinks
+                    pass
+            shutil.copy2(s, d)
+
+    roots = []
+    for i, div in enumerate(manifest.divisions):
+        root = os.path.join(output_path, f"sub-dataset{i}")
+        for cid in div:
+            cls = classes[cid]
+            _export(os.path.join(train_root, cls),
+                    os.path.join(root, "train_dataset", cls))
+            _export(os.path.join(val_root, cls),
+                    os.path.join(root, "test_dataset", cls))
+        if log is not None:
+            log.info(f"  materialized {root}: {len(div)} classes")
+        roots.append(root)
+    return roots

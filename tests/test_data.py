@@ -496,3 +496,99 @@ def test_cifar_pickle_loaders(tmp_path):
     manifest = DivisionManifest.create(10, 2, seed=42)
     view = train.division_view(manifest, 0)
     assert view.num_classes == 5 and set(np.unique(view.labels)) <= set(range(5))
+
+
+def test_materialize_imagefolder_reference_layout(tmp_path):
+    """`devit split --materialize` exports the reference's physical
+    sub-dataset{i}/{train,test}_dataset/<class> trees (splite_dataset.py:
+    120-177 copytree semantics): class dirs land verbatim in exactly the
+    division the manifest assigns, files are hardlinked (same inode) with
+    identical bytes, and the export is idempotent."""
+    from PIL import Image
+
+    from devit_tpu.data.splitter import materialize_imagefolder
+
+    src = tmp_path / "data"
+    classes = [f"class_{c}" for c in "abcdef"]  # lexicographic == given order
+    rng = np.random.default_rng(0)
+    for split, nfiles in (("train", 2), ("val", 1)):
+        for cls in classes:
+            d = src / split / cls
+            d.mkdir(parents=True)
+            for k in range(nfiles):
+                Image.fromarray(
+                    rng.integers(0, 256, (4, 4, 3), np.uint8)
+                ).save(d / f"{split}_{k}.png")
+
+    manifest = DivisionManifest.create(6, 2, seed=42)
+    out = tmp_path / "out"
+    roots = materialize_imagefolder(manifest, str(src), str(out), log=None)
+    assert roots == [str(out / "sub-dataset0"), str(out / "sub-dataset1")]
+
+    seen = []
+    for i in range(2):
+        want = {classes[c] for c in manifest.divisions[i]}
+        for sub, src_split in (("train_dataset", "train"),
+                               ("test_dataset", "val")):
+            got = set(os.listdir(out / f"sub-dataset{i}" / sub))
+            assert got == want
+            for cls in want:
+                sfiles = sorted(os.listdir(src / src_split / cls))
+                dfiles = sorted(os.listdir(out / f"sub-dataset{i}" / sub / cls))
+                assert dfiles == sfiles
+                for f in sfiles:
+                    s = src / src_split / cls / f
+                    d = out / f"sub-dataset{i}" / sub / cls / f
+                    assert os.path.samefile(s, d)  # hardlinked
+                    assert s.read_bytes() == d.read_bytes()
+        seen.append(want)
+    assert seen[0] | seen[1] == set(classes) and not (seen[0] & seen[1])
+
+    # idempotent re-run; copy mode also lands identical bytes
+    materialize_imagefolder(manifest, str(src), str(out), log=None)
+    out2 = tmp_path / "out2"
+    materialize_imagefolder(manifest, str(src), str(out2), link=False, log=None)
+    p0 = classes[manifest.divisions[0][0]]
+    f0 = sorted(os.listdir(src / "train" / p0))[0]
+    assert not os.path.samefile(src / "train" / p0 / f0,
+                                out2 / "sub-dataset0" / "train_dataset" / p0 / f0)
+    assert (src / "train" / p0 / f0).read_bytes() == \
+        (out2 / "sub-dataset0" / "train_dataset" / p0 / f0).read_bytes()
+
+    # loud failures: no val/test split dir; class-count mismatch
+    import pytest
+
+    bad = tmp_path / "bad"
+    (bad / "train" / "x").mkdir(parents=True)
+    with pytest.raises(FileNotFoundError):
+        materialize_imagefolder(manifest, str(bad), str(tmp_path / "o3"))
+    with pytest.raises(ValueError):
+        materialize_imagefolder(DivisionManifest.create(5, 2), str(src),
+                                str(tmp_path / "o4"))
+
+
+def test_split_main_materialize_cli(tmp_path, monkeypatch):
+    """The split stage's --materialize flag drives the export end-to-end."""
+    from PIL import Image
+
+    from devit_tpu.cli.__main__ import build_parser
+    from devit_tpu.data import datasets as DS
+
+    src = tmp_path / "data"
+    for split in ("train", "val"):
+        for cls in ("ca", "cb", "cc", "cd"):
+            d = src / split / cls
+            d.mkdir(parents=True)
+            Image.new("RGB", (4, 4)).save(d / "0.png")
+    monkeypatch.setitem(DS.DATASET_NUM_CLASSES, "IMNET", 4)
+    args = build_parser().parse_args(
+        ["split", "--dataset", "IMNET", "--data-path", str(src),
+         "--num_division", "2", "--output_dir", str(tmp_path / "o"),
+         "--materialize"])
+    args.fn(args)
+    m = DivisionManifest.load(str(tmp_path / "o" / "division2" / "manifest.json"))
+    names = ["ca", "cb", "cc", "cd"]
+    for i in range(2):
+        got = set(os.listdir(tmp_path / "o" / "division2" / f"sub-dataset{i}"
+                             / "train_dataset"))
+        assert got == {names[c] for c in m.divisions[i]}
