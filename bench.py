@@ -84,7 +84,10 @@ def _arm_watchdog() -> None:
             "deadline hit and no prior measurement is recorded")
         os._exit(0)
 
-    t = threading.Timer(dl, fire)
+    # count the deadline from PROCESS start, not arm time — module imports
+    # (jax: tens of seconds on this box) already spent part of the budget,
+    # and the driver's kill timer started at exec
+    t = threading.Timer(max(1.0, dl - (time.monotonic() - _T0)), fire)
     t.daemon = True
     t.start()
 
@@ -188,12 +191,14 @@ def build():
     return jax.jit(fwd), ens_vars, cms
 
 
-def _cached_program(fn, name, *args):
+def _cached_program(fn, name, *args, salt: str = ""):
     """Compile through the AOT cache with execute-once validation (the warmup
-    every program needs anyway); see io/aot_cache.cached_compile_validated."""
+    every program needs anyway); see io/aot_cache.cached_compile_validated.
+    `salt` must carry program-changing state the arg avals don't see (the
+    closed-over batch size in gen, ...)."""
     from devit_tpu.io.aot_cache import cached_compile_validated
 
-    return cached_compile_validated(fn, name, *args)
+    return cached_compile_validated(fn, name, *args, salt=salt)
 
 
 def _prepare_cached(batch: int, iters: int = 5):
@@ -232,8 +237,8 @@ def _prepare_cached(batch: int, iters: int = 5):
 
     cms_arrs, rebuild_cms = split_arrays(cms)
     ens_arrs, rebuild_ens = split_arrays(ens_shapes)
-    n0 = len(split_arrays(cms[0])[0])  # cms[0]'s leaves lead the list flatten
-    _, rebuild_cm0 = split_arrays(cms[0])
+    cm0_arrs, rebuild_cm0 = split_arrays(cms[0])
+    n0 = len(cm0_arrs)  # cms[0]'s leaves lead the list flatten
     H, N, C = cfg.num_heads, 196 + (2 if cms[0].distilled else 1), cfg.embed_dim
 
     def gen(seed):
@@ -255,7 +260,12 @@ def _prepare_cached(batch: int, iters: int = 5):
         return ens_leaves, cms_leaves, images, img16, qkv, cot
 
     _stage("compiling/loading device programs")
-    gen_c, gen_out = _cached_program(gen, "bench-gen", np.uint32(0))
+    # gen closes over `batch` (the images shape) — invisible in its uint32
+    # arg aval, so it MUST be in the salt or a bs256-warmed cache would
+    # silently serve a bs256 generator to a DEVIT_BENCH_BATCH=128 run (fwd
+    # and the reported img/s would then disagree with the label)
+    gen_c, gen_out = _cached_program(gen, "bench-gen", np.uint32(0),
+                                     salt=f"batch={batch}|iters={iters}")
     ens_l, cms_l, images, img16, qkv, cot = gen_out
 
     def fwd(ens_leaves, cms_leaves, imgs):
@@ -665,8 +675,24 @@ def main():
                         or os.environ.get("DEVIT_BENCH_LATENCY"))
     try:
         _main_inner(default_mode)
-    except SystemExit:
-        raise  # the deliberate numerics-failure exit(2), post-JSON
+    except KeyboardInterrupt:
+        raise  # an interactive abort must not masquerade as a stale success
+    except SystemExit as e:
+        # the deliberate numerics-failure exit(2) comes AFTER the JSON line;
+        # a SystemExit raised BEFORE it (absl flag errors / plugin entry
+        # points call sys.exit during startup) is a fatal pre-measurement
+        # error and must still produce the one-line contract
+        if not default_mode or _PRINTED.is_set():
+            raise
+        import traceback
+
+        traceback.print_exc()
+        _print_fallback(
+            f"fatal SystemExit({e.code}) before measurement; value is the "
+            f"last REAL on-chip measurement (see measured_at)",
+            "fatal error before measurement and no prior measurement "
+            "is recorded")
+        return
     except BaseException as e:
         if not default_mode or _PRINTED.is_set():
             raise

@@ -152,18 +152,29 @@ def materialize_imagefolder(manifest: DivisionManifest, data_path: str,
             f"was built for {manifest.num_classes} classes")
 
     def _export(src_dir: str, dst_dir: str) -> None:
-        os.makedirs(dst_dir, exist_ok=True)
-        for f in sorted(os.listdir(src_dir)):
-            s, d = os.path.join(src_dir, f), os.path.join(dst_dir, f)
-            if not os.path.isfile(s) or os.path.exists(d):
-                continue
-            if link:
-                try:
-                    os.link(s, d)
+        # recursive, like the reference's copytree (and torchvision's
+        # make_dataset, which walks class dirs recursively — nested
+        # session/date subdirs are real data, not layout noise)
+        for base, _, names in os.walk(src_dir):
+            rel = os.path.relpath(base, src_dir)
+            out_base = dst_dir if rel == "." else os.path.join(dst_dir, rel)
+            os.makedirs(out_base, exist_ok=True)
+            for f in sorted(names):
+                s, d = os.path.join(base, f), os.path.join(out_base, f)
+                if not os.path.isfile(s) or os.path.exists(d):
                     continue
-                except OSError:  # cross-device / fs without hardlinks
-                    pass
-            shutil.copy2(s, d)
+                if link:
+                    try:
+                        os.link(s, d)  # atomic: link lands whole or not at all
+                        continue
+                    except OSError:  # cross-device / fs without hardlinks
+                        pass
+                # copy via per-PID tmp + atomic replace so an interrupted run
+                # can never leave a truncated file that the exists-skip above
+                # would treat as done on the next run
+                tmp = f"{d}.{os.getpid()}.tmp"
+                shutil.copy2(s, tmp)
+                os.replace(tmp, d)
 
     roots = []
     for i, div in enumerate(manifest.divisions):

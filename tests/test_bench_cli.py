@@ -74,8 +74,12 @@ def test_watchdog_prints_lastgood_on_deadline():
     assert ("deadline" in rec["note"]) or ("fatal error" in rec["note"])
     assert rec["timed_out_after_s"] > 0
     assert rec["unit"] == "img/s"
-    with open(os.path.join(root, "bench_lastgood.json")) as fh:
-        last = json.load(fh)
-    assert rec["value"] == last["value"]
-    assert rec["measured_at"] == last["measured_at"]
+    lastgood = os.path.join(root, "bench_lastgood.json")
+    if os.path.exists(lastgood):  # committed, but tolerate a cleaned tree
+        with open(lastgood) as fh:
+            last = json.load(fh)
+        assert rec["value"] == last["value"]
+        assert rec["measured_at"] == last["measured_at"]
+    else:
+        assert rec["value"] is None
     assert out.returncode == 0  # the driver must see a clean JSON exit

@@ -519,6 +519,11 @@ def test_materialize_imagefolder_reference_layout(tmp_path):
                 Image.fromarray(
                     rng.integers(0, 256, (4, 4, 3), np.uint8)
                 ).save(d / f"{split}_{k}.png")
+    # torchvision's make_dataset walks class dirs RECURSIVELY — nested
+    # session subdirs are real data and must export too (copytree semantics)
+    nested = src / "train" / classes[0] / "session1"
+    nested.mkdir()
+    Image.new("RGB", (4, 4)).save(nested / "deep.png")
 
     manifest = DivisionManifest.create(6, 2, seed=42)
     out = tmp_path / "out"
@@ -533,15 +538,23 @@ def test_materialize_imagefolder_reference_layout(tmp_path):
             got = set(os.listdir(out / f"sub-dataset{i}" / sub))
             assert got == want
             for cls in want:
-                sfiles = sorted(os.listdir(src / src_split / cls))
-                dfiles = sorted(os.listdir(out / f"sub-dataset{i}" / sub / cls))
-                assert dfiles == sfiles
-                for f in sfiles:
-                    s = src / src_split / cls / f
-                    d = out / f"sub-dataset{i}" / sub / cls / f
+                sdir = src / src_split / cls
+                ddir = out / f"sub-dataset{i}" / sub / cls
+                # compare the full recursive listing (nested dirs included)
+                swalk = sorted(os.path.relpath(os.path.join(b, f), sdir)
+                               for b, _, ns in os.walk(sdir) for f in ns)
+                dwalk = sorted(os.path.relpath(os.path.join(b, f), ddir)
+                               for b, _, ns in os.walk(ddir) for f in ns)
+                assert dwalk == swalk
+                for f in swalk:
+                    s, d = sdir / f, ddir / f
                     assert os.path.samefile(s, d)  # hardlinked
                     assert s.read_bytes() == d.read_bytes()
         seen.append(want)
+    # the nested session file landed wherever classes[0] was assigned
+    div_of_c0 = 0 if 0 in manifest.divisions[0] else 1
+    assert (out / f"sub-dataset{div_of_c0}" / "train_dataset" / classes[0]
+            / "session1" / "deep.png").is_file()
     assert seen[0] | seen[1] == set(classes) and not (seen[0] & seen[1])
 
     # idempotent re-run; copy mode also lands identical bytes
