@@ -60,7 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="q/k/v relation-loss weights (distill_sub gama flag)")
     dp.add_argument("--policy-path", type=str, default=None,
                     help="dir with shrinked_policy.npy/shrinked_accuracy.npy")
-    dp.add_argument("--distillation-inter", action="store_true", default=True)
+    # BooleanOptionalAction so --no-distillation-inter actually disables the
+    # q/k/v relation losses (the reference's `type=bool` flag can never be
+    # turned off from the CLI — any string parses truthy; engine.py:69 still
+    # branches on it, so the OFF path is reachable programmatically there)
+    dp.add_argument("--distillation-inter", action=argparse.BooleanOptionalAction,
+                    default=True)
     # reference distill_sub.py default: clip-grad 1.0 (:69). Its parser also
     # defaults teacher-model to vit_large (:141) but that is incompatible
     # with the dedeit student (197 vs 198 tokens breaks the relation loss in
@@ -124,7 +129,8 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--ub", type=float, default=0.9)
     pp.add_argument("--candidate-chunk", type=int, default=8)
     pp.add_argument("--gama", type=float, nargs=3, default=[0.2, 0.1, 0.3])
-    pp.add_argument("--distillation-inter", action="store_true", default=True)
+    pp.add_argument("--distillation-inter", action=argparse.BooleanOptionalAction,
+                    default=True)
     pp.add_argument("--teacher-size", type=int, default=768)
     pp.add_argument("--ens-lr", type=float, default=None)
     pp.add_argument("--ens-backbone-lr", type=float, default=None,

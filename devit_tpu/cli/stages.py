@@ -438,6 +438,7 @@ def distill_main(args) -> float:
         distillation_type=args.distillation_type,
         distillation_alpha=args.distillation_alpha,
         distillation_tau=args.distillation_tau,
+        distillation_inter=getattr(args, "distillation_inter", True),
     ))
 
     place_batch, place_rep, _dp_mesh = C.data_parallel_context(log)
@@ -827,8 +828,12 @@ def _ensemble_cct_main(args, log, train_ds, val_ds, num_classes, D) -> float:
                 f"--distillation-type {args.distillation_type} requires "
                 "--teacher-path (a trained CCT teacher checkpoint)")
         teacher = C.build_backbone(args.teacher_model, num_classes, args)
-        ckpt = restore_pytree(args.teacher_path, None)
-        t_params = ckpt.get("params", ckpt) if isinstance(ckpt, dict) else ckpt
+        # load via load_params_for like the ViT branch: handles .pth teachers
+        # (torch_cct_to_params) and runs merge_params_into's loud
+        # geometry/kept-init guard instead of feeding an unvalidated tree
+        # straight into the jit trace
+        t_tpl = teacher.init(jax.random.key(0), sample)
+        t_params = C.load_params_for(teacher, args.teacher_path, t_tpl["params"])
         t_vars = {"params": t_params}
 
     return _run_ensemble_training(
@@ -901,6 +906,12 @@ def pipeline_main(args):
         leaves <stage_dir>/checkpoint_temp.msgpack (per-epoch crash
         artifact); re-running the pipeline resumes it instead of silently
         retraining from epoch 0."""
+        if args.force:
+            # --force means retrain from scratch. A COMPLETED stage also
+            # leaves checkpoint_temp behind; resuming it sets
+            # start_epoch == epochs and fit() would run ZERO epochs — the
+            # "forced" stage would silently be a no-op.
+            return ""
         ptmp = os.path.join(stage_dir, "checkpoint_temp.msgpack")
         if artifact_exists_abs(ptmp):
             if not os.path.exists(ptmp):

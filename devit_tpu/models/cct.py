@@ -201,7 +201,10 @@ class CCT(nn.Module):
         H = cfg.num_heads
         hidden = int(D * cfg.mlp_ratio)
         if capture_layer is None:
-            capture_layer = L // 2 - 1
+            # mod L: a 1-layer CCT must capture its only layer (the reference
+            # indexes a Python list, where //2-1 == -1 wraps to the last
+            # layer); a bare -1 never matches layer_idx -> silent zeros
+            capture_layer = (L // 2 - 1) % L
 
         if not cfg.seq_pool:
             cls = self.param("class_emb", nn.initializers.zeros, (1, 1, D), jnp.float32)

@@ -348,7 +348,11 @@ class VisionTransformer(nn.Module):
             gates = full_gates(cfg)
         if capture_layer is None:
             # DEKD uses the middle layer: qkvs[depth//2 - 1] (engine.py:91-92).
-            capture_layer = cfg.depth // 2 - 1
+            # The reference indexes a Python list, so depth==1 wraps to the
+            # LAST (only) layer via negative indexing; mirror that — a bare
+            # -1 would never match layer_idx and the capture slot would
+            # silently stay all-zeros.
+            capture_layer = (cfg.depth // 2 - 1) % cfg.depth
 
         x = PatchEmbed(cfg, dtype=self.dtype, name="patch_embed")(x)
 

@@ -160,6 +160,7 @@ def make_dekd_step(
     distillation_type: str = "hard",
     distillation_alpha: float = 0.5,
     distillation_tau: float = 1.0,
+    distillation_inter: bool = True,
 ):
     """DEKD step (engine.train_1epoch_qkv, engine.py:48-140): student forward
     with middle-layer QKV capture, no-grad teacher forward ditto, cls
@@ -167,9 +168,15 @@ def make_dekd_step(
 
     Signature: step(state, teacher_variables, gates, images, labels, rng).
     Shrink gates are applied to the student (distill_sub.py:391-401).
+
+    distillation_inter=False drops the relation losses and the QKV captures
+    (engine.py:69's else branch INTENT — loss = cls distillation only; the
+    reference's else branch as committed crashes on criterion kwargs,
+    engine.py:115 vs DistillLoss's signature).
     """
     mixup_active = mixup is not None and mixup.active
     base_criterion = L.make_base_criterion(mixup_active, smoothing)
+    capture = "middle" if distillation_inter else "none"
 
     def step(state: TrainState, teacher_variables, gates: Gates, images, labels, rng):
         rng_mix, rng_drop = jax.random.split(rng)
@@ -178,23 +185,30 @@ def make_dekd_step(
         else:
             images_m, targets = images, labels
 
-        t_out = teacher.apply(teacher_variables, images_m, capture_qkv="middle")
+        t_out = teacher.apply(teacher_variables, images_m, capture_qkv=capture)
         teacher_logits, teacher_qkv = t_out.logits, t_out.qkv
 
         def loss_fn(params):
             out = student.apply(
                 {"params": params}, images_m, gates=gates, train=True,
-                rngs={"dropout": rng_drop}, capture_qkv="middle",
+                rngs={"dropout": rng_drop}, capture_qkv=capture,
             )
             cls_logits = out.cls_logits
             kd_logits = out.dist_logits if out.dist_logits is not None else out.cls_logits
-            total, aux = L.dekd_loss(
-                (cls_logits, kd_logits), out.qkv, teacher_logits, teacher_qkv,
-                targets, base_criterion,
-                depth=student.cfg.depth, gamma=gamma,
-                distillation_type=distillation_type,
-                alpha=distillation_alpha, tau=distillation_tau,
-            )
+            if distillation_inter:
+                total, aux = L.dekd_loss(
+                    (cls_logits, kd_logits), out.qkv, teacher_logits, teacher_qkv,
+                    targets, base_criterion,
+                    depth=student.cfg.depth, gamma=gamma,
+                    distillation_type=distillation_type,
+                    alpha=distillation_alpha, tau=distillation_tau,
+                )
+            else:
+                cls = L.distill_loss(
+                    cls_logits, kd_logits, teacher_logits, targets,
+                    base_criterion, distillation_type,
+                    distillation_alpha, distillation_tau)
+                total, aux = cls, {"cls_loss": cls}
             aux["loss"] = total
             return total, aux
 

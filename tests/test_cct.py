@@ -46,6 +46,23 @@ def test_cct_forward_and_captures():
     assert out.qkv.shape == (3, 2, cfg.num_heads, N, cfg.embed_dim // cfg.num_heads)
 
 
+def test_cct_qkv_middle_capture_one_layer():
+    """num_layers//2 - 1 == -1 for a 1-layer CCT must wrap to the only layer
+    (reference list indexing); a literal -1 never matches layer_idx and the
+    capture would silently stay all-zeros."""
+    cfg = get_cct_config(
+        "cct_2", img_size=8, embed_dim=32, num_heads=2, mlp_ratio=2.0,
+        n_conv_layers=1, kernel_size=3, stride=1, padding=1, num_layers=1,
+        positional_embedding="none", stochastic_depth=0.0, attention_dropout=0.0,
+        dropout=0.0, num_classes=5, seq_pool=True,
+    )
+    model = CCT(cfg, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 8, 8, 3)), jnp.float32)
+    variables = model.init(jax.random.key(0), x, capture_qkv="middle")
+    out = model.apply(variables, x, capture_qkv="middle")
+    assert float(jnp.max(jnp.abs(out.qkv))) > 0, "middle capture is zeros"
+
+
 def test_cct_backbone_and_ensemble():
     model = create_cct("decct_2_3x1", img_size=32, dtype=jnp.float32,
                        stochastic_depth=0.0, attention_dropout=0.0)

@@ -123,6 +123,27 @@ def test_dekd_step_trains():
         assert np.isfinite(float(metrics[k])), k
 
 
+def test_dekd_step_inter_off_cls_only():
+    """distillation_inter=False (engine.py:69 else-branch intent): no QKV
+    capture, loss is the cls distillation term alone."""
+    student = tiny("dedeit")
+    teacher = tiny("deit_base_distilled_patch16_224", embed_dim=128, num_heads=8)
+    x = jnp.ones((4, 32, 32, 3))
+    s_params = student.init(jax.random.key(0), x)["params"]
+    t_vars = teacher.init(jax.random.key(1), x)
+    tx = make_optimizer(OptimConfig(lr=1e-3, epochs=2, warmup_epochs=0, cooldown_epochs=0), 10)
+    state = TrainState.create(s_params, tx)
+    step = jax.jit(S.make_dekd_step(student, teacher, distillation_type="hard",
+                                    distillation_inter=False))
+    gates = full_gates(student.cfg)
+    labels = jnp.array([0, 1, 2, 3])
+    state2, metrics = step(state, t_vars, gates, x, labels, jax.random.key(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert "q_loss" not in metrics and "k_loss" not in metrics
+    assert float(metrics["loss"]) == pytest.approx(float(metrics["cls_loss"]), rel=1e-6)
+    assert int(state2.step) == 1
+
+
 def test_ensemble_train_step_two_optimizers(ens_setup):
     model, stacked, ens, ens_vars = ens_setup
     teacher = tiny("deit_base_distilled_patch16_224", embed_dim=96, num_heads=4,

@@ -498,3 +498,37 @@ def test_pipeline_wires_self_distill_teacher_and_stage_resume(tmp_path,
         assert t_model == "dedeit"
         assert t_path == os.path.join(root, f"sub-model{d}",
                                       "checkpoint.msgpack")
+
+
+def test_pipeline_force_retrains_from_scratch(tmp_path, monkeypatch):
+    """--force must actually retrain: a COMPLETED run leaves checkpoint_temp
+    behind, and resuming it would set start_epoch == epochs so fit() runs
+    ZERO epochs — the 'forced' stage would silently be a no-op. The forced
+    re-entry must use resume='' (and not be skipped as done)."""
+    from devit_tpu.cli import stages as St
+
+    root = str(tmp_path / "pipe")
+    captured = {}
+
+    def fake_train_sub(args):
+        captured.setdefault("train_resume", []).append(args.resume)
+        os.makedirs(args.output_dir, exist_ok=True)
+        open(os.path.join(args.output_dir, "checkpoint.msgpack"), "wb").close()
+        return 50.0
+
+    monkeypatch.setattr(St, "train_sub_main", fake_train_sub)
+
+    # a COMPLETED previous run: final checkpoint AND per-epoch temp both exist
+    for d in range(2):
+        sub = os.path.join(root, f"sub-model{d}")
+        os.makedirs(sub, exist_ok=True)
+        open(os.path.join(sub, "checkpoint.msgpack"), "wb").close()
+        open(os.path.join(sub, "checkpoint_temp.msgpack"), "wb").close()
+
+    run(["pipeline", *TINY_MODEL, *TINY_OPT, *DATA, *NO_MIX,
+         "--stages", "split,train_sub", "--force",
+         "--output_dir", root, "--no-repeated-aug", "--aa", ""])
+
+    # both divisions re-ran (not skipped as done) and from scratch (no
+    # resume from the completed run's temp)
+    assert captured["train_resume"] == ["", ""]

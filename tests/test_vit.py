@@ -66,6 +66,20 @@ def test_qkv_capture_all_and_middle(model_and_params):
     np.testing.assert_allclose(out_l0.qkv, out_all.qkv[0], rtol=2e-5, atol=2e-5)
 
 
+def test_qkv_middle_capture_depth1():
+    """depth//2 - 1 == -1 at depth 1 must wrap to the only layer — the
+    reference indexes a Python list (qkvs[depth//2 - 1], engine.py:91), where
+    -1 is the LAST layer; a literal -1 here never matches layer_idx and the
+    capture slot would silently stay all-zeros."""
+    model = tiny_model(depth=1)
+    x = jax.random.normal(jax.random.key(3), (2, 32, 32, 3))
+    params = model.init(jax.random.key(0), x)
+    out_mid = model.apply(params, x, capture_qkv="middle")
+    assert float(jnp.max(jnp.abs(out_mid.qkv))) > 0, "middle capture is zeros"
+    out_all = model.apply(params, x, capture_qkv="all")
+    np.testing.assert_allclose(out_mid.qkv, out_all.qkv[0], rtol=2e-5, atol=2e-5)
+
+
 def test_head_gate_masks_heads(model_and_params):
     """Zeroing every head in every layer must zero the attention branch:
     the output should equal the pure-MLP propagation path."""
